@@ -1,0 +1,47 @@
+"""rware_tpu — a TPU-native multi-robot warehouse (RWARE) framework.
+
+A ground-up JAX/XLA re-design of ``semitable/robotic-warehouse``: the entire
+environment — state, collision resolution, dynamics, rewards, observations —
+is a pure, shape-static XLA program that ``vmap``s over thousands of
+environments per chip and shards over device meshes, while preserving the
+reference's behavioural semantics (validated by golden and differential
+tests).
+
+Quick start::
+
+    import jax, rware_tpu
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    state, obs = env.reset(jax.random.key(0))
+    result = env.step(state, env.sample_actions(jax.random.key(1)))
+"""
+
+from rware_tpu.config import WarehouseConfig
+from rware_tpu.core.env import Warehouse
+from rware_tpu.core.engine import StepResult
+from rware_tpu.core.state import WarehouseState
+from rware_tpu.registry import make, parse_env_id
+from rware_tpu.types import (
+    Action,
+    Direction,
+    ImageLayer,
+    ObservationType,
+    RewardType,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Action",
+    "Direction",
+    "ImageLayer",
+    "ObservationType",
+    "RewardType",
+    "StepResult",
+    "Warehouse",
+    "WarehouseConfig",
+    "WarehouseState",
+    "make",
+    "parse_env_id",
+    "__version__",
+]
