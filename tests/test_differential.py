@@ -1,0 +1,194 @@
+"""Lockstep differential tests against the live reference implementation.
+
+The strongest correctness evidence we have: the reference env and the JAX
+engine run the same action script from the same injected state and must agree
+on every agent/shelf coordinate, reward, done flag and observation bit each
+step (queue-sync protocol in ref_utils.py).  Skipped when the reference
+checkout isn't present.
+"""
+import numpy as np
+import pytest
+
+from tests.conftest import has_reference
+from tests.diff_run import run_differential
+
+pytestmark = pytest.mark.skipif(
+    not has_reference(), reason="reference checkout not available"
+)
+
+
+@pytest.mark.parametrize(
+    "env_id,steps",
+    [
+        ("rware-tiny-2ag-v2", 150),
+        ("rware-tiny-4ag-v2", 150),
+        ("rware-small-4ag-v2", 80),
+        ("rware-medium-6ag-hard-v2", 50),
+        ("rware-large-8ag-easy-v2", 40),
+    ],
+)
+def test_random_rollout_parity(env_id, steps):
+    errs = run_differential(env_id, n_steps=steps, biased=True)
+    errs = [e for e in errs if not e.startswith("deliveries")]
+    assert not errs, "\n".join(errs[:12])
+
+
+def test_forced_delivery_parity_all_reward_types():
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import jax
+    import jax.numpy as jnp
+    from rware.warehouse import (
+        Direction as RefDir,
+        RewardType as RefRT,
+        Warehouse as RefWarehouse,
+    )
+
+    import rware_tpu
+    from rware_tpu.types import RewardType
+    from tests.ref_utils import (
+        compare_to_ref,
+        state_from_ref,
+        sync_queue_from_ref,
+    )
+
+    for rt_ref, rt_ours in [
+        (RefRT.INDIVIDUAL, RewardType.INDIVIDUAL),
+        (RefRT.GLOBAL, RewardType.GLOBAL),
+        (RefRT.TWO_STAGE, RewardType.TWO_STAGE),
+    ]:
+        ref = RefWarehouse(3, 8, 1, 2, 0, 1, 3, None, 500, rt_ref)
+        ref.reset(seed=7)
+        gx, gy = ref.goals[0]
+        sh = ref.request_queue[0]
+        a0 = ref.agents[0]
+        a0.x, a0.y, a0.dir = sh.x, sh.y, RefDir.DOWN
+        ref.agents[1].x, ref.agents[1].y = 0, 0
+        ref.agents[1].dir = RefDir.UP
+        ref._recalc_grid()
+
+        env = rware_tpu.make(
+            rware_tpu.WarehouseConfig(
+                n_agents=2, request_queue_size=3, reward_type=rt_ours
+            )
+        )
+        state = state_from_ref(ref, env.config, jax.random.key(0))
+        errs = []
+        for t in range(50):
+            a0 = ref.agents[0]
+            if t == 0:
+                act = 4
+            else:
+                txy = (
+                    (gx, gy)
+                    if (a0.carrying_shelf and not a0.has_delivered)
+                    else (sh.x, sh.y)
+                )
+                dx, dy = txy[0] - a0.x, txy[1] - a0.y
+                want = (
+                    RefDir.RIGHT
+                    if dx > 0
+                    else RefDir.LEFT
+                    if dx < 0
+                    else RefDir.DOWN
+                    if dy > 0
+                    else RefDir.UP
+                    if dy < 0
+                    else None
+                )
+                act = 4 if want is None else (1 if a0.dir == want else 2)
+            acts = [act, 0]
+            obs_ref, rew_ref, *_ = ref.step(acts)
+            res = env.step(state, jnp.asarray(acts, dtype=jnp.int32))
+            errs += [f"t={t}: {e}" for e in compare_to_ref(res.state, ref)]
+            if not np.allclose(np.asarray(res.rewards), np.asarray(rew_ref)):
+                errs.append(f"t={t}: rew {np.asarray(res.rewards)} vs {rew_ref}")
+            state = sync_queue_from_ref(res.state, ref)
+        assert not errs, f"{rt_ref}: " + "\n".join(errs[:10])
+
+
+@pytest.mark.parametrize("obs_kind", ["image", "image_dict", "msg", "sensor2"])
+def test_observation_variant_parity(obs_kind):
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import jax
+    import jax.numpy as jnp
+    from rware.warehouse import (
+        ObservationType as RefOT,
+        RewardType as RefRT,
+        Warehouse as RefWarehouse,
+    )
+
+    import rware_tpu
+    from rware_tpu.types import ObservationType
+    from tests.ref_utils import (
+        compare_to_ref,
+        state_from_ref,
+        sync_queue_from_ref,
+    )
+
+    if obs_kind == "image":
+        ref = RefWarehouse(
+            3, 8, 1, 2, 0, 1, 2, None, 500, RefRT.INDIVIDUAL,
+            observation_type=RefOT.IMAGE,
+        )
+        cfg = rware_tpu.WarehouseConfig(observation_type=ObservationType.IMAGE)
+        msg_bits = 0
+    elif obs_kind == "image_dict":
+        ref = RefWarehouse(
+            3, 8, 1, 2, 0, 1, 2, None, 500, RefRT.INDIVIDUAL,
+            observation_type=RefOT.IMAGE_DICT,
+        )
+        cfg = rware_tpu.WarehouseConfig(
+            observation_type=ObservationType.IMAGE_DICT
+        )
+        msg_bits = 0
+    elif obs_kind == "msg":
+        ref = RefWarehouse(3, 8, 1, 3, 2, 1, 3, None, 500, RefRT.INDIVIDUAL)
+        cfg = rware_tpu.WarehouseConfig(
+            n_agents=3, msg_bits=2, request_queue_size=3
+        )
+        msg_bits = 2
+    else:
+        ref = RefWarehouse(3, 8, 1, 2, 0, 2, 2, None, 500, RefRT.INDIVIDUAL)
+        cfg = rware_tpu.WarehouseConfig(sensor_range=2)
+        msg_bits = 0
+
+    ref.reset(seed=11)
+    env = rware_tpu.make(cfg)
+    state = state_from_ref(ref, cfg, jax.random.key(0))
+    rng = np.random.default_rng(11)
+    n = cfg.n_agents
+    errs = []
+    for t in range(40):
+        if msg_bits:
+            acts = np.concatenate(
+                [rng.integers(0, 5, (n, 1)), rng.integers(0, 2, (n, msg_bits))],
+                axis=1,
+            )
+            ref_acts = [list(row) for row in acts]
+        else:
+            acts = rng.integers(0, 5, n)
+            ref_acts = list(acts)
+        obs_ref, *_ = ref.step(ref_acts)
+        res = env.step(state, jnp.asarray(acts, dtype=jnp.int32))
+        errs += [f"t={t}: {e}" for e in compare_to_ref(res.state, ref)]
+        state = sync_queue_from_ref(res.state, ref)
+        ours = env.observe(state)
+        for i in range(n):
+            if isinstance(ours, dict):
+                mine_img = np.asarray(ours["image"][i])
+                ref_img = np.asarray(obs_ref[i]["image"])
+                if not np.allclose(mine_img, ref_img):
+                    errs.append(f"t={t}: image obs {i} mismatch")
+                if not np.allclose(
+                    np.asarray(ours["features"][i]),
+                    np.asarray(obs_ref[i]["features"]),
+                ):
+                    errs.append(f"t={t}: features obs {i} mismatch")
+            else:
+                if not np.allclose(np.asarray(ours[i]), np.asarray(obs_ref[i])):
+                    errs.append(f"t={t}: obs {i} mismatch")
+    assert not errs, "\n".join(errs[:10])
