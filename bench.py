@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Throughput benchmark: batched env-steps/s on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the speedup over the reference implementation's measured
+single-process CPU throughput on the same config (BASELINE.md: ~2,330
+env-steps/s for rware-tiny-2ag).
+
+Protocol: B parallel envs stepped in lockstep with uniform-random actions and
+auto-reset, T steps fused into one compiled program via lax.scan, repeated R
+times with device synchronisation, best-of-R wall time.
+"""
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _ensure_backend():
+    """Fall back to auto-selection if the configured platform is missing
+    (e.g. JAX_PLATFORMS names a plugin that didn't register in this process)."""
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+        jax.devices()
+
+
+REF_TINY_2AG_STEPS_PER_SEC = 2330.0  # BASELINE.md, measured on this container
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", default="rware-tiny-2ag-v2")
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--steps", type=int, default=256, help="scan length per call")
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--obs", action="store_true", help="include obs in carry-out")
+    args = p.parse_args()
+
+    _ensure_backend()
+    import rware_tpu
+    from rware_tpu.parallel import batched_reset, build_rollout_fn
+
+    env = rware_tpu.make(args.env)
+    B, T = args.batch, args.steps
+
+    # Rollout WITHOUT materialising per-step outputs: the pure stepping-rate
+    # benchmark (obs are still computed inside step; they just stay in
+    # registers/VMEM instead of being written to a (T, B, ...) HBM buffer
+    # unless --obs asks for the trajectory).
+    if args.obs:
+        single = build_rollout_fn(env, n_steps=T)
+
+        def run(states, keys):
+            final, traj = jax.vmap(single)(states, keys)
+            return final, traj.rewards.sum()
+
+    else:
+        step_fn = env._step_fn
+        reset_fn = env._reset_fn
+
+        def one_env(state, key):
+            def body(carry, k):
+                state, rew_sum = carry
+                res = step_fn(state, env.sample_actions(k))
+                reset_key, carry_key = jax.random.split(res.state.key)
+                fresh = reset_fn(reset_key).replace(key=carry_key)
+                next_state = jax.tree.map(
+                    lambda a, b: jnp.where(res.done, a, b), fresh, res.state
+                )
+                return (next_state, rew_sum + res.rewards.sum()), None
+
+            (final, rew), _ = jax.lax.scan(
+                body, (state, jnp.float32(0)), jax.random.split(key, T)
+            )
+            return final, rew
+
+        def run(states, keys):
+            final, rews = jax.vmap(one_env)(states, keys)
+            return final, rews.sum()
+
+    run = jax.jit(run)
+
+    key = jax.random.key(0)
+    states, _ = batched_reset(env, key, B)
+    keys = jax.random.split(jax.random.key(1), B)
+
+    # compile + warmup
+    final, rew = run(states, keys)
+    jax.block_until_ready(rew)
+
+    best = float("inf")
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        final, rew = run(states, keys)
+        jax.block_until_ready(rew)
+        best = min(best, time.perf_counter() - t0)
+
+    steps_per_sec = B * T / best
+    print(
+        json.dumps(
+            {
+                "metric": f"env-steps/s ({args.env}, B={B}, T={T}, "
+                f"{jax.devices()[0].device_kind})",
+                "value": round(steps_per_sec, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_sec / REF_TINY_2AG_STEPS_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

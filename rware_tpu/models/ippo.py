@@ -1,0 +1,245 @@
+"""IPPO: independent PPO with parameter sharing — the flagship learner.
+
+The reference has no training stack; this is the TPU-native learner the
+RWARE literature runs on it (IPPO as in the SEAC/EPyMARL line of work).
+Design: the entire train step — T-step rollout (policy + env fused in one
+``lax.scan``), GAE, and E epochs × M minibatches of clipped-PPO SGD — is ONE
+jitted program over an env-batched state.  Multi-chip: shard the env axis of
+``env_states``/``obs`` over the mesh, replicate params; XLA turns the
+gradient reduction into a psum over ICI (see rware_tpu.parallel.sharding).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rware_tpu.core.env import Warehouse
+from rware_tpu.core.state import WarehouseState
+from rware_tpu.models.networks import ActorCritic, sample_action
+
+
+@dataclasses.dataclass(frozen=True)
+class IPPOConfig:
+    n_envs: int = 1024
+    rollout_len: int = 128
+    epochs: int = 4
+    minibatches: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 3e-4
+    max_grad_norm: float = 0.5
+    anneal_lr: bool = False
+    total_updates: int = 1000  # for lr annealing
+
+
+class RunnerState(struct.PyTreeNode):
+    """Everything the train loop carries between updates."""
+
+    params: Any
+    opt_state: Any
+    env_states: WarehouseState  # env-batched (B, ...)
+    obs: jax.Array  # (B, N, L)
+    key: jax.Array
+    update_idx: jax.Array  # () int32
+
+
+class Transition(NamedTuple):
+    obs: jax.Array  # (B, N, L)
+    action: jax.Array  # (B, N)
+    logp: jax.Array  # (B, N)
+    value: jax.Array  # (B, N)
+    reward: jax.Array  # (B, N)
+    done: jax.Array  # (B,)
+
+
+def make_optimizer(cfg: IPPOConfig) -> optax.GradientTransformation:
+    if cfg.anneal_lr:
+        sched = optax.linear_schedule(
+            cfg.lr, 0.0, cfg.total_updates * cfg.epochs * cfg.minibatches
+        )
+    else:
+        sched = cfg.lr
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(sched, eps=1e-5),
+    )
+
+
+def init_runner(
+    env: Warehouse,
+    cfg: IPPOConfig,
+    key: jax.Array,
+    model: Optional[ActorCritic] = None,
+) -> Tuple[RunnerState, ActorCritic, optax.GradientTransformation]:
+    """Initialise params, optimiser and a fresh batch of env states."""
+    if model is None:
+        model = ActorCritic(n_actions=env.n_actions)
+    k_param, k_env, k_run = jax.random.split(key, 3)
+    obs_dim = env.config.flattened_obs_length
+    params = model.init(k_param, jnp.zeros((1, env.n_agents, obs_dim)))
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    env_keys = jax.random.split(k_env, cfg.n_envs)
+    env_states = jax.vmap(env._reset_fn)(env_keys)
+    obs = jax.vmap(env._obs_fn)(env_states)
+    runner = RunnerState(
+        params=params,
+        opt_state=opt_state,
+        env_states=env_states,
+        obs=obs,
+        key=k_run,
+        update_idx=jnp.zeros((), jnp.int32),
+    )
+    return runner, model, tx
+
+
+def build_train_step(
+    env: Warehouse,
+    model: ActorCritic,
+    tx: optax.GradientTransformation,
+    cfg: IPPOConfig,
+) -> Callable[[RunnerState], Tuple[RunnerState, dict]]:
+    """Returns the fully fused ``train_step(runner) -> (runner, metrics)``."""
+    step_fn = jax.vmap(env._step_fn)
+    reset_fn = env._reset_fn
+    obs_fn = env._obs_fn
+    n_agents = env.n_agents
+
+    def collect(carry, key):
+        params, env_states, obs = carry
+        k_act, k_step = jax.random.split(key)
+        logits, value = model.apply(params, obs)
+        action, logp = sample_action(k_act, logits)
+        res = step_fn(env_states, action)
+        # auto-reset finished envs (vmapped over the done flag)
+        def autoreset(state, done):
+            reset_key, carry_key = jax.random.split(state.key)
+            fresh = reset_fn(reset_key).replace(key=carry_key)
+            return jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, state)
+
+        next_states = jax.vmap(autoreset)(res.state, res.done)
+        next_obs = jax.vmap(obs_fn)(next_states)
+        t = Transition(obs, action, logp, value, res.rewards, res.done)
+        return (params, next_states, next_obs), t
+
+    def gae(traj: Transition, last_value: jax.Array):
+        # done masks bootstrap: (T, B) -> broadcast over agents
+        def body(carry, t):
+            gae_t, next_value = carry
+            not_done = 1.0 - t.done.astype(jnp.float32)[:, None]
+            delta = t.reward + cfg.gamma * next_value * not_done - t.value
+            gae_t = delta + cfg.gamma * cfg.gae_lambda * not_done * gae_t
+            return (gae_t, t.value), gae_t
+
+        (_, _), advantages = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value),
+            traj,
+            reverse=True,
+        )
+        return advantages, advantages + traj.value
+
+    def loss_fn(params, batch):
+        obs, action, old_logp, old_value, adv, target = batch
+        logits, value = model.apply(params, obs)
+        logp_all = jax.nn.log_softmax(logits)
+        logp = jnp.take_along_axis(logp_all, action[..., None], -1).squeeze(-1)
+        ratio = jnp.exp(logp - old_logp)
+        adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv_norm
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+
+        v_clipped = old_value + jnp.clip(
+            value - old_value, -cfg.clip_eps, cfg.clip_eps
+        )
+        v_loss = 0.5 * jnp.maximum(
+            (value - target) ** 2, (v_clipped - target) ** 2
+        ).mean()
+
+        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        return total, {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
+        }
+
+    def train_step(runner: RunnerState) -> Tuple[RunnerState, dict]:
+        key, k_roll, k_perm = jax.random.split(runner.key, 3)
+
+        # --- rollout: T fused env+policy steps.
+        roll_keys = jax.random.split(k_roll, cfg.rollout_len)
+        (params, env_states, obs), traj = jax.lax.scan(
+            collect, (runner.params, runner.env_states, runner.obs), roll_keys
+        )
+        _, last_value = model.apply(params, obs)
+        advantages, targets = gae(traj, last_value)
+
+        # --- flatten (T, B, N) -> (T*B*N is wasteful for obs gathers; keep
+        # (T*B, N, L) so the agent axis stays a batch axis of the matmul).
+        def flat(x):
+            return x.reshape((cfg.rollout_len * cfg.n_envs,) + x.shape[2:])
+
+        dataset = (
+            flat(traj.obs),
+            flat(traj.action),
+            flat(traj.logp),
+            flat(traj.value),
+            flat(advantages),
+            flat(targets),
+        )
+
+        n_data = cfg.rollout_len * cfg.n_envs
+        mb_size = n_data // cfg.minibatches
+
+        def epoch(carry, key):
+            params, opt_state = carry
+            perm = jax.random.permutation(key, n_data)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), dataset)
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            idxs = perm[: mb_size * cfg.minibatches].reshape(
+                cfg.minibatches, mb_size
+            )
+            return jax.lax.scan(minibatch, (params, opt_state), idxs)
+
+        epoch_keys = jax.random.split(k_perm, cfg.epochs)
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch, (runner.params, runner.opt_state), epoch_keys
+        )
+
+        mean_reward = traj.reward.sum() / cfg.n_envs
+        out_metrics = {
+            "reward_per_env": mean_reward,
+            "episodes_done": traj.done.sum(),
+            **jax.tree.map(lambda x: x.mean(), metrics),
+        }
+        new_runner = RunnerState(
+            params=params,
+            opt_state=opt_state,
+            env_states=env_states,
+            obs=obs,
+            key=key,
+            update_idx=runner.update_idx + 1,
+        )
+        return new_runner, out_metrics
+
+    return train_step

@@ -1,0 +1,51 @@
+"""Device-mesh sharding of the env batch (and learner parameters).
+
+The reference is single-process with no distributed layer (SURVEY.md §2).
+Scale-out here is the canonical JAX recipe: one ``Mesh`` whose ``env`` axis
+spans all chips (ICI within a slice, DCN across slices), env-batched state
+pytrees sharded on their leading axis, parameters replicated.  XLA inserts
+the collectives; nothing in the engine changes.
+
+Multi-host usage: call ``jax.distributed.initialize()`` first, build the mesh
+over ``jax.devices()`` (global), and create sharded batches with
+``make_array_from_process_local_data`` — the helpers below work unchanged.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ENV_AXIS = "env"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None, axis: str = ENV_AXIS
+) -> Mesh:
+    """1-D mesh over all (or the given) devices, named ``env`` by default."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def env_sharding(mesh: Mesh, axis: str = ENV_AXIS) -> NamedSharding:
+    """Sharding that splits a leading env-batch axis across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_env_batch(tree: Any, mesh: Mesh, axis: str = ENV_AXIS) -> Any:
+    """Place every leaf of an env-batched pytree with its leading axis split
+    across the mesh.  Leaf shapes must be divisible by the mesh size."""
+    sharding = env_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (e.g. model parameters) on every device."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
