@@ -21,6 +21,13 @@ from rware_tpu.core.env import Warehouse
 from rware_tpu.core.engine import StepResult
 from rware_tpu.core.state import WarehouseState
 from rware_tpu.registry import make, parse_env_id
+
+
+def make_gym(env_id_or_config, **overrides):
+    """Gymnasium-style adapter env (lazy import keeps gymnasium optional)."""
+    from rware_tpu.gym_adapter import make_gym as _make_gym
+
+    return _make_gym(env_id_or_config, **overrides)
 from rware_tpu.types import (
     Action,
     Direction,
@@ -42,6 +49,7 @@ __all__ = [
     "WarehouseConfig",
     "WarehouseState",
     "make",
+    "make_gym",
     "parse_env_id",
     "__version__",
 ]

@@ -50,8 +50,10 @@ class WarehouseConfig:
     def __post_init__(self):
         if self.n_agents < 1:
             raise ValueError("n_agents must be >= 1")
-        if self.request_queue_size < 1:
-            raise ValueError("request_queue_size must be >= 1")
+        if self.request_queue_size < 0:
+            # 0 is legal (the reference registers e.g. rware-tiny-1ag-hard-v2
+            # with int(1 * 0.5) == 0 requests): no shelf is ever requested.
+            raise ValueError("request_queue_size must be >= 0")
         # Normalise enum-likes and tuples so configs hash/compare consistently.
         object.__setattr__(self, "reward_type", RewardType(self.reward_type))
         object.__setattr__(

@@ -275,13 +275,18 @@ def build_step_fn(
                 )
             return queue, rewards, has_delivered, any_delivered | delivered
 
-        queue, rewards, new_has_delivered, any_delivered = jax.lax.fori_loop(
-            0,
-            n_goals,
-            goal_body,
-            (state.request_queue, rewards, new_has_delivered, jnp.asarray(False)),
-            unroll=True,
-        )
+        if config.request_queue_size > 0:
+            queue, rewards, new_has_delivered, any_delivered = jax.lax.fori_loop(
+                0,
+                n_goals,
+                goal_body,
+                (state.request_queue, rewards, new_has_delivered, jnp.asarray(False)),
+                unroll=True,
+            )
+        else:
+            # Empty request queue (legal, see config): nothing can ever be
+            # delivered, so the whole delivery section compiles away.
+            queue, any_delivered = state.request_queue, jnp.asarray(False)
 
         # --- termination (rware/warehouse.py:929-942).
         inactive = jnp.where(any_delivered, 0, state.cur_inactive_steps + 1)
