@@ -1,0 +1,228 @@
+"""SEAC: Shared Experience Actor-Critic (Christianos et al., NeurIPS 2020).
+
+The algorithm the reference env was built to study: each agent keeps its OWN
+actor-critic parameters but also learns from the other agents' transitions
+via importance-weighted off-policy corrections —
+
+  L_pi(i)  = -logpi_i(a_i|o_i) A_ii  - lambda * sum_{j!=i} w_ij logpi_i(a_j|o_j) A_ij
+  L_v(i)   = ||V_i(o_i) - R_ii||^2  + lambda * sum_{j!=i} w_ij ||V_i(o_j) - R_ij||^2
+  w_ij     = pi_i(a_j|o_j) / pi_j(a_j|o_j)   (stop-gradient)
+
+where A_ij / R_ij are advantage/return of agent j's experience evaluated
+with agent i's critic.  TPU mapping: per-agent parameters are ONE stacked
+pytree with a leading agent axis, every cross-pair (i evaluates j's
+experience) is a vmap x vmap — an (N, N) grid of batched MLP forwards that
+XLA batches into single MXU matmuls.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rware_tpu.core.env import Warehouse
+from rware_tpu.models.networks import ActorCritic, sample_action
+
+
+@dataclasses.dataclass(frozen=True)
+class SEACConfig:
+    n_envs: int = 256
+    rollout_len: int = 5  # short n-step rollouts, as in the paper (A2C-style)
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    seac_lambda: float = 1.0  # weight of shared-experience terms
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 3e-4
+    max_grad_norm: float = 0.5
+
+
+class SEACRunner(struct.PyTreeNode):
+    params: Any  # stacked per-agent params, leading axis N
+    opt_state: Any
+    env_states: Any  # (B, ...)
+    obs: jax.Array  # (B, N, L)
+    key: jax.Array
+    update_idx: jax.Array
+
+
+class SEACTransition(NamedTuple):
+    obs: jax.Array  # (B, N, L)
+    action: jax.Array  # (B, N)
+    logp: jax.Array  # (B, N) log pi_j(a_j|o_j) of the acting agent
+    reward: jax.Array  # (B, N)
+    done: jax.Array  # (B,)
+
+
+def init_seac(
+    env: Warehouse,
+    cfg: SEACConfig,
+    key: jax.Array,
+    model: Optional[ActorCritic] = None,
+) -> Tuple[SEACRunner, ActorCritic, optax.GradientTransformation]:
+    if model is None:
+        model = ActorCritic(n_actions=env.n_actions)
+    n = env.n_agents
+    obs_dim = env.config.flattened_obs_length
+    k_par, k_env, k_run = jax.random.split(key, 3)
+    # independent init per agent: stacked params with leading agent axis
+    params = jax.vmap(
+        lambda k: model.init(k, jnp.zeros((1, obs_dim)))
+    )(jax.random.split(k_par, n))
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr, eps=1e-5),
+    )
+    opt_state = tx.init(params)
+    env_states = jax.vmap(env._reset_fn)(jax.random.split(k_env, cfg.n_envs))
+    obs = jax.vmap(env._obs_fn)(env_states)
+    return (
+        SEACRunner(
+            params=params,
+            opt_state=opt_state,
+            env_states=env_states,
+            obs=obs,
+            key=k_run,
+            update_idx=jnp.zeros((), jnp.int32),
+        ),
+        model,
+        tx,
+    )
+
+
+def build_seac_train_step(
+    env: Warehouse,
+    model: ActorCritic,
+    tx: optax.GradientTransformation,
+    cfg: SEACConfig,
+) -> Callable[[SEACRunner], Tuple[SEACRunner, dict]]:
+    step_fn = jax.vmap(env._step_fn)
+    reset_fn = env._reset_fn
+    obs_fn = env._obs_fn
+    n = env.n_agents
+
+    def apply_own(params, obs):
+        # params: stacked (N, ...); obs: (B, N, L) -> per-agent forward.
+        # vmap over the agent axis pairing params[i] with obs[:, i].
+        return jax.vmap(
+            lambda p, o: model.apply(p, o), in_axes=(0, 1), out_axes=1
+        )(params, obs)
+
+    def collect(carry, key):
+        params, env_states, obs = carry
+        k_act, _ = jax.random.split(key)
+        logits, _ = apply_own(params, obs)  # (B, N, A)
+        action, logp = sample_action(k_act, logits)
+        res = step_fn(env_states, action)
+
+        def autoreset(state, done):
+            rk, ck = jax.random.split(state.key)
+            fresh = reset_fn(rk).replace(key=ck)
+            return jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, state)
+
+        next_states = jax.vmap(autoreset)(res.state, res.done)
+        next_obs = jax.vmap(obs_fn)(next_states)
+        return (params, next_states, next_obs), SEACTransition(
+            obs, action, logp, res.rewards, res.done
+        )
+
+    def loss_fn(params, traj: SEACTransition, last_obs):
+        T, B = traj.reward.shape[0], traj.reward.shape[1]
+
+        # cross forwards: agent i's network on agent j's observations.
+        # obs (T, B, N, L) -> logits (N_i, T, B, N_j, A), values (N_i, T, B, N_j)
+        def apply_i(p):
+            return model.apply(p, traj.obs)
+
+        logits_cross, values_cross = jax.vmap(apply_i)(params)
+        _, last_values_cross = jax.vmap(lambda p: model.apply(p, last_obs))(
+            params
+        )  # (N_i, B, N_j)
+
+        # GAE of agent j's reward stream under agent i's critic.
+        not_done = 1.0 - traj.done.astype(jnp.float32)  # (T, B)
+
+        def gae_for_i(values_i, last_value_i):
+            def body(carry, xs):
+                g, next_v = carry
+                v, r, nd = xs
+                delta = r + cfg.gamma * next_v * nd[:, None] - v
+                g = delta + cfg.gamma * cfg.gae_lambda * nd[:, None] * g
+                return (g, v), g
+
+            (_, _), adv = jax.lax.scan(
+                body,
+                (jnp.zeros_like(last_value_i), last_value_i),
+                (values_i, traj.reward, not_done),
+                reverse=True,
+            )
+            return adv
+
+        adv_cross = jax.vmap(gae_for_i)(values_cross, last_values_cross)
+        target_cross = adv_cross + values_cross  # (N_i, T, B, N_j)
+
+        # log pi_i(a_j | o_j): (N_i, T, B, N_j)
+        logp_all = jax.nn.log_softmax(logits_cross)
+        logp_cross = jnp.take_along_axis(
+            logp_all, traj.action[None, ..., None], axis=-1
+        ).squeeze(-1)
+
+        # importance weights w_ij = pi_i / pi_j (stop-grad), w_ii = 1
+        w = jnp.exp(jax.lax.stop_gradient(logp_cross) - traj.logp[None])
+        eye = jnp.eye(n)[:, None, None, :]  # (N_i, 1, 1, N_j)
+        weight = eye + cfg.seac_lambda * w * (1.0 - eye)
+
+        adv_sg = jax.lax.stop_gradient(adv_cross)
+        pg_loss = -(weight * logp_cross * adv_sg).sum() / (T * B * n)
+        v_loss = (
+            0.5
+            * (weight * (values_cross - jax.lax.stop_gradient(target_cross)) ** 2).sum()
+            / (T * B * n)
+        )
+
+        # entropy of each agent's OWN policy only: the (i == j) diagonal
+        probs = jnp.exp(logp_all)
+        ent_map = -(probs * logp_all).sum(-1)  # (N_i, T, B, N_j)
+        entropy = jnp.diagonal(ent_map, axis1=0, axis2=3).mean()
+
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        return total, {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "mean_is_weight": w.mean(),
+        }
+
+    def train_step(runner: SEACRunner) -> Tuple[SEACRunner, dict]:
+        key, k_roll = jax.random.split(runner.key)
+        roll_keys = jax.random.split(k_roll, cfg.rollout_len)
+        (params, env_states, obs), traj = jax.lax.scan(
+            collect, (runner.params, runner.env_states, runner.obs), roll_keys
+        )
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            runner.params, traj, obs
+        )
+        updates, opt_state = tx.update(grads, runner.opt_state, runner.params)
+        params = optax.apply_updates(runner.params, updates)
+        metrics = {
+            **metrics,
+            "reward_per_env": traj.reward.sum() / cfg.n_envs,
+            "episodes_done": traj.done.sum(),
+        }
+        return (
+            SEACRunner(
+                params=params,
+                opt_state=opt_state,
+                env_states=env_states,
+                obs=obs,
+                key=key,
+                update_idx=runner.update_idx + 1,
+            ),
+            metrics,
+        )
+
+    return train_step

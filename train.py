@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Train IPPO or SEAC on a warehouse config — the end-to-end driver.
+
+Examples:
+  python train.py --env rware-tiny-2ag-v2 --updates 100
+  python train.py --algo seac --env rware-small-4ag-v2 --n-envs 512
+  python train.py --resume --checkpoint-dir ckpts/run1
+
+Multi-host: launch one process per host with jax.distributed coordinates in
+the environment and pass --distributed; the env batch shards over all chips.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--env", default="rware-tiny-2ag-v2")
+    p.add_argument("--algo", choices=["ippo", "seac"], default="ippo")
+    p.add_argument("--updates", type=int, default=100)
+    p.add_argument("--n-envs", type=int, default=256)
+    p.add_argument("--rollout-len", type=int, default=None)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--ent-coef", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--profile-dir", default=None, help="capture a jax trace here")
+    p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
+    p.add_argument("--distributed", action="store_true")
+    p.add_argument("--mesh", action="store_true", help="shard envs over all devices")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        jax.distributed.initialize()
+
+    import rware_tpu
+    from rware_tpu.metrics import MetricLogger
+    from rware_tpu.parallel import make_mesh, replicate, shard_env_batch
+
+    env = rware_tpu.make(args.env)
+    print(
+        f"env={args.env} grid={env.grid_size} agents={env.n_agents} "
+        f"devices={len(jax.devices())}",
+        flush=True,
+    )
+
+    key = jax.random.key(args.seed)
+    if args.algo == "ippo":
+        from rware_tpu.models import IPPOConfig, build_train_step, init_runner
+
+        cfg = IPPOConfig(
+            n_envs=args.n_envs,
+            rollout_len=args.rollout_len or 128,
+            lr=args.lr,
+            ent_coef=args.ent_coef,
+        )
+        runner, model, tx = init_runner(env, cfg, key)
+        train_step = jax.jit(build_train_step(env, model, tx, cfg))
+        env_steps_per_update = cfg.n_envs * cfg.rollout_len
+    else:
+        from rware_tpu.models.seac import (
+            SEACConfig,
+            build_seac_train_step,
+            init_seac,
+        )
+
+        cfg = SEACConfig(
+            n_envs=args.n_envs,
+            rollout_len=args.rollout_len or 5,
+            lr=args.lr,
+            ent_coef=args.ent_coef,
+        )
+        runner, model, tx = init_seac(env, cfg, key)
+        train_step = jax.jit(build_seac_train_step(env, model, tx, cfg))
+        env_steps_per_update = cfg.n_envs * cfg.rollout_len
+
+    if args.mesh and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        runner = runner.replace(
+            env_states=shard_env_batch(runner.env_states, mesh),
+            obs=shard_env_batch(runner.obs, mesh),
+            params=replicate(runner.params, mesh),
+            opt_state=replicate(runner.opt_state, mesh),
+        )
+        print(f"sharded {args.n_envs} envs over {mesh.devices.size} devices")
+
+    ckpt = None
+    start = 0
+    if args.checkpoint_dir:
+        from rware_tpu.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(args.checkpoint_dir)
+        if args.resume and ckpt.latest_step is not None:
+            runner = ckpt.restore(template=runner)
+            start = int(runner.update_idx)
+            print(f"resumed from update {start}", flush=True)
+
+    logger = MetricLogger(print_every=args.log_every)
+
+    def run_updates():
+        nonlocal runner
+        for u in range(start, args.updates):
+            runner, metrics = train_step(runner)
+            logger.log(u + 1, metrics, env_steps=env_steps_per_update)
+            if ckpt and (u + 1) % args.checkpoint_every == 0:
+                ckpt.save(u + 1, runner)
+
+    if args.profile_dir:
+        from rware_tpu.profiling import trace
+
+        with trace(args.profile_dir):
+            run_updates()
+    else:
+        run_updates()
+
+    if ckpt:
+        ckpt.save(args.updates, runner, wait=True)
+        ckpt.close()
+    summary = logger.summary()
+    print(
+        "done:",
+        {k: round(v, 4) for k, v in summary.items() if "loss" in k or "reward" in k or "env_steps" in k},
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
