@@ -38,6 +38,10 @@ def main():
     p.add_argument("--steps", type=int, default=256, help="scan length per call")
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--obs", action="store_true", help="include obs in carry-out")
+    p.add_argument(
+        "--unroll", type=int, default=4,
+        help="lax.scan unroll factor (merges step programs, fewer dispatches)",
+    )
     args = p.parse_args()
 
     _ensure_backend()
@@ -74,7 +78,10 @@ def main():
                 return (next_state, rew_sum + res.rewards.sum()), None
 
             (final, rew), _ = jax.lax.scan(
-                body, (state, jnp.float32(0)), jax.random.split(key, T)
+                body,
+                (state, jnp.float32(0)),
+                jax.random.split(key, T),
+                unroll=args.unroll,
             )
             return final, rew
 

@@ -41,12 +41,36 @@ class GymWarehouse(gym.Env):
 
     metadata = {"render_modes": ["human", "rgb_array"], "render_fps": 20}
 
+    #: positional parameter order of the reference constructor
+    #: (rware/warehouse.py:146-170) for drop-in compatibility.
+    _REF_PARAM_ORDER = (
+        "shelf_columns",
+        "column_height",
+        "shelf_rows",
+        "n_agents",
+        "msg_bits",
+        "sensor_range",
+        "request_queue_size",
+        "max_inactivity_steps",
+        "max_steps",
+        "reward_type",
+    )
+
     def __init__(
         self,
         config: Optional[WarehouseConfig] = None,
+        *args,
         env_id: Optional[str] = None,
         **kwargs,
     ):
+        if isinstance(config, int):
+            # reference-style positional construction:
+            # Warehouse(shelf_columns, column_height, ..., reward_type, **kw)
+            pos = (config,) + args
+            kwargs.update(zip(self._REF_PARAM_ORDER, pos))
+            config = None
+        elif args:
+            raise TypeError("unexpected positional arguments")
         if config is None:
             # env_id is parsed lazily here (not at registration) so that ids
             # whose configs are invalid — the reference registers some, e.g.
@@ -204,8 +228,17 @@ class GymWarehouse(gym.Env):
 
     # -- gym API ---------------------------------------------------------------
 
+    def seed(self, seed: Optional[int] = None):
+        """Legacy seeding API (reference: rware/warehouse.py:962-964):
+        stores the seed for the next reset."""
+        self._pending_seed = seed
+        return [seed]
+
     def reset(self, *, seed: Optional[int] = None, options=None):
         super().reset(seed=seed)
+        if seed is None:
+            seed = getattr(self, "_pending_seed", None)
+            self._pending_seed = None
         if seed is None:
             seed = int(self.np_random.integers(0, 2**31 - 1))
         state, obs = self._env.reset(jax.random.key(seed))
