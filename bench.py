@@ -42,6 +42,10 @@ def main():
         "--unroll", type=int, default=4,
         help="lax.scan unroll factor (merges step programs, fewer dispatches)",
     )
+    p.add_argument(
+        "--pallas", action="store_true",
+        help="use the fused Pallas rollout kernel (T steps per dispatch)",
+    )
     args = p.parse_args()
 
     _ensure_backend()
@@ -55,7 +59,16 @@ def main():
     # benchmark (obs are still computed inside step; they just stay in
     # registers/VMEM instead of being written to a (T, B, ...) HBM buffer
     # unless --obs asks for the trajectory).
-    if args.obs:
+    if args.pallas:
+        from rware_tpu.ops.pallas_rollout import build_pallas_rollout
+
+        pallas_roll = build_pallas_rollout(env.config, T)
+
+        def run(states, keys):
+            new_states, rew, epis = pallas_roll(states, 0)
+            return new_states, rew.sum()
+
+    elif args.obs:
         single = build_rollout_fn(env, n_steps=T)
 
         def run(states, keys):

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Evaluate a trained policy checkpoint: batched on-device episodes.
+
+Examples:
+  python evaluate.py --checkpoint-dir ckpts/run1 --episodes 256
+  python evaluate.py --env rware-tiny-2ag-v2 --random   # random baseline
+  python evaluate.py --checkpoint-dir ckpts/run1 --render-frames out/  # pngs
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--env", default="rware-tiny-2ag-v2")
+    p.add_argument("--algo", choices=["ippo", "seac"], default="ippo")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--episodes", type=int, default=128)
+    p.add_argument("--max-steps", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--random", action="store_true", help="random policy baseline")
+    p.add_argument("--greedy", action="store_true", help="argmax actions")
+    p.add_argument("--render-frames", default=None, help="dir for PNG frames of env 0")
+    p.add_argument("--platform", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import rware_tpu
+    from rware_tpu.models import ActorCritic, sample_action
+
+    env = rware_tpu.make(args.env)
+    B = args.episodes
+    n = env.n_agents
+
+    params = None
+    per_agent_params = False
+    if not args.random:
+        if not args.checkpoint_dir:
+            raise SystemExit("--checkpoint-dir required unless --random")
+        from rware_tpu.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(args.checkpoint_dir)
+        tree = ckpt.restore()
+        params = tree["params"]
+        leaves = jax.tree.leaves(params)
+        # SEAC stores per-agent stacks (leading agent axis on every leaf)
+        per_agent_params = all(l.shape[0] == n for l in leaves) and n > 1
+        ckpt.close()
+    model = ActorCritic(n_actions=env.n_actions)
+
+    def policy(key, obs, params):
+        if args.random:
+            return jax.random.randint(key, (B, n), 0, 5, dtype=jnp.int32)
+        if per_agent_params:
+            logits, _ = jax.vmap(
+                lambda p, o: model.apply(p, o), in_axes=(0, 1), out_axes=1
+            )(params, obs)
+        else:
+            logits, _ = model.apply(params, obs)
+        if args.greedy:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        action, _ = sample_action(key, logits)
+        return action
+
+    keys = jax.random.split(jax.random.key(args.seed), B)
+    states = jax.vmap(env._reset_fn)(keys)
+    obs = jax.vmap(env._obs_fn)(states)
+
+    @jax.jit
+    def run(states, obs, params, key):
+        def body(carry, k):
+            states, obs, returns, lengths, alive = carry
+            actions = policy(k, obs, params)
+            res = jax.vmap(env._step_fn)(states, actions)
+            returns = returns + res.rewards.sum(-1) * alive
+            lengths = lengths + alive
+            alive = alive * (1.0 - res.done.astype(jnp.float32))
+            next_obs = jax.vmap(env._obs_fn)(res.state)
+            return (res.state, next_obs, returns, lengths, alive), res.done
+
+        init = (
+            states,
+            obs,
+            jnp.zeros(B),
+            jnp.zeros(B),
+            jnp.ones(B),
+        )
+        (states, obs, returns, lengths, alive), dones = jax.lax.scan(
+            body, init, jax.random.split(key, args.max_steps)
+        )
+        return returns, lengths, alive
+
+    returns, lengths, alive = run(states, obs, params, jax.random.key(args.seed + 1))
+    returns = np.asarray(returns)
+    lengths = np.asarray(lengths)
+    print(
+        f"episodes={B} mean_return={returns.mean():.3f} "
+        f"std={returns.std():.3f} mean_length={lengths.mean():.1f} "
+        f"unfinished={int(np.asarray(alive).sum())}"
+    )
+
+    if args.render_frames:
+        from rware_tpu.rendering import Viewer
+
+        os.makedirs(args.render_frames, exist_ok=True)
+        viewer = Viewer(env.config)
+        state = jax.tree.map(lambda x: x[0], states)
+        key = jax.random.key(args.seed + 2)
+        single_obs = env._obs_fn(state)
+        for t in range(60):
+            frame = viewer.frame(state)
+            try:
+                from PIL import Image
+
+                Image.fromarray(frame).save(
+                    os.path.join(args.render_frames, f"frame_{t:03d}.png")
+                )
+            except ImportError:
+                np.save(
+                    os.path.join(args.render_frames, f"frame_{t:03d}.npy"), frame
+                )
+            key, k = jax.random.split(key)
+            actions = policy(k, single_obs[None], params)[0]
+            res = env.step(state, actions)
+            state = res.state
+            single_obs = env._obs_fn(state)
+        print(f"wrote 60 frames to {args.render_frames}")
+
+
+if __name__ == "__main__":
+    main()

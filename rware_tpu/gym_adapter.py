@@ -356,25 +356,38 @@ def make_gym(env_id_or_config, **overrides) -> GymWarehouse:
     return GymWarehouse(config)
 
 
-def register_all(force: bool = False) -> int:
+def register_all(force: bool = False, image: bool = False) -> int:
     """Register the reference's default env-id grid with gymnasium
     (mirror of rware/__init__.py:22-39: 4 sizes x 1-19 agents x 3
-    difficulties).  Explicit opt-in — call it, it is not an import side
-    effect — so this package can coexist with the reference in one process.
-    Returns the number of ids registered."""
+    difficulties; ``image=True`` adds the -img/-imgdict/-Nd variants of
+    ``image_registration``, rware/__init__.py:42-80).  Explicit opt-in —
+    call it, it is not an import side effect — so this package can coexist
+    with the reference in one process.  Any OTHER valid id from the naming
+    grammar (sensor ranges, column heights, RxC grids — the reference's
+    ``full_registration`` space) works without registration through
+    ``rware_tpu.make_gym``.  Returns the number of ids registered."""
     from rware_tpu.registry import SIZES
 
+    prefixes = ["rware"]
+    if image:
+        prefixes += [
+            "rware-img",
+            "rware-imgdict",
+            "rware-img-Nd",
+            "rware-imgdict-Nd",
+        ]
     count = 0
-    for size in SIZES:
-        for n_agents in range(1, 20):
-            for diff in ["", "-easy", "-hard"]:
-                env_id = f"rware-{size}-{n_agents}ag{diff}-v2"
-                if env_id in gym.registry and not force:
-                    continue
-                gym.register(
-                    id=env_id,
-                    entry_point="rware_tpu.gym_adapter:GymWarehouse",
-                    kwargs={"env_id": env_id},
-                )
-                count += 1
+    for prefix in prefixes:
+        for size in SIZES:
+            for n_agents in range(1, 20):
+                for diff in ["", "-easy", "-hard"]:
+                    env_id = f"{prefix}-{size}-{n_agents}ag{diff}-v2"
+                    if env_id in gym.registry and not force:
+                        continue
+                    gym.register(
+                        id=env_id,
+                        entry_point="rware_tpu.gym_adapter:GymWarehouse",
+                        kwargs={"env_id": env_id},
+                    )
+                    count += 1
     return count

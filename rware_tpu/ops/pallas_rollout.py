@@ -1,0 +1,691 @@
+"""Fused full-rollout Pallas kernel: T env steps per kernel launch, in VMEM.
+
+Why: the XLA step program is ~1.2 ms/scan-iteration at B=4096 on v5e —
+dispatch-bound, dozens of micro-kernels over tiny tensors (tools/
+perf_probe.py).  This kernel runs the ENTIRE rollout for a block of envs
+inside one kernel: state lives in registers/VMEM for all T steps, HBM is
+touched once at the start and once at the end, and there is exactly one
+dispatch per (env-block) — the hardware's speed-of-light shape for this
+workload.
+
+Design (TPU-first, not a port):
+  * env-major tiles: every state field is laid out (X, 8, 128) — each
+    logical row (one agent coordinate, one shelf coordinate, ...) fills a
+    full (8 sublanes x 128 lanes) VPU tile of 1024 envs, so every
+    elementwise op runs at 100% vector utilisation; the agent / shelf axes
+    are unrolled / leading axes.
+  * all control flow is static: the agent loop, the N^2 resolver algebra,
+    the goal loop and the without-replacement samplers unroll at trace time.
+  * on-chip PRNG (pltpu.prng_random_bits) for actions, spawns and queue
+    resampling — no threefry tensor traffic.
+
+Semantics match rware_tpu.core.engine (same resolver rules, pre-cancel,
+reward types, termination; validated by tests/test_pallas.py in scripted
+mode).  Deviations, by construction:
+  * RNG streams differ from the jax.random-based engine (sampling is
+    modulo-reduced uint32: bias < 2^-24 for all moduli used here), so
+    random-action rollouts are statistically, not bitwise, equivalent;
+  * scripted mode (actions supplied, for validation) replaces a delivered
+    request with the lowest-index non-queued shelf and respawns agents at
+    fixed cells, keeping that mode fully deterministic.
+
+Reference behavior being reproduced: /root/reference/rware/warehouse.py
+step() :804-946 (see rware_tpu/core/engine.py for the per-rule citations).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rware_tpu.config import WarehouseConfig
+from rware_tpu.core.state import WarehouseState
+from rware_tpu.types import Action, RewardType
+
+# Envs per kernel instance, laid out as one (8, 128) VPU tile per row.
+SUB, LANE = 8, 128
+ENV_BLOCK = SUB * LANE  # 1024
+
+# Direction coding (UP=0, DOWN=1, LEFT=2, RIGHT=3) — see types.Direction.
+_ROT_LEFT = (2, 3, 1, 0)
+_ROT_RIGHT = (3, 2, 0, 1)
+_DX = (0, 0, -1, 1)
+_DY = (-1, 1, 0, 0)
+
+
+def _sel4(idx, table):
+    """table[idx] for a static 4-entry table and (1, E) int index."""
+    out = jnp.full_like(idx, table[0])
+    for v in range(1, 4):
+        out = jnp.where(idx == v, table[v], out)
+    return out
+
+
+def _u32(shape):
+    return pltpu.prng_random_bits(shape)
+
+
+def _rand_mod(shape, m):
+    """Uniform int32 in [0, m) (modulo-reduced uint32; bias < 2^-24)."""
+    return (_u32(shape) % np.uint32(m)).astype(jnp.int32)
+
+
+def _draw_distinct(n_draws, m, shape):
+    """n_draws distinct uniform values in [0, m) per lane (unrolled).
+
+    Sequential shifted draws: draw_i is uniform over the m - i values not
+    yet taken; shifting past already-chosen values (in ascending order)
+    maps it to the global id.  Exactly uniform over ordered samples, like
+    np_random.choice(replace=False) (rware/warehouse.py:781-792).
+    """
+    chosen = []  # unsorted, in draw order
+    sorted_cells = []  # ascending
+    for i in range(n_draws):
+        d = _rand_mod(shape, m - i)
+        for c in sorted_cells:
+            d = d + (d >= c).astype(jnp.int32)
+        chosen.append(d)
+        # insert d into the ascending list (unrolled insertion pass)
+        new_sorted = []
+        placed = jnp.zeros(shape, dtype=jnp.bool_)
+        cur = d
+        for c in sorted_cells:
+            lo = jnp.minimum(cur, c)
+            hi = jnp.maximum(cur, c)
+            new_sorted.append(lo)
+            cur = hi
+        new_sorted.append(cur)
+        sorted_cells = new_sorted
+        del placed
+    return chosen
+
+
+@dataclasses.dataclass(frozen=True)
+class _Static:
+    n: int
+    s: int
+    r: int
+    g: int
+    h: int
+    w: int
+    t: int
+    reward_type: int
+    max_steps: int
+    max_inactivity: int
+    scripted: bool
+    # perf-bisect switch: 0=full, 1=no autoreset, 2=also no delivery,
+    # 3=also no toggle/pre-cancel, 4=movement+resolver only, 5=movement only
+    debug_level: int = 0
+
+
+def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
+    N, S, R, G, H, W, T = st.n, st.s, st.r, st.g, st.h, st.w, st.t
+    HW = H * W
+
+    def kernel(*refs):
+        shelf_rows = jax.lax.broadcasted_iota(jnp.int32, (S, SUB, LANE), 0)
+        if st.scripted:
+            (seed_ref, actions_ref, ax_ref, ay_ref, ad_ref, carry_ref, hd_ref,
+             sx_ref, sy_ref, q_ref, inact_ref, steps_ref, slotx_ref, sloty_ref,
+             oax, oay, oad, ocarry, ohd, osx, osy, oq, oinact, osteps,
+             orew, oepis) = refs
+        else:
+            (seed_ref, ax_ref, ay_ref, ad_ref, carry_ref, hd_ref,
+             sx_ref, sy_ref, q_ref, inact_ref, steps_ref, slotx_ref, sloty_ref,
+             oax, oay, oad, ocarry, ohd, osx, osy, oq, oinact, osteps,
+             orew, oepis) = refs
+
+        if not st.scripted:
+            # scripted (validation) mode is RNG-free so it also runs under
+            # the CPU interpreter, where the TPU PRNG is unavailable
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        slots_x = slotx_ref[:]  # (S, E) — home rack slots (pre-broadcast)
+        slots_y = sloty_ref[:]
+
+        def one_step(t, carry):
+            ax, ay, ad, carrying, hd_i, sx, sy, q, inact, steps, rew_acc, epis = carry
+            # ax..: lists of (1, E); sx/sy: (S, E); q: (R, E) or None.
+            # hd is carried as int32 — Mosaic cannot legalize loop-carried
+            # i1 vectors — and viewed as bool inside the step.
+            hd = [h != 0 for h in hd_i]
+
+            # ---- actions --------------------------------------------------
+            if st.scripted:
+                acts = [
+                    actions_ref[pl.ds(t, 1), i, :, :].reshape(SUB, LANE)
+                    for i in range(N)
+                ]
+            else:
+                bits = _rand_mod((N, SUB, LANE), 5)
+                acts = [bits[i] for i in range(N)]
+
+            # ---- target cells (edge-clamped) ------------------------------
+            tx, ty = [], []
+            for i in range(N):
+                fwd = acts[i] == Action.FORWARD
+                dx = _sel4(ad[i], _DX)
+                dy = _sel4(ad[i], _DY)
+                tx.append(
+                    jnp.clip(ax[i] + jnp.where(fwd, dx, 0), 0, W - 1)
+                )
+                ty.append(
+                    jnp.clip(ay[i] + jnp.where(fwd, dy, 0), 0, H - 1)
+                )
+
+            # ---- pre-cancel: loaded agent into a standing shelf -----------
+            for i in range(N) if st.debug_level < 3 else []:
+                shelf_at_t = jnp.any(
+                    (sx == tx[i]) & (sy == ty[i]), axis=0
+                )
+                tgt_loaded = jnp.zeros_like(shelf_at_t)
+                for j in range(N):
+                    tgt_loaded |= (
+                        (tx[i] == ax[j]) & (ty[i] == ay[j]) & (carrying[j] >= 0)
+                    )
+                moving = (tx[i] != ax[i]) | (ty[i] != ay[i])
+                cancel = (carrying[i] >= 0) & moving & shelf_at_t & ~tgt_loaded
+                acts[i] = jnp.where(cancel, Action.NOOP, acts[i])
+                tx[i] = jnp.where(cancel, ax[i], tx[i])
+                ty[i] = jnp.where(cancel, ay[i], ty[i])
+
+            # ---- resolver (same rules as ops/resolver.py) -----------------
+            if st.debug_level >= 5:
+                committed = [acts[i] == Action.FORWARD for i in range(N)]
+            match = [
+                [
+                    (tx[i] == ax[j]) & (ty[i] == ay[j])
+                    for j in range(N)
+                ]
+                for i in range(N)
+            ]
+            has_next, nxt = [], []
+            for i in range(N):
+                hn = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+                nx = jnp.zeros((SUB, LANE), dtype=jnp.int32)
+                for j in range(N):
+                    hn |= match[i][j]
+                    nx = jnp.where(match[i][j], j, nx)
+                has_next.append(hn)
+                nxt.append(nx)
+
+            # cycle membership: walk successor pointers N steps
+            on_cycle = [jnp.zeros((SUB, LANE), dtype=jnp.bool_) for _ in range(N)]
+            cur = list(nxt)
+            valid = list(has_next)
+            for _ in range(N):
+                for i in range(N):
+                    on_cycle[i] |= valid[i] & (cur[i] == i)
+                new_cur, new_valid = [], []
+                for i in range(N):
+                    nv = jnp.zeros((SUB, LANE), dtype=jnp.int32)
+                    va = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+                    for j in range(N):
+                        here = cur[i] == j
+                        nv = jnp.where(here, nxt[j], nv)
+                        va |= here & has_next[j]
+                    new_cur.append(nv)
+                    new_valid.append(valid[i] & va)
+                cur, valid = new_cur, new_valid
+
+            # head-on swaps
+            two_cycle = []
+            for i in range(N):
+                tc = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+                for j in range(N):
+                    if i == j:
+                        continue
+                    tc |= match[i][j] & match[j][i]
+                two_cycle.append(tc)
+
+            # weak-component closure over the N x N adjacency
+            shared = [
+                [
+                    (tx[i] == tx[j]) & (ty[i] == ty[j])
+                    for j in range(N)
+                ]
+                for i in range(N)
+            ]
+            adj = [
+                [
+                    shared[i][j] | match[i][j] | match[j][i]
+                    if i != j
+                    else jnp.ones((SUB, LANE), dtype=jnp.bool_)
+                    for j in range(N)
+                ]
+                for i in range(N)
+            ]
+            for _ in range(max(1, (N - 1).bit_length())):
+                adj = [
+                    [
+                        functools.reduce(
+                            jnp.logical_or,
+                            [adj[i][k] & adj[k][j] for k in range(N)],
+                        )
+                        for j in range(N)
+                    ]
+                    for i in range(N)
+                ]
+            comp_poison = [
+                functools.reduce(
+                    jnp.logical_or, [adj[i][j] & two_cycle[j] for j in range(N)]
+                )
+                for i in range(N)
+            ]
+            comp_cycle = [
+                functools.reduce(
+                    jnp.logical_or, [adj[i][j] & on_cycle[j] for j in range(N)]
+                )
+                for i in range(N)
+            ]
+
+            # longest-chain priority with lowest-index tie-break
+            depth = [jnp.ones((SUB, LANE), dtype=jnp.int32) for _ in range(N)]
+            for _ in range(N):
+                depth = [
+                    1
+                    + functools.reduce(
+                        jnp.maximum,
+                        [
+                            jnp.where(match[j][i], depth[j], 0)
+                            for j in range(N)
+                        ],
+                    )
+                    for i in range(N)
+                ]
+            chosen = []
+            for i in range(N):
+                ok = jnp.ones((SUB, LANE), dtype=jnp.bool_)
+                for j in range(N):
+                    if i == j:
+                        continue
+                    beats = (depth[j] < depth[i]) | (
+                        (depth[j] == depth[i]) & (j >= i)
+                    )
+                    ok &= ~shared[i][j] | beats
+                chosen.append(ok)
+            cc = [chosen[i] & ~has_next[i] for i in range(N)]
+            for _ in range(N):
+                cc_new = []
+                for i in range(N):
+                    follow = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+                    for j in range(N):
+                        follow |= (nxt[i] == j) & cc[j]
+                    cc_new.append(
+                        chosen[i] & (follow | ~has_next[i])
+                    )
+                cc = cc_new
+            if st.debug_level < 5:
+                committed = [
+                    (on_cycle[i] & ~comp_poison[i]) | (cc[i] & ~comp_cycle[i])
+                    for i in range(N)
+                ]
+            acts = [
+                jnp.where(committed[i], acts[i], Action.NOOP) for i in range(N)
+            ]
+
+            # ---- execute movement / rotation ------------------------------
+            # toggle-load below must see PRE-move shelf positions (the
+            # reference reads a stale grid, warehouse.py:889-892)
+            pre_sx, pre_sy = sx, sy
+            new_ax, new_ay, new_ad = [], [], []
+            for i in range(N):
+                moved = committed[i] & (acts[i] == Action.FORWARD)
+                new_ax.append(jnp.where(moved, tx[i], ax[i]))
+                new_ay.append(jnp.where(moved, ty[i], ay[i]))
+                rot_l = _sel4(ad[i], _ROT_LEFT)
+                rot_r = _sel4(ad[i], _ROT_RIGHT)
+                new_ad.append(
+                    jnp.where(
+                        acts[i] == Action.LEFT,
+                        rot_l,
+                        jnp.where(acts[i] == Action.RIGHT, rot_r, ad[i]),
+                    )
+                )
+                # carried shelf rides along
+                mask = (shelf_rows == carrying[i]) & moved
+                sx = jnp.where(mask, new_ax[i], sx)
+                sy = jnp.where(mask, new_ay[i], sy)
+
+            # ---- toggle load ----------------------------------------------
+            rewards = [jnp.zeros((SUB, LANE), dtype=jnp.float32) for _ in range(N)]
+            new_carrying, new_hd = [], []
+            if st.debug_level >= 3:
+                new_carrying = list(carrying)
+                new_hd = list(hd)
+            for i in range(N) if st.debug_level < 3 else []:
+                toggling = acts[i] == Action.TOGGLE_LOAD
+                under = (pre_sx == new_ax[i]) & (pre_sy == new_ay[i])
+                has_under = jnp.any(under, axis=0)
+                shelf_under = jnp.max(
+                    jnp.where(under, shelf_rows, -1), axis=0
+                )
+                pickup = toggling & (carrying[i] < 0) & has_under
+                # on_highway = not a rack slot
+                on_rack = jnp.any(
+                    (slots_x == new_ax[i]) & (slots_y == new_ay[i]), axis=0
+                )
+                drop = toggling & (carrying[i] >= 0) & on_rack
+                if st.reward_type == RewardType.TWO_STAGE:
+                    rewards[i] += jnp.where(drop & hd[i], 0.5, 0.0)
+                new_carrying.append(
+                    jnp.where(pickup, shelf_under, jnp.where(drop, -1, carrying[i]))
+                )
+                new_hd.append(hd[i] & ~drop)
+
+            # ---- deliveries, queue resample, rewards ----------------------
+            any_delivered = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+            if R and st.debug_level < 2:
+                for gx, gy in goals:
+                    at_goal = (sx == gx) & (sy == gy)
+                    has_shelf = jnp.any(at_goal, axis=0)
+                    sid = jnp.max(
+                        jnp.where(at_goal, shelf_rows, -1), axis=0
+                    )
+                    in_q_slot = q == sid  # (R, E)
+                    delivered = has_shelf & jnp.any(
+                        in_q_slot, axis=0
+                    )
+                    # in-queue mask over shelves
+                    in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
+                    for r_i in range(R):
+                        in_queue |= shelf_rows == q[r_i]
+                    if st.scripted:
+                        # deterministic: lowest-index non-queued shelf
+                        repl = jnp.min(
+                            jnp.where(~in_queue, shelf_rows, S),
+                            axis=0,
+                            keepdims=True,
+                        )
+                    else:
+                        count = jnp.sum(
+                            (~in_queue).astype(jnp.int32), axis=0
+                        )
+                        k = (
+                            _u32((SUB, LANE))
+                            % jnp.maximum(count, 1).astype(jnp.uint32)
+                        ).astype(jnp.int32)
+                        acc = jnp.zeros((SUB, LANE), dtype=jnp.int32)
+                        repl = jnp.zeros((SUB, LANE), dtype=jnp.int32)
+                        for s_i in range(S):
+                            avail = ~in_queue[s_i]
+                            hit = avail & (acc == k)
+                            repl = jnp.where(hit, s_i, repl)
+                            acc += avail.astype(jnp.int32)
+                    q = jnp.where(delivered & in_q_slot, repl, q)
+
+                    # reward by type (INDIVIDUAL/TWO_STAGE credit the agent
+                    # on the goal; none -> last agent, the reference's
+                    # rewards[-1] wraparound, warehouse.py:921-927)
+                    if st.reward_type == RewardType.GLOBAL:
+                        for i in range(N):
+                            rewards[i] += jnp.where(delivered, 1.0, 0.0)
+                    else:
+                        on_goal = [
+                            (new_ax[i] == gx) & (new_ay[i] == gy)
+                            for i in range(N)
+                        ]
+                        none_on = ~functools.reduce(jnp.logical_or, on_goal)
+                        amount = (
+                            0.5
+                            if st.reward_type == RewardType.TWO_STAGE
+                            else 1.0
+                        )
+                        for i in range(N):
+                            credit = on_goal[i] | (none_on & (i == N - 1))
+                            rewards[i] += jnp.where(
+                                delivered & credit, amount, 0.0
+                            )
+                            if st.reward_type == RewardType.TWO_STAGE:
+                                new_hd[i] = new_hd[i] | (
+                                    delivered & credit
+                                )
+                    any_delivered |= delivered
+
+            # ---- termination & autoreset ----------------------------------
+            inact = jnp.where(any_delivered, 0, inact + 1)
+            steps = steps + 1
+            done = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+            if st.max_inactivity:
+                done |= inact >= st.max_inactivity
+            if st.max_steps:
+                done |= steps >= st.max_steps
+
+            if st.debug_level >= 1:
+                pass
+            elif st.scripted:
+                spawn_cells = [
+                    jnp.full((SUB, LANE), i, dtype=jnp.int32) for i in range(N)
+                ]
+                spawn_dirs = [
+                    jnp.zeros((SUB, LANE), dtype=jnp.int32) for _ in range(N)
+                ]
+                fresh_q = (
+                    [
+                        jnp.full((SUB, LANE), r_i, dtype=jnp.int32)
+                        for r_i in range(R)
+                    ]
+                    if R
+                    else []
+                )
+            else:
+                spawn_cells = _draw_distinct(N, HW, (SUB, LANE))
+                spawn_dirs = [_rand_mod((SUB, LANE), 4) for _ in range(N)]
+                fresh_q = _draw_distinct(R, S, (SUB, LANE)) if R else []
+
+            for i in range(N) if st.debug_level < 1 else []:
+                new_ax[i] = jnp.where(done, spawn_cells[i] % W, new_ax[i])
+                new_ay[i] = jnp.where(done, spawn_cells[i] // W, new_ay[i])
+                new_ad[i] = jnp.where(done, spawn_dirs[i], new_ad[i])
+                new_carrying[i] = jnp.where(done, -1, new_carrying[i])
+                new_hd[i] = new_hd[i] & ~done
+            if st.debug_level < 1:
+                sx = jnp.where(done, slots_x, sx)
+                sy = jnp.where(done, slots_y, sy)
+            if R and st.debug_level < 1:
+                q = jnp.where(done, jnp.stack(fresh_q, axis=0), q)
+            if st.debug_level < 1:
+                inact = jnp.where(done, 0, inact)
+                steps = jnp.where(done, 0, steps)
+
+            rew_acc = [rew_acc[i] + rewards[i] for i in range(N)]
+            epis = epis + done.astype(jnp.int32)
+            new_hd_i = [h.astype(jnp.int32) for h in new_hd]
+            return (
+                new_ax, new_ay, new_ad, new_carrying, new_hd_i,
+                sx, sy, q, inact, steps, rew_acc, epis,
+            )
+
+        init = (
+            [ax_ref[i] for i in range(N)],
+            [ay_ref[i] for i in range(N)],
+            [ad_ref[i] for i in range(N)],
+            [carry_ref[i] for i in range(N)],
+            [hd_ref[i] for i in range(N)],
+            sx_ref[:],
+            sy_ref[:],
+            q_ref[:] if R else jnp.zeros((SUB, LANE), jnp.int32),
+            inact_ref[0],
+            steps_ref[0],
+            [jnp.zeros((SUB, LANE), dtype=jnp.float32) for _ in range(N)],
+            jnp.zeros((SUB, LANE), dtype=jnp.int32),
+        )
+        final = jax.lax.fori_loop(0, T, one_step, init, unroll=False)
+        ax, ay, ad, carrying, hd, sx, sy, q, inact, steps, rew, epis = final
+        oax[:] = jnp.stack(ax, axis=0)
+        oay[:] = jnp.stack(ay, axis=0)
+        oad[:] = jnp.stack(ad, axis=0)
+        ocarry[:] = jnp.stack(carrying, axis=0)
+        ohd[:] = jnp.stack(hd, axis=0)
+        osx[:] = sx
+        osy[:] = sy
+        if R:
+            oq[:] = q
+        else:
+            oq[:] = jnp.zeros((SUB, LANE), jnp.int32)
+        oinact[:] = inact[None]
+        osteps[:] = steps[None]
+        orew[:] = jnp.stack(rew, axis=0)
+        oepis[:] = epis[None]
+
+    return kernel
+
+
+def build_pallas_rollout(
+    config: WarehouseConfig,
+    n_steps: int,
+    scripted: bool = False,
+    interpret: bool = False,
+    debug_level: int = 0,
+):
+    """Returns ``rollout(state_batch, seed[, actions]) -> (state_batch,
+    rewards_sum (B, N), episodes (B,))``.
+
+    ``state_batch`` is a WarehouseState with leading batch axis B (multiple
+    of ENV_BLOCK).  ``actions`` (scripted mode): (T, B, N) int32.
+    """
+    layout = config.compile_layout()
+    H, W = layout.grid_size
+    N = config.n_agents
+    S = layout.n_shelves
+    R = config.request_queue_size
+    if N > 8:
+        raise NotImplementedError(
+            "pallas rollout supports n_agents <= 8 (use the XLA engine)"
+        )
+    st = _Static(
+        n=N,
+        s=S,
+        r=R,
+        g=layout.n_goals,
+        h=H,
+        w=W,
+        t=n_steps,
+        reward_type=int(config.reward_type),
+        max_steps=config.max_steps or 0,
+        max_inactivity=config.max_inactivity_steps or 0,
+        scripted=scripted,
+        debug_level=debug_level,
+    )
+    goals = tuple((int(x), int(y)) for x, y in layout.goals)
+    kernel = _make_kernel(st, goals)
+    E = ENV_BLOCK
+
+    state_dims = {
+        "ax": N, "ay": N, "ad": N, "carry": N, "hd": N,
+        "sx": S, "sy": S, "q": max(R, 1), "inact": 1, "steps": 1,
+    }
+
+    def block(rows):
+        # (rows, SUB, LANE) tile: block i covers envs [i*1024, (i+1)*1024)
+        return pl.BlockSpec(
+            (rows, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # seed (1,)
+    if scripted:
+        in_specs.append(
+            pl.BlockSpec(
+                (n_steps, N, SUB, LANE),
+                lambda i: (0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    in_specs += [block(d) for d in state_dims.values()]
+    in_specs += [block(S), block(S)]  # home slots
+    out_specs = [block(d) for d in state_dims.values()]
+    out_specs += [block(N), block(1)]  # rewards, episodes
+
+    def out_shape(b):
+        rows = b // LANE
+        shapes = [
+            jax.ShapeDtypeStruct((d, rows, LANE), jnp.int32)
+            for d in state_dims.values()
+        ]
+        shapes.append(jax.ShapeDtypeStruct((N, rows, LANE), jnp.float32))
+        shapes.append(jax.ShapeDtypeStruct((1, rows, LANE), jnp.int32))
+        return shapes
+
+    slots_x = np.asarray(layout.shelf_slots[:, 0])
+    slots_y = np.asarray(layout.shelf_slots[:, 1])
+
+    def rollout(
+        state: WarehouseState, seed, actions: Optional[jax.Array] = None
+    ):
+        b = state.agent_x.shape[0]
+        if b % E:
+            raise ValueError(f"batch {b} must be a multiple of {E}")
+        grid = (b // E,)
+
+        def ti(x):
+            # (B, X) -> (X, B//LANE, LANE): env e -> (e // 128, e % 128)
+            arr = jnp.swapaxes(x.astype(jnp.int32), 0, 1)
+            return arr.reshape(arr.shape[0], b // LANE, LANE)
+
+        def ti1(x):
+            # (B,) -> (1, B//LANE, LANE)
+            return x.astype(jnp.int32).reshape(1, b // LANE, LANE)
+
+        inputs = [jnp.atleast_1d(jnp.asarray(seed, dtype=jnp.int32))]
+        if scripted:
+            if actions is None:
+                raise ValueError("scripted mode needs actions (T, B, N)")
+            acts = jnp.swapaxes(actions, 1, 2).astype(jnp.int32)  # (T, N, B)
+            inputs.append(acts.reshape(n_steps, N, b // LANE, LANE))
+        inputs += [
+            ti(state.agent_x),
+            ti(state.agent_y),
+            ti(state.agent_dir),
+            ti(state.agent_carrying),
+            ti(state.agent_has_delivered),
+            ti(state.shelf_x),
+            ti(state.shelf_y),
+            ti(state.request_queue)
+            if R
+            else jnp.zeros((1, b // LANE, LANE), jnp.int32),
+            ti1(state.cur_inactive_steps),
+            ti1(state.cur_steps),
+            jnp.broadcast_to(
+                jnp.asarray(slots_x, jnp.int32)[:, None, None],
+                (S, b // LANE, LANE),
+            ),
+            jnp.broadcast_to(
+                jnp.asarray(slots_y, jnp.int32)[:, None, None],
+                (S, b // LANE, LANE),
+            ),
+        ]
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape(b),
+            interpret=interpret,
+        )(*inputs)
+        (ax, ay, ad, carry, hd, sx, sy, q, inact, steps, rew, epis) = outs
+
+        def to(x):
+            return jnp.swapaxes(x.reshape(x.shape[0], b), 0, 1)
+
+        new_state = state.replace(
+            agent_x=to(ax),
+            agent_y=to(ay),
+            agent_dir=to(ad),
+            agent_carrying=to(carry),
+            agent_has_delivered=to(hd).astype(bool),
+            shelf_x=to(sx),
+            shelf_y=to(sy),
+            request_queue=to(q) if R else state.request_queue,
+            cur_inactive_steps=inact.reshape(b),
+            cur_steps=steps.reshape(b),
+        )
+        return new_state, to(rew), epis.reshape(b)
+
+    return rollout

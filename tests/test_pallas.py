@@ -1,0 +1,104 @@
+"""Pallas fused-rollout kernel vs the XLA engine (interpret mode on CPU).
+
+Scripted mode is deterministic (lowest-index queue replacement, fixed
+respawn cells), so dynamics fields must match the XLA engine bit-for-bit;
+delivery bookkeeping is checked semantically.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import rware_tpu
+from rware_tpu.ops.pallas_rollout import ENV_BLOCK, build_pallas_rollout
+from rware_tpu.parallel import batched_reset
+from rware_tpu.testing import DOWN, UP, make_state
+
+DYNAMICS_FIELDS = [
+    "agent_x",
+    "agent_y",
+    "agent_dir",
+    "agent_carrying",
+    "shelf_x",
+    "shelf_y",
+    "cur_steps",
+]
+
+
+def xla_rollout(env, states, actions):
+    def one(state, acts):
+        def body(s, a):
+            r = env._step_fn(s, a)
+            return r.state, (r.rewards, r.done)
+
+        return jax.lax.scan(body, state, acts)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 1)))(states, actions)
+
+
+@pytest.mark.parametrize("with_toggle", [False, True])
+def test_scripted_dynamics_match_xla(with_toggle):
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    B, T = ENV_BLOCK, 12
+    states, _ = batched_reset(env, jax.random.key(0), B)
+    rng = np.random.default_rng(1)
+    actions = jnp.asarray(rng.integers(0, 5, (T, B, 2)), dtype=jnp.int32)
+    if not with_toggle:
+        actions = jnp.where(actions == 4, 0, actions)
+
+    roll = build_pallas_rollout(env.config, T, scripted=True, interpret=True)
+    pallas_state, rew, epis = roll(states, 0, actions)
+    final, (rews, dones) = xla_rollout(env, states, actions)
+
+    for f in DYNAMICS_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pallas_state, f)),
+            np.asarray(getattr(final, f)),
+            err_msg=f,
+        )
+
+
+def test_scripted_delivery_reward_and_queue_rule():
+    # Agent 0 carries requested shelf 0 one cell above the goal; FORWARD
+    # delivers: +1 (INDIVIDUAL), queue slot replaced by the lowest-index
+    # non-queued shelf (deterministic scripted-mode rule).
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = env.config
+    gx, gy = env.layout.goals[0]
+    single = make_state(
+        cfg, [(int(gx), int(gy) - 1, DOWN), (0, 0, UP)],
+        carrying=[0, -1], queue=[0, 1],
+    )
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (ENV_BLOCK,) + x.shape), single
+    )
+    states = states.replace(key=jax.random.split(jax.random.key(0), ENV_BLOCK))
+    actions = jnp.broadcast_to(
+        jnp.asarray([[1, 0]], dtype=jnp.int32), (1, ENV_BLOCK, 2)
+    )
+    roll = build_pallas_rollout(cfg, 1, scripted=True, interpret=True)
+    new_state, rew, epis = roll(states, 0, actions)
+    np.testing.assert_allclose(np.asarray(rew[0]), [1.0, 0.0])
+    # queue was [0, 1]; delivered 0 -> replaced by shelf 2 (lowest non-queued)
+    assert np.asarray(new_state.request_queue)[0].tolist() == [2, 1]
+    assert int(new_state.cur_inactive_steps[0]) == 0
+
+
+def test_scripted_autoreset_counts_episode():
+    cfg = rware_tpu.WarehouseConfig(n_agents=2, request_queue_size=2, max_steps=3)
+    env = rware_tpu.make(cfg)
+    states, _ = batched_reset(env, jax.random.key(0), ENV_BLOCK)
+    actions = jnp.zeros((7, ENV_BLOCK, 2), dtype=jnp.int32)
+    roll = build_pallas_rollout(cfg, 7, scripted=True, interpret=True)
+    new_state, rew, epis = roll(states, 0, actions)
+    # 7 NOOP steps with max_steps=3: episodes end at t=3 and t=6
+    assert np.asarray(epis).min() == 2
+    assert int(new_state.cur_steps[0]) == 1
+    # scripted respawn: agent i at cell i
+    assert int(new_state.agent_x[0][0]) == 0 and int(new_state.agent_y[0][0]) == 0
+
+
+def test_rejects_too_many_agents():
+    cfg = rware_tpu.WarehouseConfig(n_agents=9, request_queue_size=2)
+    with pytest.raises(NotImplementedError):
+        build_pallas_rollout(cfg, 4)
