@@ -7,8 +7,13 @@ single-process CPU throughput on the same config (BASELINE.md: ~2,330
 env-steps/s for rware-tiny-2ag).
 
 Protocol: B parallel envs stepped in lockstep with uniform-random actions and
-auto-reset, T steps fused into one compiled program via lax.scan, repeated R
-times with device synchronisation, best-of-R wall time.
+auto-reset, T steps per compiled program, repeated R times with full output
+materialisation + device synchronisation, best-of-R wall time.
+
+Default engine is the fused Pallas rollout kernel (one dispatch per env
+block, all state in VMEM); --xla uses the vmap+scan XLA path instead, and
+the benchmark falls back to it automatically for configs the kernel does
+not support (n_agents > 8).
 """
 import argparse
 import json
@@ -34,7 +39,7 @@ REF_TINY_2AG_STEPS_PER_SEC = 2330.0  # BASELINE.md, measured on this container
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="rware-tiny-2ag-v2")
-    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--batch", type=int, default=65536)
     p.add_argument("--steps", type=int, default=256, help="scan length per call")
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--obs", action="store_true", help="include obs in carry-out")
@@ -43,8 +48,8 @@ def main():
         help="lax.scan unroll factor (merges step programs, fewer dispatches)",
     )
     p.add_argument(
-        "--pallas", action="store_true",
-        help="use the fused Pallas rollout kernel (T steps per dispatch)",
+        "--xla", action="store_true",
+        help="use the vmap+scan XLA engine instead of the Pallas kernel",
     )
     args = p.parse_args()
 
@@ -59,21 +64,45 @@ def main():
     # benchmark (obs are still computed inside step; they just stay in
     # registers/VMEM instead of being written to a (T, B, ...) HBM buffer
     # unless --obs asks for the trajectory).
-    if args.pallas:
-        from rware_tpu.ops.pallas_rollout import build_pallas_rollout
+    # the compiled kernel needs real TPU hardware; CPU runs use the XLA path
+    on_cpu = jax.devices()[0].platform == "cpu"
+    use_pallas = not (args.xla or args.obs or on_cpu)
+    if use_pallas:
+        try:
+            from rware_tpu.ops.pallas_rollout import build_pallas_rollout
 
-        pallas_roll = build_pallas_rollout(env.config, T)
+            pallas_roll = build_pallas_rollout(env.config, T)
+        except NotImplementedError:
+            use_pallas = False
+    if use_pallas:
 
         def run(states, keys):
-            new_states, rew, epis = pallas_roll(states, 0)
-            return new_states, rew.sum()
+            # seed folded from the key batch so repeats use fresh streams
+            seed = jax.random.randint(keys[0], (), 0, 2**31 - 1)
+            new_states, rew, epis = pallas_roll(states, seed)
+            # reduce to one scalar DEPENDENT ON ALL OUTPUTS: fetching it
+            # host-side forces completion even on backends whose
+            # block_until_ready resolves at enqueue time
+            checksum = (
+                rew.sum()
+                + new_states.agent_x.sum()
+                + new_states.shelf_x.sum()
+                + new_states.cur_steps.sum()
+                + epis.sum()
+            )
+            return checksum
 
     elif args.obs:
         single = build_rollout_fn(env, n_steps=T)
 
         def run(states, keys):
             final, traj = jax.vmap(single)(states, keys)
-            return final, traj.rewards.sum()
+            return (
+                traj.rewards.sum()
+                + final.agent_x.sum()
+                + traj.obs.sum()
+                + final.cur_steps.sum()
+            )
 
     else:
         step_fn = env._step_fn
@@ -100,7 +129,12 @@ def main():
 
         def run(states, keys):
             final, rews = jax.vmap(one_env)(states, keys)
-            return final, rews.sum()
+            return (
+                rews.sum()
+                + final.agent_x.sum()
+                + final.shelf_x.sum()
+                + final.cur_steps.sum()
+            )
 
     run = jax.jit(run)
 
@@ -108,15 +142,21 @@ def main():
     states, _ = batched_reset(env, key, B)
     keys = jax.random.split(jax.random.key(1), B)
 
+    import numpy as np
+
+    def run_synced(states, keys):
+        # fetch the output-dependent scalar to host: completion proof
+        return float(np.asarray(run(states, keys)))
+
     # compile + warmup
-    final, rew = run(states, keys)
-    jax.block_until_ready(rew)
+    checksum = run_synced(states, keys)
 
     best = float("inf")
     for r in range(args.repeats):
+        keys = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, r))
+        jax.block_until_ready(keys)
         t0 = time.perf_counter()
-        final, rew = run(states, keys)
-        jax.block_until_ready(rew)
+        run_synced(states, keys)
         best = min(best, time.perf_counter() - t0)
 
     steps_per_sec = B * T / best
@@ -124,6 +164,7 @@ def main():
         json.dumps(
             {
                 "metric": f"env-steps/s ({args.env}, B={B}, T={T}, "
+                f"{'pallas' if use_pallas else 'xla'}, "
                 f"{jax.devices()[0].device_kind})",
                 "value": round(steps_per_sec, 1),
                 "unit": "env-steps/s",

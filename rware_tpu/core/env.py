@@ -99,6 +99,17 @@ class Warehouse:
 
     # -- conveniences ----------------------------------------------------------
 
+    @functools.cached_property
+    def global_image(self):
+        """``global_image(state) -> (C, H, W)`` jitted global layer stack
+        (functional counterpart of the adapter's get_global_image)."""
+        from rware_tpu.core.observations import build_global_layers_fn
+        from rware_tpu.types import DEFAULT_GLOBAL_IMAGE_LAYERS
+
+        return jax.jit(
+            build_global_layers_fn(self.config, DEFAULT_GLOBAL_IMAGE_LAYERS)
+        )
+
     @property
     def n_agents(self) -> int:
         return self.config.n_agents
