@@ -559,6 +559,10 @@ def build_pallas_rollout(
         raise NotImplementedError(
             "pallas rollout supports n_agents <= 8 (use the XLA engine)"
         )
+    if config.msg_bits:
+        raise NotImplementedError(
+            "pallas rollout does not model message bits (use the XLA engine)"
+        )
     st = _Static(
         n=N,
         s=S,

@@ -36,13 +36,22 @@ def xla_rollout(env, states, actions):
     return jax.jit(jax.vmap(one, in_axes=(0, 1)))(states, actions)
 
 
-@pytest.mark.parametrize("with_toggle", [False, True])
-def test_scripted_dynamics_match_xla(with_toggle):
-    env = rware_tpu.make("rware-tiny-2ag-v2")
+@pytest.mark.parametrize(
+    "env_id,with_toggle",
+    [
+        ("rware-tiny-2ag-v2", False),
+        ("rware-tiny-2ag-v2", True),
+        ("rware-small-4ag-v2", True),
+        ("rware-medium-6ag-hard-v2", True),
+    ],
+)
+def test_scripted_dynamics_match_xla(env_id, with_toggle):
+    env = rware_tpu.make(env_id)
+    n = env.n_agents
     B, T = ENV_BLOCK, 12
     states, _ = batched_reset(env, jax.random.key(0), B)
     rng = np.random.default_rng(1)
-    actions = jnp.asarray(rng.integers(0, 5, (T, B, 2)), dtype=jnp.int32)
+    actions = jnp.asarray(rng.integers(0, 5, (T, B, n)), dtype=jnp.int32)
     if not with_toggle:
         actions = jnp.where(actions == 4, 0, actions)
 
