@@ -9,7 +9,12 @@ import jax
 import jax.numpy as jnp
 
 import rware_tpu
-from tests.ref_utils import compare_to_ref, state_from_ref, sync_queue_from_ref
+from tests.ref_utils import (
+    compare_to_ref,
+    pinned_reference_tiebreak,
+    state_from_ref,
+    sync_queue_from_ref,
+)
 
 
 def run_differential(
@@ -33,7 +38,12 @@ def run_differential(
     import gymnasium as gym
     import rware  # noqa: F401  (registers reference env ids)
 
-    ref_env = gym.make(env_id, **(ref_kwargs or {})).unwrapped
+    try:
+        ref_env = gym.make(env_id, **(ref_kwargs or {})).unwrapped
+    except gym.error.NameNotFound:
+        # sensor-range / RxC / height ids need the reference's full grid
+        rware.full_registration()
+        ref_env = gym.make(env_id, **(ref_kwargs or {})).unwrapped
     ref_obs, _ = ref_env.reset(seed=seed)
 
     env = rware_tpu.make(env_id, **(overrides or {}))
@@ -47,7 +57,8 @@ def run_differential(
     p = [0.05, 0.55, 0.125, 0.125, 0.15] if biased else None
     for t in range(n_steps):
         acts = rng.choice(5, size=env.config.n_agents, p=p)
-        ref_obs, ref_rew, ref_done, ref_trunc, _ = ref_env.step(list(acts))
+        with pinned_reference_tiebreak(ref_env):
+            ref_obs, ref_rew, ref_done, ref_trunc, _ = ref_env.step(list(acts))
         res = step(state, jnp.asarray(acts, dtype=jnp.int32))
         if np.asarray(ref_rew).sum() > 0:
             deliveries += 1

@@ -13,10 +13,56 @@ reference after every step — queue resampling is the ONLY RNG consumer inside
 ``step`` (rware/warehouse.py:915-917), so syncing it removes all stream
 divergence while still exercising every deterministic code path.
 """
+import contextlib
+
 import numpy as np
 import jax.numpy as jnp
 
 from rware_tpu.core.state import WarehouseState
+
+
+@contextlib.contextmanager
+def pinned_reference_tiebreak(ref_env):
+    """Pin the reference's equal-chain tie-break to lowest-agent-index.
+
+    The reference resolves equal-length-chain contention by whatever order
+    ``nx.dag_longest_path`` sees predecessor edges in — which traces back to
+    Python SET iteration order inside ``weakly_connected_components`` /
+    ``subgraph().copy()``: a hash-table artifact of the cell tuples, not a
+    behavioural rule (SURVEY.md §2 #8, verified here by instrumentation).
+    The JAX engine uses the deterministic rule "deepest chain wins, ties to
+    the lowest agent index".  This context manager monkeypatches the
+    reference's longest-path call with a DP implementing that exact rule, so
+    lockstep comparisons are bit-exact; outside ties the DP returns the same
+    longest path networkx would.
+    """
+    import networkx as nx
+
+    env = ref_env.unwrapped if hasattr(ref_env, "unwrapped") else ref_env
+    orig = nx.algorithms.dag_longest_path
+
+    def lowest_index_longest_path(comp, *args, **kwargs):
+        agent_at = {(a.x, a.y): i for i, a in enumerate(env.agents)}
+        dist = {}
+        for v in nx.topological_sort(comp):
+            best = None
+            for u in comp.pred[v]:
+                cand = (dist[u][0] + 1, -agent_at.get(tuple(u), 10**9))
+                if best is None or cand > best[:2]:
+                    best = cand + (u,)
+            dist[v] = (best[0], best[2]) if best else (0, None)
+        v = max(dist, key=lambda n: dist[n][0])
+        path = [v]
+        while dist[v][1] is not None:
+            v = dist[v][1]
+            path.append(v)
+        return list(reversed(path))
+
+    nx.algorithms.dag_longest_path = lowest_index_longest_path
+    try:
+        yield
+    finally:
+        nx.algorithms.dag_longest_path = orig
 
 
 def state_from_ref(ref_env, config, key) -> WarehouseState:

@@ -25,6 +25,10 @@ pytestmark = pytest.mark.skipif(
         ("rware-small-4ag-v2", 80),
         ("rware-medium-6ag-hard-v2", 50),
         ("rware-large-8ag-easy-v2", 40),
+        # high agent density exercises resolver contention ties
+        ("rware-tiny-6ag-v2", 120),
+        ("rware-tiny-10ag-v2", 80),
+        ("rware-small-8ag-v2", 80),
     ],
 )
 def test_random_rollout_parity(env_id, steps):
@@ -49,6 +53,7 @@ def test_forced_delivery_parity_all_reward_types():
     from rware_tpu.types import RewardType
     from tests.ref_utils import (
         compare_to_ref,
+        pinned_reference_tiebreak,
         state_from_ref,
         sync_queue_from_ref,
     )
@@ -99,7 +104,8 @@ def test_forced_delivery_parity_all_reward_types():
                 )
                 act = 4 if want is None else (1 if a0.dir == want else 2)
             acts = [act, 0]
-            obs_ref, rew_ref, *_ = ref.step(acts)
+            with pinned_reference_tiebreak(ref):
+                obs_ref, rew_ref, *_ = ref.step(acts)
             res = env.step(state, jnp.asarray(acts, dtype=jnp.int32))
             errs += [f"t={t}: {e}" for e in compare_to_ref(res.state, ref)]
             if not np.allclose(np.asarray(res.rewards), np.asarray(rew_ref)):
@@ -125,6 +131,7 @@ def test_observation_variant_parity(obs_kind):
     from rware_tpu.types import ObservationType
     from tests.ref_utils import (
         compare_to_ref,
+        pinned_reference_tiebreak,
         state_from_ref,
         sync_queue_from_ref,
     )
@@ -172,7 +179,8 @@ def test_observation_variant_parity(obs_kind):
         else:
             acts = rng.integers(0, 5, n)
             ref_acts = list(acts)
-        obs_ref, *_ = ref.step(ref_acts)
+        with pinned_reference_tiebreak(ref):
+            obs_ref, *_ = ref.step(ref_acts)
         res = env.step(state, jnp.asarray(acts, dtype=jnp.int32))
         errs += [f"t={t}: {e}" for e in compare_to_ref(res.state, ref)]
         state = sync_queue_from_ref(res.state, ref)

@@ -111,3 +111,37 @@ def test_rejects_too_many_agents():
     cfg = rware_tpu.WarehouseConfig(n_agents=9, request_queue_size=2)
     with pytest.raises(NotImplementedError):
         build_pallas_rollout(cfg, 4)
+    with pytest.raises(NotImplementedError):
+        build_pallas_rollout(
+            rware_tpu.WarehouseConfig(msg_bits=1, request_queue_size=2), 4
+        )
+
+
+def test_shard_map_over_mesh_matches_single_device():
+    # the multi-chip deployment shape: kernel dispatched per mesh shard
+    from jax.sharding import PartitionSpec as P
+
+    from rware_tpu.parallel import make_mesh
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    B, T = ENV_BLOCK * 8, 4
+    states, _ = batched_reset(env, jax.random.key(0), B)
+    rng = np.random.default_rng(0)
+    actions = jnp.asarray(rng.integers(0, 4, (T, B, 2)), dtype=jnp.int32)
+
+    roll = build_pallas_rollout(env.config, T, scripted=True, interpret=True)
+    mesh = make_mesh()
+    state_spec = jax.tree.map(lambda _: P("env"), states)
+    smapped = jax.shard_map(
+        lambda s, a: roll(s, 0, a),
+        mesh=mesh,
+        in_specs=(state_spec, P(None, "env", None)),
+        out_specs=(state_spec, P("env"), P("env")),
+        check_vma=False,
+    )
+    ns_sh, rew_sh, _ = jax.jit(smapped)(states, actions)
+    ns, rew, _ = roll(states, 0, actions)
+    np.testing.assert_array_equal(
+        np.asarray(ns_sh.agent_x), np.asarray(ns.agent_x)
+    )
+    np.testing.assert_array_equal(np.asarray(rew_sh), np.asarray(rew))
