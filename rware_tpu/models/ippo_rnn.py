@@ -1,0 +1,217 @@
+"""Recurrent IPPO: GRU policies over partial observations.
+
+RWARE is partially observable (3x3 sensor windows), so the standard strong
+baselines use recurrent policies.  Same fused design as the MLP learner
+(models/ippo.py): rollout + GAE + update in one jitted program.  The GRU
+carry lives in the runner next to the env states; episode boundaries reset
+it on device.  PPO epochs shuffle ENV indices (sequences stay intact) and
+re-run the GRU over the stored trajectory from the stored initial carry —
+sequence-parallel over the minibatch, time-sequential in a lax.scan, which
+is the TPU-friendly layout (hidden-state matmuls batch over B*N on the MXU).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rware_tpu.core.env import Warehouse
+from rware_tpu.models.ippo import IPPOConfig, make_optimizer
+from rware_tpu.models.networks import RecurrentActorCritic, sample_action
+
+
+class RNNRunnerState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    env_states: Any  # (B, ...)
+    obs: jax.Array  # (B, N, L)
+    carry: jax.Array  # (B, N, H) GRU hidden
+    key: jax.Array
+    update_idx: jax.Array
+
+
+class RNNTransition(NamedTuple):
+    obs: jax.Array  # (B, N, L)
+    carry_in: jax.Array  # (B, N, H) hidden BEFORE this step
+    action: jax.Array
+    logp: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    done: jax.Array  # (B,)
+
+
+def init_rnn_runner(
+    env: Warehouse,
+    cfg: IPPOConfig,
+    key: jax.Array,
+    model: Optional[RecurrentActorCritic] = None,
+) -> Tuple[RNNRunnerState, RecurrentActorCritic, optax.GradientTransformation]:
+    if model is None:
+        model = RecurrentActorCritic(n_actions=env.n_actions)
+    k_param, k_env, k_run = jax.random.split(key, 3)
+    obs_dim = env.config.flattened_obs_length
+    carry0 = model.initialize_carry((1, env.n_agents))
+    params = model.init(
+        k_param, carry0, jnp.zeros((1, env.n_agents, obs_dim))
+    )
+    tx = make_optimizer(cfg)
+    env_states = jax.vmap(env._reset_fn)(jax.random.split(k_env, cfg.n_envs))
+    obs = jax.vmap(env._obs_fn)(env_states)
+    runner = RNNRunnerState(
+        params=params,
+        opt_state=tx.init(params),
+        env_states=env_states,
+        obs=obs,
+        carry=model.initialize_carry((cfg.n_envs, env.n_agents)),
+        key=k_run,
+        update_idx=jnp.zeros((), jnp.int32),
+    )
+    return runner, model, tx
+
+
+def build_rnn_train_step(
+    env: Warehouse,
+    model: RecurrentActorCritic,
+    tx: optax.GradientTransformation,
+    cfg: IPPOConfig,
+) -> Callable[[RNNRunnerState], Tuple[RNNRunnerState, dict]]:
+    step_fn = jax.vmap(env._step_fn)
+    reset_fn = env._reset_fn
+    obs_fn = env._obs_fn
+
+    def collect(carry_state, key):
+        params, env_states, obs, carry = carry_state
+        k_act, _ = jax.random.split(key)
+        new_carry, (logits, value) = model.apply(params, carry, obs)
+        action, logp = sample_action(k_act, logits)
+        res = step_fn(env_states, action)
+
+        def autoreset(state, done):
+            rk, ck = jax.random.split(state.key)
+            fresh = reset_fn(rk).replace(key=ck)
+            return jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, state)
+
+        next_states = jax.vmap(autoreset)(res.state, res.done)
+        next_obs = jax.vmap(obs_fn)(next_states)
+        # reset hidden at episode boundaries
+        next_carry = jnp.where(
+            res.done[:, None, None], jnp.zeros_like(new_carry), new_carry
+        )
+        t = RNNTransition(obs, carry, action, logp, value, res.rewards, res.done)
+        return (params, next_states, next_obs, next_carry), t
+
+    def gae(traj: RNNTransition, last_value):
+        def body(carry, t):
+            g, next_v = carry
+            nd = 1.0 - t.done.astype(jnp.float32)[:, None]
+            delta = t.reward + cfg.gamma * next_v * nd - t.value
+            g = delta + cfg.gamma * cfg.gae_lambda * nd * g
+            return (g, t.value), g
+
+        (_, _), adv = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value), traj, reverse=True
+        )
+        return adv, adv + traj.value
+
+    def loss_fn(params, batch):
+        # batch: trajectory slices for a minibatch of envs, (T, M, N, ...)
+        traj, adv, target = batch
+        init_carry = traj.carry_in[0]  # (M, N, H) hidden at rollout start
+
+        def replay(carry, xs):
+            obs, done = xs
+            new_carry, (logits, value) = model.apply(params, carry, obs)
+            new_carry = jnp.where(
+                done[:, None, None], jnp.zeros_like(new_carry), new_carry
+            )
+            return new_carry, (logits, value)
+
+        _, (logits, value) = jax.lax.scan(
+            replay, init_carry, (traj.obs, traj.done)
+        )
+        logp_all = jax.nn.log_softmax(logits)
+        logp = jnp.take_along_axis(
+            logp_all, traj.action[..., None], -1
+        ).squeeze(-1)
+        ratio = jnp.exp(logp - traj.logp)
+        adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv_norm
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_clipped = traj.value + jnp.clip(
+            value - traj.value, -cfg.clip_eps, cfg.clip_eps
+        )
+        v_loss = 0.5 * jnp.maximum(
+            (value - target) ** 2, (v_clipped - target) ** 2
+        ).mean()
+        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        return total, {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
+        }
+
+    def train_step(runner: RNNRunnerState) -> Tuple[RNNRunnerState, dict]:
+        key, k_roll, k_perm = jax.random.split(runner.key, 3)
+        roll_keys = jax.random.split(k_roll, cfg.rollout_len)
+        (params, env_states, obs, carry), traj = jax.lax.scan(
+            collect,
+            (runner.params, runner.env_states, runner.obs, runner.carry),
+            roll_keys,
+        )
+        _, (_, last_value) = model.apply(params, carry, obs)
+        advantages, targets = gae(traj, last_value)
+
+        mb_envs = cfg.n_envs // cfg.minibatches
+
+        def epoch(carry_es, key):
+            params, opt_state = carry_es
+            perm = jax.random.permutation(key, cfg.n_envs)
+
+            def minibatch(carry_es, idx):
+                params, opt_state = carry_es
+                batch = jax.tree.map(
+                    lambda x: jnp.take(x, idx, axis=1),
+                    (traj, advantages, targets),
+                )
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            idxs = perm[: mb_envs * cfg.minibatches].reshape(
+                cfg.minibatches, mb_envs
+            )
+            return jax.lax.scan(minibatch, (params, opt_state), idxs)
+
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch,
+            (runner.params, runner.opt_state),
+            jax.random.split(k_perm, cfg.epochs),
+        )
+        out_metrics = {
+            "reward_per_env": traj.reward.sum() / cfg.n_envs,
+            "episodes_done": traj.done.sum(),
+            **jax.tree.map(lambda x: x.mean(), metrics),
+        }
+        return (
+            RNNRunnerState(
+                params=params,
+                opt_state=opt_state,
+                env_states=env_states,
+                obs=obs,
+                carry=carry,
+                key=key,
+                update_idx=runner.update_idx + 1,
+            ),
+            out_metrics,
+        )
+
+    return train_step

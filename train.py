@@ -22,6 +22,10 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--env", default="rware-tiny-2ag-v2")
     p.add_argument("--algo", choices=["ippo", "seac"], default="ippo")
+    p.add_argument(
+        "--net", choices=["mlp", "gru"], default="mlp",
+        help="policy network (gru = recurrent IPPO; ippo only)",
+    )
     p.add_argument("--updates", type=int, default=100)
     p.add_argument("--n-envs", type=int, default=256)
     p.add_argument("--rollout-len", type=int, default=None)
@@ -58,7 +62,23 @@ def main():
     )
 
     key = jax.random.key(args.seed)
-    if args.algo == "ippo":
+    if args.algo == "ippo" and args.net == "gru":
+        from rware_tpu.models import IPPOConfig
+        from rware_tpu.models.ippo_rnn import (
+            build_rnn_train_step,
+            init_rnn_runner,
+        )
+
+        cfg = IPPOConfig(
+            n_envs=args.n_envs,
+            rollout_len=args.rollout_len or 128,
+            lr=args.lr,
+            ent_coef=args.ent_coef,
+        )
+        runner, model, tx = init_rnn_runner(env, cfg, key)
+        train_step = jax.jit(build_rnn_train_step(env, model, tx, cfg))
+        env_steps_per_update = cfg.n_envs * cfg.rollout_len
+    elif args.algo == "ippo":
         from rware_tpu.models import IPPOConfig, build_train_step, init_runner
 
         cfg = IPPOConfig(
