@@ -106,6 +106,356 @@ def _draw_distinct(n_draws, m, shape):
     return chosen
 
 
+def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
+    """One warehouse transition on env-tiled vectors (shared by the random,
+    scripted and collect kernels).
+
+    ``state`` = (ax, ay, ad, carrying, hd, sx, sy, q, inact, steps) where the
+    agent fields are N-lists of (SUB, LANE) int32, ``hd`` an N-list of bool,
+    shelf/queue stacked (S/R, SUB, LANE).  Returns
+    ``(new_state, rewards, done)`` with rewards an N-list of f32 tiles.
+    """
+    N, S, R, H, W = st.n, st.s, st.r, st.h, st.w
+    HW = H * W
+    ax, ay, ad, carrying, hd, sx, sy, q, inact, steps = state
+    acts = list(acts)
+
+    # ---- target cells (edge-clamped) ------------------------------
+    tx, ty = [], []
+    for i in range(N):
+        fwd = acts[i] == Action.FORWARD
+        dx = _sel4(ad[i], _DX)
+        dy = _sel4(ad[i], _DY)
+        tx.append(
+            jnp.clip(ax[i] + jnp.where(fwd, dx, 0), 0, W - 1)
+        )
+        ty.append(
+            jnp.clip(ay[i] + jnp.where(fwd, dy, 0), 0, H - 1)
+        )
+
+    # ---- pre-cancel: loaded agent into a standing shelf -----------
+    for i in range(N) if st.debug_level < 3 else []:
+        shelf_at_t = jnp.any(
+            (sx == tx[i]) & (sy == ty[i]), axis=0
+        )
+        tgt_loaded = jnp.zeros_like(shelf_at_t)
+        for j in range(N):
+            tgt_loaded |= (
+                (tx[i] == ax[j]) & (ty[i] == ay[j]) & (carrying[j] >= 0)
+            )
+        moving = (tx[i] != ax[i]) | (ty[i] != ay[i])
+        cancel = (carrying[i] >= 0) & moving & shelf_at_t & ~tgt_loaded
+        acts[i] = jnp.where(cancel, Action.NOOP, acts[i])
+        tx[i] = jnp.where(cancel, ax[i], tx[i])
+        ty[i] = jnp.where(cancel, ay[i], ty[i])
+
+    # ---- resolver (same rules as ops/resolver.py) -----------------
+    if st.debug_level >= 5:
+        committed = [acts[i] == Action.FORWARD for i in range(N)]
+    match = [
+        [
+            (tx[i] == ax[j]) & (ty[i] == ay[j])
+            for j in range(N)
+        ]
+        for i in range(N)
+    ]
+    has_next, nxt = [], []
+    for i in range(N):
+        hn = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+        nx = jnp.zeros((SUB, LANE), dtype=jnp.int32)
+        for j in range(N):
+            hn |= match[i][j]
+            nx = jnp.where(match[i][j], j, nx)
+        has_next.append(hn)
+        nxt.append(nx)
+
+    # cycle membership: walk successor pointers N steps
+    on_cycle = [jnp.zeros((SUB, LANE), dtype=jnp.bool_) for _ in range(N)]
+    cur = list(nxt)
+    valid = list(has_next)
+    for _ in range(N):
+        for i in range(N):
+            on_cycle[i] |= valid[i] & (cur[i] == i)
+        new_cur, new_valid = [], []
+        for i in range(N):
+            nv = jnp.zeros((SUB, LANE), dtype=jnp.int32)
+            va = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+            for j in range(N):
+                here = cur[i] == j
+                nv = jnp.where(here, nxt[j], nv)
+                va |= here & has_next[j]
+            new_cur.append(nv)
+            new_valid.append(valid[i] & va)
+        cur, valid = new_cur, new_valid
+
+    # head-on swaps
+    two_cycle = []
+    for i in range(N):
+        tc = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+        for j in range(N):
+            if i == j:
+                continue
+            tc |= match[i][j] & match[j][i]
+        two_cycle.append(tc)
+
+    # weak-component closure over the N x N adjacency
+    shared = [
+        [
+            (tx[i] == tx[j]) & (ty[i] == ty[j])
+            for j in range(N)
+        ]
+        for i in range(N)
+    ]
+    adj = [
+        [
+            shared[i][j] | match[i][j] | match[j][i]
+            if i != j
+            else jnp.ones((SUB, LANE), dtype=jnp.bool_)
+            for j in range(N)
+        ]
+        for i in range(N)
+    ]
+    for _ in range(max(1, (N - 1).bit_length())):
+        adj = [
+            [
+                functools.reduce(
+                    jnp.logical_or,
+                    [adj[i][k] & adj[k][j] for k in range(N)],
+                )
+                for j in range(N)
+            ]
+            for i in range(N)
+        ]
+    comp_poison = [
+        functools.reduce(
+            jnp.logical_or, [adj[i][j] & two_cycle[j] for j in range(N)]
+        )
+        for i in range(N)
+    ]
+    comp_cycle = [
+        functools.reduce(
+            jnp.logical_or, [adj[i][j] & on_cycle[j] for j in range(N)]
+        )
+        for i in range(N)
+    ]
+
+    # longest-chain priority with lowest-index tie-break
+    depth = [jnp.ones((SUB, LANE), dtype=jnp.int32) for _ in range(N)]
+    for _ in range(N):
+        depth = [
+            1
+            + functools.reduce(
+                jnp.maximum,
+                [
+                    jnp.where(match[j][i], depth[j], 0)
+                    for j in range(N)
+                ],
+            )
+            for i in range(N)
+        ]
+    chosen = []
+    for i in range(N):
+        ok = jnp.ones((SUB, LANE), dtype=jnp.bool_)
+        for j in range(N):
+            if i == j:
+                continue
+            beats = (depth[j] < depth[i]) | (
+                (depth[j] == depth[i]) & (j >= i)
+            )
+            ok &= ~shared[i][j] | beats
+        chosen.append(ok)
+    cc = [chosen[i] & ~has_next[i] for i in range(N)]
+    for _ in range(N):
+        cc_new = []
+        for i in range(N):
+            follow = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+            for j in range(N):
+                follow |= (nxt[i] == j) & cc[j]
+            cc_new.append(
+                chosen[i] & (follow | ~has_next[i])
+            )
+        cc = cc_new
+    if st.debug_level < 5:
+        committed = [
+            (on_cycle[i] & ~comp_poison[i]) | (cc[i] & ~comp_cycle[i])
+            for i in range(N)
+        ]
+    acts = [
+        jnp.where(committed[i], acts[i], Action.NOOP) for i in range(N)
+    ]
+
+    # ---- execute movement / rotation ------------------------------
+    # toggle-load below must see PRE-move shelf positions (the
+    # reference reads a stale grid, warehouse.py:889-892)
+    pre_sx, pre_sy = sx, sy
+    new_ax, new_ay, new_ad = [], [], []
+    for i in range(N):
+        moved = committed[i] & (acts[i] == Action.FORWARD)
+        new_ax.append(jnp.where(moved, tx[i], ax[i]))
+        new_ay.append(jnp.where(moved, ty[i], ay[i]))
+        rot_l = _sel4(ad[i], _ROT_LEFT)
+        rot_r = _sel4(ad[i], _ROT_RIGHT)
+        new_ad.append(
+            jnp.where(
+                acts[i] == Action.LEFT,
+                rot_l,
+                jnp.where(acts[i] == Action.RIGHT, rot_r, ad[i]),
+            )
+        )
+        # carried shelf rides along
+        mask = (shelf_rows == carrying[i]) & moved
+        sx = jnp.where(mask, new_ax[i], sx)
+        sy = jnp.where(mask, new_ay[i], sy)
+
+    # ---- toggle load ----------------------------------------------
+    rewards = [jnp.zeros((SUB, LANE), dtype=jnp.float32) for _ in range(N)]
+    new_carrying, new_hd = [], []
+    if st.debug_level >= 3:
+        new_carrying = list(carrying)
+        new_hd = list(hd)
+    for i in range(N) if st.debug_level < 3 else []:
+        toggling = acts[i] == Action.TOGGLE_LOAD
+        under = (pre_sx == new_ax[i]) & (pre_sy == new_ay[i])
+        has_under = jnp.any(under, axis=0)
+        shelf_under = jnp.max(
+            jnp.where(under, shelf_rows, -1), axis=0
+        )
+        pickup = toggling & (carrying[i] < 0) & has_under
+        # on_highway = not a rack slot
+        on_rack = jnp.any(
+            (slots_x == new_ax[i]) & (slots_y == new_ay[i]), axis=0
+        )
+        drop = toggling & (carrying[i] >= 0) & on_rack
+        if st.reward_type == RewardType.TWO_STAGE:
+            rewards[i] += jnp.where(drop & hd[i], 0.5, 0.0)
+        new_carrying.append(
+            jnp.where(pickup, shelf_under, jnp.where(drop, -1, carrying[i]))
+        )
+        new_hd.append(hd[i] & ~drop)
+
+    # ---- deliveries, queue resample, rewards ----------------------
+    any_delivered = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+    if R and st.debug_level < 2:
+        for gx, gy in goals:
+            at_goal = (sx == gx) & (sy == gy)
+            has_shelf = jnp.any(at_goal, axis=0)
+            sid = jnp.max(
+                jnp.where(at_goal, shelf_rows, -1), axis=0
+            )
+            in_q_slot = q == sid  # (R, E)
+            delivered = has_shelf & jnp.any(
+                in_q_slot, axis=0
+            )
+            # in-queue mask over shelves
+            in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
+            for r_i in range(R):
+                in_queue |= shelf_rows == q[r_i]
+            if st.scripted:
+                # deterministic: lowest-index non-queued shelf
+                repl = jnp.min(
+                    jnp.where(~in_queue, shelf_rows, S),
+                    axis=0,
+                    keepdims=True,
+                )
+            else:
+                count = jnp.sum(
+                    (~in_queue).astype(jnp.int32), axis=0
+                )
+                k = (
+                    _u32((SUB, LANE))
+                    % jnp.maximum(count, 1).astype(jnp.uint32)
+                ).astype(jnp.int32)
+                acc = jnp.zeros((SUB, LANE), dtype=jnp.int32)
+                repl = jnp.zeros((SUB, LANE), dtype=jnp.int32)
+                for s_i in range(S):
+                    avail = ~in_queue[s_i]
+                    hit = avail & (acc == k)
+                    repl = jnp.where(hit, s_i, repl)
+                    acc += avail.astype(jnp.int32)
+            q = jnp.where(delivered & in_q_slot, repl, q)
+
+            # reward by type (INDIVIDUAL/TWO_STAGE credit the agent
+            # on the goal; none -> last agent, the reference's
+            # rewards[-1] wraparound, warehouse.py:921-927)
+            if st.reward_type == RewardType.GLOBAL:
+                for i in range(N):
+                    rewards[i] += jnp.where(delivered, 1.0, 0.0)
+            else:
+                on_goal = [
+                    (new_ax[i] == gx) & (new_ay[i] == gy)
+                    for i in range(N)
+                ]
+                none_on = ~functools.reduce(jnp.logical_or, on_goal)
+                amount = (
+                    0.5
+                    if st.reward_type == RewardType.TWO_STAGE
+                    else 1.0
+                )
+                for i in range(N):
+                    credit = on_goal[i] | (none_on & (i == N - 1))
+                    rewards[i] += jnp.where(
+                        delivered & credit, amount, 0.0
+                    )
+                    if st.reward_type == RewardType.TWO_STAGE:
+                        new_hd[i] = new_hd[i] | (
+                            delivered & credit
+                        )
+            any_delivered |= delivered
+
+    # ---- termination & autoreset ----------------------------------
+    inact = jnp.where(any_delivered, 0, inact + 1)
+    steps = steps + 1
+    done = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+    if st.max_inactivity:
+        done |= inact >= st.max_inactivity
+    if st.max_steps:
+        done |= steps >= st.max_steps
+
+    if st.debug_level >= 1:
+        pass
+    elif st.scripted:
+        spawn_cells = [
+            jnp.full((SUB, LANE), i, dtype=jnp.int32) for i in range(N)
+        ]
+        spawn_dirs = [
+            jnp.zeros((SUB, LANE), dtype=jnp.int32) for _ in range(N)
+        ]
+        fresh_q = (
+            [
+                jnp.full((SUB, LANE), r_i, dtype=jnp.int32)
+                for r_i in range(R)
+            ]
+            if R
+            else []
+        )
+    else:
+        spawn_cells = _draw_distinct(N, HW, (SUB, LANE))
+        spawn_dirs = [_rand_mod((SUB, LANE), 4) for _ in range(N)]
+        fresh_q = _draw_distinct(R, S, (SUB, LANE)) if R else []
+
+    for i in range(N) if st.debug_level < 1 else []:
+        new_ax[i] = jnp.where(done, spawn_cells[i] % W, new_ax[i])
+        new_ay[i] = jnp.where(done, spawn_cells[i] // W, new_ay[i])
+        new_ad[i] = jnp.where(done, spawn_dirs[i], new_ad[i])
+        new_carrying[i] = jnp.where(done, -1, new_carrying[i])
+        new_hd[i] = new_hd[i] & ~done
+    if st.debug_level < 1:
+        sx = jnp.where(done, slots_x, sx)
+        sy = jnp.where(done, slots_y, sy)
+    if R and st.debug_level < 1:
+        q = jnp.where(done, jnp.stack(fresh_q, axis=0), q)
+    if st.debug_level < 1:
+        inact = jnp.where(done, 0, inact)
+        steps = jnp.where(done, 0, steps)
+
+
+    new_state = (
+        new_ax, new_ay, new_ad, new_carrying, new_hd,
+        sx, sy, q, inact, steps,
+    )
+    return new_state, rewards, done
+
+
 @dataclasses.dataclass(frozen=True)
 class _Static:
     n: int
@@ -166,334 +516,14 @@ def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
                 bits = _rand_mod((N, SUB, LANE), 5)
                 acts = [bits[i] for i in range(N)]
 
-            # ---- target cells (edge-clamped) ------------------------------
-            tx, ty = [], []
-            for i in range(N):
-                fwd = acts[i] == Action.FORWARD
-                dx = _sel4(ad[i], _DX)
-                dy = _sel4(ad[i], _DY)
-                tx.append(
-                    jnp.clip(ax[i] + jnp.where(fwd, dx, 0), 0, W - 1)
-                )
-                ty.append(
-                    jnp.clip(ay[i] + jnp.where(fwd, dy, 0), 0, H - 1)
-                )
-
-            # ---- pre-cancel: loaded agent into a standing shelf -----------
-            for i in range(N) if st.debug_level < 3 else []:
-                shelf_at_t = jnp.any(
-                    (sx == tx[i]) & (sy == ty[i]), axis=0
-                )
-                tgt_loaded = jnp.zeros_like(shelf_at_t)
-                for j in range(N):
-                    tgt_loaded |= (
-                        (tx[i] == ax[j]) & (ty[i] == ay[j]) & (carrying[j] >= 0)
-                    )
-                moving = (tx[i] != ax[i]) | (ty[i] != ay[i])
-                cancel = (carrying[i] >= 0) & moving & shelf_at_t & ~tgt_loaded
-                acts[i] = jnp.where(cancel, Action.NOOP, acts[i])
-                tx[i] = jnp.where(cancel, ax[i], tx[i])
-                ty[i] = jnp.where(cancel, ay[i], ty[i])
-
-            # ---- resolver (same rules as ops/resolver.py) -----------------
-            if st.debug_level >= 5:
-                committed = [acts[i] == Action.FORWARD for i in range(N)]
-            match = [
-                [
-                    (tx[i] == ax[j]) & (ty[i] == ay[j])
-                    for j in range(N)
-                ]
-                for i in range(N)
-            ]
-            has_next, nxt = [], []
-            for i in range(N):
-                hn = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-                nx = jnp.zeros((SUB, LANE), dtype=jnp.int32)
-                for j in range(N):
-                    hn |= match[i][j]
-                    nx = jnp.where(match[i][j], j, nx)
-                has_next.append(hn)
-                nxt.append(nx)
-
-            # cycle membership: walk successor pointers N steps
-            on_cycle = [jnp.zeros((SUB, LANE), dtype=jnp.bool_) for _ in range(N)]
-            cur = list(nxt)
-            valid = list(has_next)
-            for _ in range(N):
-                for i in range(N):
-                    on_cycle[i] |= valid[i] & (cur[i] == i)
-                new_cur, new_valid = [], []
-                for i in range(N):
-                    nv = jnp.zeros((SUB, LANE), dtype=jnp.int32)
-                    va = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-                    for j in range(N):
-                        here = cur[i] == j
-                        nv = jnp.where(here, nxt[j], nv)
-                        va |= here & has_next[j]
-                    new_cur.append(nv)
-                    new_valid.append(valid[i] & va)
-                cur, valid = new_cur, new_valid
-
-            # head-on swaps
-            two_cycle = []
-            for i in range(N):
-                tc = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-                for j in range(N):
-                    if i == j:
-                        continue
-                    tc |= match[i][j] & match[j][i]
-                two_cycle.append(tc)
-
-            # weak-component closure over the N x N adjacency
-            shared = [
-                [
-                    (tx[i] == tx[j]) & (ty[i] == ty[j])
-                    for j in range(N)
-                ]
-                for i in range(N)
-            ]
-            adj = [
-                [
-                    shared[i][j] | match[i][j] | match[j][i]
-                    if i != j
-                    else jnp.ones((SUB, LANE), dtype=jnp.bool_)
-                    for j in range(N)
-                ]
-                for i in range(N)
-            ]
-            for _ in range(max(1, (N - 1).bit_length())):
-                adj = [
-                    [
-                        functools.reduce(
-                            jnp.logical_or,
-                            [adj[i][k] & adj[k][j] for k in range(N)],
-                        )
-                        for j in range(N)
-                    ]
-                    for i in range(N)
-                ]
-            comp_poison = [
-                functools.reduce(
-                    jnp.logical_or, [adj[i][j] & two_cycle[j] for j in range(N)]
-                )
-                for i in range(N)
-            ]
-            comp_cycle = [
-                functools.reduce(
-                    jnp.logical_or, [adj[i][j] & on_cycle[j] for j in range(N)]
-                )
-                for i in range(N)
-            ]
-
-            # longest-chain priority with lowest-index tie-break
-            depth = [jnp.ones((SUB, LANE), dtype=jnp.int32) for _ in range(N)]
-            for _ in range(N):
-                depth = [
-                    1
-                    + functools.reduce(
-                        jnp.maximum,
-                        [
-                            jnp.where(match[j][i], depth[j], 0)
-                            for j in range(N)
-                        ],
-                    )
-                    for i in range(N)
-                ]
-            chosen = []
-            for i in range(N):
-                ok = jnp.ones((SUB, LANE), dtype=jnp.bool_)
-                for j in range(N):
-                    if i == j:
-                        continue
-                    beats = (depth[j] < depth[i]) | (
-                        (depth[j] == depth[i]) & (j >= i)
-                    )
-                    ok &= ~shared[i][j] | beats
-                chosen.append(ok)
-            cc = [chosen[i] & ~has_next[i] for i in range(N)]
-            for _ in range(N):
-                cc_new = []
-                for i in range(N):
-                    follow = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-                    for j in range(N):
-                        follow |= (nxt[i] == j) & cc[j]
-                    cc_new.append(
-                        chosen[i] & (follow | ~has_next[i])
-                    )
-                cc = cc_new
-            if st.debug_level < 5:
-                committed = [
-                    (on_cycle[i] & ~comp_poison[i]) | (cc[i] & ~comp_cycle[i])
-                    for i in range(N)
-                ]
-            acts = [
-                jnp.where(committed[i], acts[i], Action.NOOP) for i in range(N)
-            ]
-
-            # ---- execute movement / rotation ------------------------------
-            # toggle-load below must see PRE-move shelf positions (the
-            # reference reads a stale grid, warehouse.py:889-892)
-            pre_sx, pre_sy = sx, sy
-            new_ax, new_ay, new_ad = [], [], []
-            for i in range(N):
-                moved = committed[i] & (acts[i] == Action.FORWARD)
-                new_ax.append(jnp.where(moved, tx[i], ax[i]))
-                new_ay.append(jnp.where(moved, ty[i], ay[i]))
-                rot_l = _sel4(ad[i], _ROT_LEFT)
-                rot_r = _sel4(ad[i], _ROT_RIGHT)
-                new_ad.append(
-                    jnp.where(
-                        acts[i] == Action.LEFT,
-                        rot_l,
-                        jnp.where(acts[i] == Action.RIGHT, rot_r, ad[i]),
-                    )
-                )
-                # carried shelf rides along
-                mask = (shelf_rows == carrying[i]) & moved
-                sx = jnp.where(mask, new_ax[i], sx)
-                sy = jnp.where(mask, new_ay[i], sy)
-
-            # ---- toggle load ----------------------------------------------
-            rewards = [jnp.zeros((SUB, LANE), dtype=jnp.float32) for _ in range(N)]
-            new_carrying, new_hd = [], []
-            if st.debug_level >= 3:
-                new_carrying = list(carrying)
-                new_hd = list(hd)
-            for i in range(N) if st.debug_level < 3 else []:
-                toggling = acts[i] == Action.TOGGLE_LOAD
-                under = (pre_sx == new_ax[i]) & (pre_sy == new_ay[i])
-                has_under = jnp.any(under, axis=0)
-                shelf_under = jnp.max(
-                    jnp.where(under, shelf_rows, -1), axis=0
-                )
-                pickup = toggling & (carrying[i] < 0) & has_under
-                # on_highway = not a rack slot
-                on_rack = jnp.any(
-                    (slots_x == new_ax[i]) & (slots_y == new_ay[i]), axis=0
-                )
-                drop = toggling & (carrying[i] >= 0) & on_rack
-                if st.reward_type == RewardType.TWO_STAGE:
-                    rewards[i] += jnp.where(drop & hd[i], 0.5, 0.0)
-                new_carrying.append(
-                    jnp.where(pickup, shelf_under, jnp.where(drop, -1, carrying[i]))
-                )
-                new_hd.append(hd[i] & ~drop)
-
-            # ---- deliveries, queue resample, rewards ----------------------
-            any_delivered = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-            if R and st.debug_level < 2:
-                for gx, gy in goals:
-                    at_goal = (sx == gx) & (sy == gy)
-                    has_shelf = jnp.any(at_goal, axis=0)
-                    sid = jnp.max(
-                        jnp.where(at_goal, shelf_rows, -1), axis=0
-                    )
-                    in_q_slot = q == sid  # (R, E)
-                    delivered = has_shelf & jnp.any(
-                        in_q_slot, axis=0
-                    )
-                    # in-queue mask over shelves
-                    in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
-                    for r_i in range(R):
-                        in_queue |= shelf_rows == q[r_i]
-                    if st.scripted:
-                        # deterministic: lowest-index non-queued shelf
-                        repl = jnp.min(
-                            jnp.where(~in_queue, shelf_rows, S),
-                            axis=0,
-                            keepdims=True,
-                        )
-                    else:
-                        count = jnp.sum(
-                            (~in_queue).astype(jnp.int32), axis=0
-                        )
-                        k = (
-                            _u32((SUB, LANE))
-                            % jnp.maximum(count, 1).astype(jnp.uint32)
-                        ).astype(jnp.int32)
-                        acc = jnp.zeros((SUB, LANE), dtype=jnp.int32)
-                        repl = jnp.zeros((SUB, LANE), dtype=jnp.int32)
-                        for s_i in range(S):
-                            avail = ~in_queue[s_i]
-                            hit = avail & (acc == k)
-                            repl = jnp.where(hit, s_i, repl)
-                            acc += avail.astype(jnp.int32)
-                    q = jnp.where(delivered & in_q_slot, repl, q)
-
-                    # reward by type (INDIVIDUAL/TWO_STAGE credit the agent
-                    # on the goal; none -> last agent, the reference's
-                    # rewards[-1] wraparound, warehouse.py:921-927)
-                    if st.reward_type == RewardType.GLOBAL:
-                        for i in range(N):
-                            rewards[i] += jnp.where(delivered, 1.0, 0.0)
-                    else:
-                        on_goal = [
-                            (new_ax[i] == gx) & (new_ay[i] == gy)
-                            for i in range(N)
-                        ]
-                        none_on = ~functools.reduce(jnp.logical_or, on_goal)
-                        amount = (
-                            0.5
-                            if st.reward_type == RewardType.TWO_STAGE
-                            else 1.0
-                        )
-                        for i in range(N):
-                            credit = on_goal[i] | (none_on & (i == N - 1))
-                            rewards[i] += jnp.where(
-                                delivered & credit, amount, 0.0
-                            )
-                            if st.reward_type == RewardType.TWO_STAGE:
-                                new_hd[i] = new_hd[i] | (
-                                    delivered & credit
-                                )
-                    any_delivered |= delivered
-
-            # ---- termination & autoreset ----------------------------------
-            inact = jnp.where(any_delivered, 0, inact + 1)
-            steps = steps + 1
-            done = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-            if st.max_inactivity:
-                done |= inact >= st.max_inactivity
-            if st.max_steps:
-                done |= steps >= st.max_steps
-
-            if st.debug_level >= 1:
-                pass
-            elif st.scripted:
-                spawn_cells = [
-                    jnp.full((SUB, LANE), i, dtype=jnp.int32) for i in range(N)
-                ]
-                spawn_dirs = [
-                    jnp.zeros((SUB, LANE), dtype=jnp.int32) for _ in range(N)
-                ]
-                fresh_q = (
-                    [
-                        jnp.full((SUB, LANE), r_i, dtype=jnp.int32)
-                        for r_i in range(R)
-                    ]
-                    if R
-                    else []
-                )
-            else:
-                spawn_cells = _draw_distinct(N, HW, (SUB, LANE))
-                spawn_dirs = [_rand_mod((SUB, LANE), 4) for _ in range(N)]
-                fresh_q = _draw_distinct(R, S, (SUB, LANE)) if R else []
-
-            for i in range(N) if st.debug_level < 1 else []:
-                new_ax[i] = jnp.where(done, spawn_cells[i] % W, new_ax[i])
-                new_ay[i] = jnp.where(done, spawn_cells[i] // W, new_ay[i])
-                new_ad[i] = jnp.where(done, spawn_dirs[i], new_ad[i])
-                new_carrying[i] = jnp.where(done, -1, new_carrying[i])
-                new_hd[i] = new_hd[i] & ~done
-            if st.debug_level < 1:
-                sx = jnp.where(done, slots_x, sx)
-                sy = jnp.where(done, slots_y, sy)
-            if R and st.debug_level < 1:
-                q = jnp.where(done, jnp.stack(fresh_q, axis=0), q)
-            if st.debug_level < 1:
-                inact = jnp.where(done, 0, inact)
-                steps = jnp.where(done, 0, steps)
-
+            core_state = (
+                ax, ay, ad, carrying, hd, sx, sy, q, inact, steps,
+            )
+            new_state, rewards, done = _env_step_core(
+                st, goals, shelf_rows, slots_x, slots_y, acts, core_state
+            )
+            (new_ax, new_ay, new_ad, new_carrying, new_hd,
+             sx, sy, q, inact, steps) = new_state
             rew_acc = [rew_acc[i] + rewards[i] for i in range(N)]
             epis = epis + done.astype(jnp.int32)
             new_hd_i = [h.astype(jnp.int32) for h in new_hd]
