@@ -60,6 +60,84 @@ class Transition(NamedTuple):
     done: jax.Array  # (B,)
 
 
+def compute_gae(cfg: IPPOConfig, rewards, values, dones, last_value):
+    """GAE over a (T, B, N) trajectory with (T, B) done masks."""
+
+    def body(carry, xs):
+        g, next_v = carry
+        reward, value, done = xs
+        not_done = 1.0 - done.astype(jnp.float32)[:, None]
+        delta = reward + cfg.gamma * next_v * not_done - value
+        g = delta + cfg.gamma * cfg.gae_lambda * not_done * g
+        return (g, value), g
+
+    (_, _), advantages = jax.lax.scan(
+        body,
+        (jnp.zeros_like(last_value), last_value),
+        (rewards, values, dones),
+        reverse=True,
+    )
+    return advantages, advantages + values
+
+
+def ppo_loss(model, cfg: IPPOConfig, params, batch):
+    """Clipped-PPO loss on a flat (M, N, ...) minibatch."""
+    obs, action, old_logp, old_value, adv, target = batch
+    logits, value = model.apply(params, obs)
+    logp_all = jax.nn.log_softmax(logits)
+    logp = jnp.take_along_axis(logp_all, action[..., None], -1).squeeze(-1)
+    ratio = jnp.exp(logp - old_logp)
+    adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
+    pg1 = ratio * adv_norm
+    pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
+    pg_loss = -jnp.minimum(pg1, pg2).mean()
+
+    v_clipped = old_value + jnp.clip(
+        value - old_value, -cfg.clip_eps, cfg.clip_eps
+    )
+    v_loss = 0.5 * jnp.maximum(
+        (value - target) ** 2, (v_clipped - target) ** 2
+    ).mean()
+
+    entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+    total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+    return total, {
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": entropy,
+        "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
+    }
+
+
+def ppo_update_epochs(model, cfg: IPPOConfig, tx, params, opt_state, dataset, key):
+    """E epochs x M minibatches of SGD over a flat dataset tuple."""
+    n_data = dataset[0].shape[0]
+    mb_size = n_data // cfg.minibatches
+
+    def epoch(carry, key):
+        params, opt_state = carry
+        perm = jax.random.permutation(key, n_data)
+
+        def minibatch(carry, idx):
+            params, opt_state = carry
+            batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), dataset)
+            (loss, metrics), grads = jax.value_and_grad(
+                ppo_loss, argnums=2, has_aux=True
+            )(model, cfg, params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        idxs = perm[: mb_size * cfg.minibatches].reshape(
+            cfg.minibatches, mb_size
+        )
+        return jax.lax.scan(minibatch, (params, opt_state), idxs)
+
+    return jax.lax.scan(
+        epoch, (params, opt_state), jax.random.split(key, cfg.epochs)
+    )
+
+
 def make_optimizer(cfg: IPPOConfig) -> optax.GradientTransformation:
     if cfg.anneal_lr:
         sched = optax.linear_schedule(

@@ -72,8 +72,14 @@ def _u32(shape):
 
 
 def _rand_mod(shape, m):
-    """Uniform int32 in [0, m) (modulo-reduced uint32; bias < 2^-24)."""
-    return (_u32(shape) % np.uint32(m)).astype(jnp.int32)
+    """Uniform int32 in [0, m) (modulo-reduced; bias < 2^-24).
+
+    The top bit is masked off first: Mosaic lowers uint32 arithmetic on
+    signed i32 vectors, so an unmasked modulo yields NEGATIVE values for
+    half the draws (verified on hardware via the action-distribution skew).
+    """
+    masked = _u32(shape) & np.uint32(0x7FFFFFFF)
+    return (masked % np.uint32(m)).astype(jnp.int32)
 
 
 def _draw_distinct(n_draws, m, shape):
@@ -362,7 +368,7 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
                     (~in_queue).astype(jnp.int32), axis=0
                 )
                 k = (
-                    _u32((SUB, LANE))
+                    (_u32((SUB, LANE)) & np.uint32(0x7FFFFFFF))
                     % jnp.maximum(count, 1).astype(jnp.uint32)
                 ).astype(jnp.int32)
                 acc = jnp.zeros((SUB, LANE), dtype=jnp.int32)
@@ -723,3 +729,491 @@ def build_pallas_rollout(
         return new_state, to(rew), epis.reshape(b)
 
     return rollout
+
+
+# ---------------------------------------------------------------------------
+# Collect mode: observations + policy + sampling inside the kernel.
+# ---------------------------------------------------------------------------
+
+
+def _window_offsets(sensor_range):
+    """Row-major (dy, dx) window offsets, y-outer (matches core.observations)."""
+    r = sensor_range
+    return [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+
+
+def _build_obs_rows(st, sensor_range, normalised, acts_state, slots_x, slots_y):
+    """FLATTENED observation rows per agent, env-tile layout.
+
+    Returns an N-list of L-lists of (SUB, LANE) float32 tiles in the exact
+    reference bit order (rware/warehouse.py:631-674): self
+    [x, y, carrying, dir-onehot(4), on_highway] then per window cell
+    [has_agent, dir-onehot(4) (empty-cell quirk [1,0,0,0]), has_shelf,
+    shelf_requested].  Out-of-grid window cells produce all-zero features
+    (coordinate compares simply fail), matching the reference's zero pad.
+    """
+    N, S, R, H, W = st.n, st.s, st.r, st.h, st.w
+    ax, ay, ad, carrying, sx, sy, q = acts_state
+
+    # cell-id encodings halve the coordinate compares
+    agent_cid = [ay[i] * W + ax[i] for i in range(N)]
+    shelf_cid = sy * W + sx  # (S, SUB, LANE)
+    in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
+    for r_i in range(R):
+        in_queue |= (
+            jax.lax.broadcasted_iota(jnp.int32, (S, SUB, LANE), 0) == q[r_i]
+        )
+    req_cid = jnp.where(in_queue, shelf_cid, -2)
+
+    rows_per_agent = []
+    for i in range(N):
+        rows = []
+        fx = ax[i].astype(jnp.float32)
+        fy = ay[i].astype(jnp.float32)
+        if normalised:
+            fx = fx / (W - 1)
+            fy = fy / (H - 1)
+        rows.append(fx)
+        rows.append(fy)
+        rows.append((carrying[i] >= 0).astype(jnp.float32))
+        for k in range(4):
+            rows.append((ad[i] == k).astype(jnp.float32))
+        on_rack = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+        on_rack = jnp.any(
+            (slots_x == ax[i]) & (slots_y == ay[i]), axis=0
+        )
+        rows.append((~on_rack).astype(jnp.float32))
+
+        for dy, dx in _window_offsets(sensor_range):
+            cx = ax[i] + dx
+            cy = ay[i] + dy
+            valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+            cid = jnp.where(valid, cy * W + cx, -1)
+            has_agent = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+            cell_dir = jnp.zeros((SUB, LANE), dtype=jnp.int32)
+            for j in range(N):
+                here = agent_cid[j] == cid
+                has_agent |= here
+                cell_dir = jnp.where(here, ad[j], cell_dir)
+            rows.append(has_agent.astype(jnp.float32))
+            for k in range(4):
+                rows.append((cell_dir == k).astype(jnp.float32))
+            has_shelf = jnp.any(shelf_cid == cid, axis=0)
+            requested = jnp.any(req_cid == cid, axis=0)
+            rows.append(has_shelf.astype(jnp.float32))
+            rows.append(requested.astype(jnp.float32))
+        rows_per_agent.append(rows)
+    return rows_per_agent
+
+
+def _policy_forward(params, feats_rows):
+    """Shared-parameter MLP actor-critic on env-tiled features via the MXU.
+
+    ``feats_rows``: N-list of L-lists of (SUB, LANE) f32 — stacked into an
+    (L, N*SUB*LANE) bf16 matrix so one dot serves all agents of the block.
+    Returns (logits (A, M) f32, value (1, M) f32) with M = N*SUB*LANE —
+    the ACTION axis lives on sublanes (A rows), which keeps every
+    action-wise op (gumbel, argmax, logsumexp) a cheap sublane reduction
+    and avoids 5-lane tiles.
+    """
+    w0, b0, w1, b1, wp, bp, wv, bv = params
+    n = len(feats_rows)
+    L = len(feats_rows[0])
+    feats = jnp.stack(
+        [jnp.stack(rows, axis=0) for rows in feats_rows], axis=1
+    )
+    feats = feats.reshape(L, n * SUB * LANE).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+    x = jax.lax.dot_general(
+        feats, w0, dn, preferred_element_type=jnp.float32
+    )  # (M, H1)
+    x = jnp.tanh(x + b0).astype(jnp.bfloat16)
+    x = jax.lax.dot_general(
+        x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    x = jnp.tanh(x + b1).astype(jnp.bfloat16)
+    # heads transposed: contract the hidden axis, leave (A, M)/(1, M)
+    logits = (
+        jax.lax.dot_general(
+            wp, x, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        + bp.T
+    )
+    value = (
+        jax.lax.dot_general(
+            wv, x, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        + bv.T
+    )
+    return logits, value
+
+
+def _sample_gumbel(logits, n, deterministic=False):
+    """Gumbel-argmax sample + log-prob from (A, M) logits.
+
+    Returns env-tiled (N, SUB, LANE) action / logp.  ``deterministic``
+    (validation mode) takes the plain argmax — no RNG, so the CPU
+    interpreter can run the kernel.  Uniforms come from the top 24 bits of
+    the PRNG output (sign-safe however uint32 is interpreted downstream).
+    """
+    a, m = logits.shape
+    if deterministic:
+        noisy = logits
+    else:
+        bits = _u32((a, m))
+        # Mask to 23 bits: value stays positive under ANY signedness
+        # reinterpretation (Mosaic lowers uint32 shifts arithmetically on
+        # i32, which made half the uniforms negative -> NaN gumbels)
+        u = (bits & np.uint32(0x7FFFFF)).astype(jnp.float32) * (
+            1.0 / 8388608.0
+        )
+        noisy = logits - jnp.log(-jnp.log(u + 1e-10) + 1e-10)
+    action = jnp.argmax(noisy, axis=0).astype(jnp.int32)  # (M,)
+    mx = jnp.max(logits, axis=0)
+    lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx), axis=0))
+    chosen = jnp.sum(
+        jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (a, m), 0) == action,
+            logits,
+            0.0,
+        ),
+        axis=0,
+    )
+    logp = chosen - lse
+    return (
+        action.reshape(n, SUB, LANE),
+        logp.reshape(n, SUB, LANE),
+    )
+
+
+def _make_collect_kernel(
+    st, goals, sensor_range, normalised, obs_dim, tc_len, deterministic=False
+):
+    """Kernel for grid (env_blocks, T // tc_len): policy + env fused, state
+    persisted across time-chunks in VMEM scratch."""
+    N, S, R = st.n, st.s, st.r
+
+    def kernel(*refs):
+        (seed_ref,
+         w0_ref, b0_ref, w1_ref, b1_ref, wp_ref, bp_ref, wv_ref, bv_ref,
+         ax_ref, ay_ref, ad_ref, carry_ref, hd_ref, sx_ref, sy_ref, q_ref,
+         inact_ref, steps_ref, slotx_ref, sloty_ref,
+         obs_out, act_out, logp_out, val_out, rew_out, done_out,
+         oax, oay, oad, ocarry, ohd, osx, osy, oq, oinact, osteps,
+         st_scratch) = refs
+
+        tc = pl.program_id(1)
+        n_tc = pl.num_programs(1)
+        if not deterministic:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * n_tc + tc)
+        shelf_rows = jax.lax.broadcasted_iota(jnp.int32, (S, SUB, LANE), 0)
+        slots_x = slotx_ref[:]
+        slots_y = sloty_ref[:]
+        params = (
+            w0_ref[:], b0_ref[:], w1_ref[:], b1_ref[:],
+            wp_ref[:], bp_ref[:], wv_ref[:], bv_ref[:],
+        )
+
+        # state scratch layout (rows): N each of ax, ay, ad, carrying, hd,
+        # then S sx, S sy, R q, 1 inact, 1 steps
+        offs = {}
+        o = 0
+        for name, rows in [
+            ("ax", N), ("ay", N), ("ad", N), ("carry", N), ("hd", N),
+            ("sx", S), ("sy", S), ("q", max(R, 1)), ("inact", 1), ("steps", 1),
+        ]:
+            offs[name] = o
+            o += rows
+
+        @pl.when(tc == 0)
+        def _():
+            st_scratch[offs["ax"] : offs["ax"] + N] = ax_ref[:]
+            st_scratch[offs["ay"] : offs["ay"] + N] = ay_ref[:]
+            st_scratch[offs["ad"] : offs["ad"] + N] = ad_ref[:]
+            st_scratch[offs["carry"] : offs["carry"] + N] = carry_ref[:]
+            st_scratch[offs["hd"] : offs["hd"] + N] = hd_ref[:]
+            st_scratch[offs["sx"] : offs["sx"] + S] = sx_ref[:]
+            st_scratch[offs["sy"] : offs["sy"] + S] = sy_ref[:]
+            st_scratch[offs["q"] : offs["q"] + max(R, 1)] = q_ref[:]
+            st_scratch[offs["inact"]] = inact_ref[0]
+            st_scratch[offs["steps"]] = steps_ref[0]
+
+        def load(name, rows):
+            base = offs[name]
+            return [st_scratch[base + i] for i in range(rows)]
+
+        init = (
+            load("ax", N), load("ay", N), load("ad", N), load("carry", N),
+            load("hd", N),
+            st_scratch[offs["sx"] : offs["sx"] + S],
+            st_scratch[offs["sy"] : offs["sy"] + S],
+            st_scratch[offs["q"] : offs["q"] + max(R, 1)],
+            st_scratch[offs["inact"]],
+            st_scratch[offs["steps"]],
+        )
+
+        def one_step(tt, carry):
+            ax, ay, ad, carrying, hd_i, sx, sy, q, inact, steps = carry
+            hd = [h != 0 for h in hd_i]
+
+            feats = _build_obs_rows(
+                st, sensor_range, normalised,
+                (ax, ay, ad, carrying, sx, sy, q),
+                slots_x, slots_y,
+            )
+            logits, value = _policy_forward(params, feats)
+            action_t, logp_t = _sample_gumbel(logits, N, deterministic)
+            acts = [action_t[i] for i in range(N)]
+
+            # write pre-step trajectory tensors at index tt
+            obs_mat = jnp.stack(
+                [jnp.stack(rows, axis=0) for rows in feats], axis=0
+            ).astype(jnp.bfloat16)  # (N, L, SUB, LANE)
+            obs_out[pl.ds(tt, 1)] = obs_mat[None]
+            act_out[pl.ds(tt, 1)] = action_t[None]
+            logp_out[pl.ds(tt, 1)] = logp_t[None]
+            val_out[pl.ds(tt, 1)] = value[0].reshape(N, SUB, LANE)[None]
+
+            core_state = (ax, ay, ad, carrying, hd, sx, sy, q, inact, steps)
+            new_state, rewards, done = _env_step_core(
+                st, goals, shelf_rows, slots_x, slots_y, acts, core_state
+            )
+            (nax, nay, nad, ncarry, nhd, sx, sy, q, inact, steps) = new_state
+            rew_out[pl.ds(tt, 1)] = jnp.stack(rewards, axis=0)[None]
+            done_out[pl.ds(tt, 1)] = done.astype(jnp.int32)[None, None]
+            return (
+                nax, nay, nad, ncarry,
+                [h.astype(jnp.int32) for h in nhd],
+                sx, sy, q, inact, steps,
+            )
+
+        final = jax.lax.fori_loop(0, tc_len, one_step, init, unroll=False)
+        ax, ay, ad, carrying, hd, sx, sy, q, inact, steps = final
+
+        def store(name, vals):
+            base = offs[name]
+            for i, v in enumerate(vals):
+                st_scratch[base + i] = v
+
+        store("ax", ax)
+        store("ay", ay)
+        store("ad", ad)
+        store("carry", carrying)
+        store("hd", hd)
+        st_scratch[offs["sx"] : offs["sx"] + S] = sx
+        st_scratch[offs["sy"] : offs["sy"] + S] = sy
+        st_scratch[offs["q"] : offs["q"] + max(R, 1)] = q
+        st_scratch[offs["inact"]] = inact
+        st_scratch[offs["steps"]] = steps
+
+        @pl.when(tc == n_tc - 1)
+        def _():
+            oax[:] = jnp.stack(ax, axis=0)
+            oay[:] = jnp.stack(ay, axis=0)
+            oad[:] = jnp.stack(ad, axis=0)
+            ocarry[:] = jnp.stack(carrying, axis=0)
+            ohd[:] = jnp.stack(hd, axis=0)
+            osx[:] = sx
+            osy[:] = sy
+            oq[:] = q
+            oinact[:] = inact[None]
+            osteps[:] = steps[None]
+
+    return kernel
+
+
+def build_pallas_collect(
+    config: WarehouseConfig,
+    n_steps: int,
+    hidden: Tuple[int, int] = (128, 128),
+    tc_len: int = 16,
+    interpret: bool = False,
+    deterministic: bool = False,
+):
+    """Fused experience collector: obs + MLP policy + sampling + env step in
+    one kernel, trajectories streamed to HBM in time-chunks.
+
+    Returns ``collect(state_batch, params, seed) -> (new_state, traj)`` with
+    ``traj = dict(obs (T,B,N,L) bf16, action/logp/value/reward (T,B,N),
+    done (T,B))``.  ``params`` is an ActorCritic params pytree with hidden
+    sizes ``hidden`` (bf16 compute, f32 heads, tanh — models/networks.py).
+    """
+    layout = config.compile_layout()
+    H, W = layout.grid_size
+    N = config.n_agents
+    S = layout.n_shelves
+    R = config.request_queue_size
+    L = config.flattened_obs_length
+    H1, H2 = hidden
+    if N > 8:
+        raise NotImplementedError("pallas collect supports n_agents <= 8")
+    if config.msg_bits:
+        raise NotImplementedError("pallas collect does not model message bits")
+    if n_steps % tc_len:
+        raise ValueError(f"n_steps={n_steps} must be a multiple of {tc_len}")
+    st = _Static(
+        n=N, s=S, r=R, g=layout.n_goals, h=H, w=W, t=n_steps,
+        reward_type=int(config.reward_type),
+        max_steps=config.max_steps or 0,
+        max_inactivity=config.max_inactivity_steps or 0,
+        # deterministic mode reuses the scripted core paths (lowest-index
+        # queue replacement, fixed respawn) so the kernel stays RNG-free
+        scripted=deterministic,
+    )
+    goals = tuple((int(x), int(y)) for x, y in layout.goals)
+    kernel = _make_collect_kernel(
+        st, goals, config.sensor_range, config.normalised_coordinates, L,
+        tc_len, deterministic,
+    )
+    n_tc = n_steps // tc_len
+
+    state_dims = {
+        "ax": N, "ay": N, "ad": N, "carry": N, "hd": N,
+        "sx": S, "sy": S, "q": max(R, 1), "inact": 1, "steps": 1,
+    }
+    scratch_rows = sum(state_dims.values())
+
+    def sblock(rows):
+        return pl.BlockSpec(
+            (rows, SUB, LANE), lambda i, tc: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    def pblock(shape):
+        return pl.BlockSpec(
+            shape, lambda i, tc: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [
+        pblock((L, H1)), pblock((1, H1)), pblock((H1, H2)), pblock((1, H2)),
+        pblock((H2, 5)), pblock((1, 5)), pblock((H2, 1)), pblock((1, 1)),
+    ]
+    in_specs += [sblock(d) for d in state_dims.values()]
+    in_specs += [sblock(S), sblock(S)]
+
+    def tblock(rows, dtype_rows=None):
+        return pl.BlockSpec(
+            (tc_len, rows, SUB, LANE),
+            lambda i, tc: (tc, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    obs_spec = pl.BlockSpec(
+        (tc_len, N, L, SUB, LANE),
+        lambda i, tc: (tc, 0, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = [
+        obs_spec,
+        tblock(N),  # actions
+        tblock(N),  # logp
+        tblock(N),  # value
+        tblock(N),  # reward
+        tblock(1),  # done
+    ]
+    out_specs += [sblock(d) for d in state_dims.values()]
+
+    def out_shape(b):
+        rows = b // LANE
+        shapes = [
+            jax.ShapeDtypeStruct((n_steps, N, L, rows, LANE), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_steps, N, rows, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((n_steps, N, rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, N, rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, N, rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, 1, rows, LANE), jnp.int32),
+        ]
+        shapes += [
+            jax.ShapeDtypeStruct((d, rows, LANE), jnp.int32)
+            for d in state_dims.values()
+        ]
+        return shapes
+
+    slots_x = np.asarray(layout.shelf_slots[:, 0])
+    slots_y = np.asarray(layout.shelf_slots[:, 1])
+
+    def extract_params(params):
+        p = params["params"]
+        return [
+            p["dense_0"]["kernel"].astype(jnp.bfloat16),
+            p["dense_0"]["bias"].astype(jnp.float32)[None, :],
+            p["dense_1"]["kernel"].astype(jnp.bfloat16),
+            p["dense_1"]["bias"].astype(jnp.float32)[None, :],
+            p["policy"]["kernel"].astype(jnp.float32),
+            p["policy"]["bias"].astype(jnp.float32)[None, :],
+            p["value"]["kernel"].astype(jnp.float32),
+            p["value"]["bias"].astype(jnp.float32)[None, :],
+        ]
+
+    def collect(state: WarehouseState, params, seed):
+        b = state.agent_x.shape[0]
+        if b % ENV_BLOCK:
+            raise ValueError(f"batch {b} must be a multiple of {ENV_BLOCK}")
+        grid = (b // ENV_BLOCK, n_tc)
+
+        def ti(x):
+            arr = jnp.swapaxes(x.astype(jnp.int32), 0, 1)
+            return arr.reshape(arr.shape[0], b // LANE, LANE)
+
+        def ti1(x):
+            return x.astype(jnp.int32).reshape(1, b // LANE, LANE)
+
+        inputs = [jnp.atleast_1d(jnp.asarray(seed, dtype=jnp.int32))]
+        inputs += extract_params(params)
+        inputs += [
+            ti(state.agent_x), ti(state.agent_y), ti(state.agent_dir),
+            ti(state.agent_carrying), ti(state.agent_has_delivered),
+            ti(state.shelf_x), ti(state.shelf_y),
+            ti(state.request_queue) if R else jnp.zeros((1, b // LANE, LANE), jnp.int32),
+            ti1(state.cur_inactive_steps), ti1(state.cur_steps),
+            jnp.broadcast_to(
+                jnp.asarray(slots_x, jnp.int32)[:, None, None],
+                (S, b // LANE, LANE),
+            ),
+            jnp.broadcast_to(
+                jnp.asarray(slots_y, jnp.int32)[:, None, None],
+                (S, b // LANE, LANE),
+            ),
+        ]
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape(b),
+            scratch_shapes=[pltpu.VMEM((scratch_rows, SUB, LANE), jnp.int32)],
+            interpret=interpret,
+        )(*inputs)
+        (obs, act, logp, val, rew, done, ax, ay, ad, carry, hd,
+         sx, sy, q, inact, steps) = outs
+
+        def to_state(x):
+            return jnp.swapaxes(x.reshape(x.shape[0], b), 0, 1)
+
+        def to_traj(x):
+            # (T, N, rows, LANE) -> (T, B, N)
+            t = x.shape[0]
+            return jnp.moveaxis(x.reshape(t, x.shape[1], b), 1, 2)
+
+        traj = {
+            # (T, N, L, rows, LANE) -> (T, B, N, L)
+            "obs": jnp.moveaxis(obs.reshape(n_steps, N, L, b), 3, 1),
+            "action": to_traj(act),
+            "logp": to_traj(logp),
+            "value": to_traj(val),
+            "reward": to_traj(rew),
+            "done": done.reshape(n_steps, b),
+        }
+        new_state = state.replace(
+            agent_x=to_state(ax), agent_y=to_state(ay), agent_dir=to_state(ad),
+            agent_carrying=to_state(carry),
+            agent_has_delivered=to_state(hd).astype(bool),
+            shelf_x=to_state(sx), shelf_y=to_state(sy),
+            request_queue=to_state(q) if R else state.request_queue,
+            cur_inactive_steps=inact.reshape(b),
+            cur_steps=steps.reshape(b),
+        )
+        return new_state, traj
+
+    return collect

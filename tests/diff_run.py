@@ -41,9 +41,27 @@ def run_differential(
     try:
         ref_env = gym.make(env_id, **(ref_kwargs or {})).unwrapped
     except gym.error.NameNotFound:
-        # sensor-range / RxC / height ids need the reference's full grid
-        rware.full_registration()
-        ref_env = gym.make(env_id, **(ref_kwargs or {})).unwrapped
+        # ids outside the default grid (sensor range, RxC, column height):
+        # construct the reference env directly — its full_registration()
+        # builds ~100k gymnasium entries and takes tens of minutes
+        from rware.warehouse import RewardType as RefRT, Warehouse as RefWarehouse
+
+        from rware_tpu.registry import parse_env_id
+
+        cfg = parse_env_id(env_id)
+        ref_env = RefWarehouse(
+            cfg.shelf_columns,
+            cfg.column_height,
+            cfg.shelf_rows,
+            cfg.n_agents,
+            cfg.msg_bits,
+            cfg.sensor_range,
+            cfg.request_queue_size,
+            cfg.max_inactivity_steps,
+            cfg.max_steps,
+            RefRT(int(cfg.reward_type)),
+            **(ref_kwargs or {}),
+        )
     ref_obs, _ = ref_env.reset(seed=seed)
 
     env = rware_tpu.make(env_id, **(overrides or {}))

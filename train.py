@@ -26,6 +26,11 @@ def parse_args():
         "--net", choices=["mlp", "gru"], default="mlp",
         help="policy network (gru = recurrent IPPO; ippo only)",
     )
+    p.add_argument(
+        "--collect", choices=["xla", "pallas"], default="xla",
+        help="experience collector: pallas = fused in-kernel obs+policy+env "
+        "(TPU only, mlp ippo only)",
+    )
     p.add_argument("--updates", type=int, default=100)
     p.add_argument("--n-envs", type=int, default=256)
     p.add_argument("--rollout-len", type=int, default=None)
@@ -88,7 +93,19 @@ def main():
             ent_coef=args.ent_coef,
         )
         runner, model, tx = init_runner(env, cfg, key)
-        train_step = jax.jit(build_train_step(env, model, tx, cfg))
+        if args.collect == "pallas" and jax.devices()[0].platform == "cpu":
+            print(
+                "--collect pallas needs TPU hardware; falling back to the "
+                "XLA collector",
+                flush=True,
+            )
+            args.collect = "xla"
+        if args.collect == "pallas":
+            from rware_tpu.models.ippo_pallas import build_pallas_train_step
+
+            train_step = jax.jit(build_pallas_train_step(env, model, tx, cfg))
+        else:
+            train_step = jax.jit(build_train_step(env, model, tx, cfg))
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
     else:
         from rware_tpu.models.seac import (
