@@ -85,6 +85,22 @@ def test_recorded_actions_replay_through_xla_engine(setup):
     )
 
 
+def test_obs_bit_exact_sensor_range_2():
+    env = rware_tpu.make(rware_tpu.WarehouseConfig(sensor_range=2))
+    L = env.config.flattened_obs_length  # 183
+    states, _ = batched_reset(env, jax.random.key(0), ENV_BLOCK)
+    model = ActorCritic(n_actions=5)
+    params = model.init(jax.random.key(1), jnp.zeros((1, 2, L)))
+    collect = build_pallas_collect(
+        env.config, 4, tc_len=4, interpret=True, deterministic=True
+    )
+    _, traj = collect(states, params, 0)
+    xla_obs = jax.vmap(env._obs_fn)(states)
+    np.testing.assert_array_equal(
+        np.asarray(traj["obs"][0], dtype=np.float32), np.asarray(xla_obs)
+    )
+
+
 def test_pallas_train_step_learns(setup):
     env = rware_tpu.make("rware-tiny-2ag-v2")
     cfg = IPPOConfig(n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2)
