@@ -391,3 +391,39 @@ def register_all(force: bool = False, image: bool = False) -> int:
                     )
                     count += 1
     return count
+
+
+def register_full(
+    sensor_ranges=range(2, 6),
+    column_heights=range(1, 16),
+    force: bool = False,
+) -> int:
+    """Register the ``full_registration`` variants (rware/__init__.py:83-175):
+    sensor-range ``-<S>s`` and column-height ``-<H>h`` grids over the default
+    sizes/agents/difficulties.  The reference registers ~100k ids eagerly at
+    import (taking minutes); here both grids stay opt-in and any further id
+    from the grammar (e.g. explicit RxC) still works unregistered through
+    :func:`make_gym`.  Returns the number of ids registered."""
+    from rware_tpu.registry import SIZES
+
+    count = 0
+    variants = [f"rware-{s}s" for s in sensor_ranges]
+    heights = list(column_heights)
+    for size in SIZES:
+        for n_agents in range(1, 20):
+            for diff in ["", "-easy", "-hard"]:
+                ids = [
+                    f"{v}-{size}-{n_agents}ag{diff}-v2" for v in variants
+                ] + [
+                    f"rware-{size}-{h}h-{n_agents}ag{diff}-v2" for h in heights
+                ]
+                for env_id in ids:
+                    if env_id in gym.registry and not force:
+                        continue
+                    gym.register(
+                        id=env_id,
+                        entry_point="rware_tpu.gym_adapter:GymWarehouse",
+                        kwargs={"env_id": env_id},
+                    )
+                    count += 1
+    return count

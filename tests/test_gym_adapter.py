@@ -151,3 +151,14 @@ def test_render_rgb_array():
     frame2 = env.render()
     assert frame2.shape == frame.shape
     env.close()
+
+
+def test_register_full_variants():
+    from rware_tpu.gym_adapter import register_full
+
+    register_full(sensor_ranges=[3], column_heights=[12])
+    env = gym.make("rware-3s-tiny-2ag-v2", disable_env_checker=True)
+    obs, _ = env.reset(seed=0)
+    assert obs[0].shape == (8 + 49 * 7,)
+    env2 = gym.make("rware-small-12h-4ag-easy-v2", disable_env_checker=True)
+    assert env2.unwrapped.grid_size == (28, 10)
