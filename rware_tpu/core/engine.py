@@ -239,7 +239,7 @@ def build_step_fn(
         shelf_ids = jnp.arange(n_shelves, dtype=jnp.int32)
 
         def goal_body(g, carry_state):
-            queue, rewards, has_delivered, any_delivered = carry_state
+            queue, rewards, has_delivered, n_delivered = carry_state
             gx, gy = goals_x[g], goals_y[g]
             at_goal = (new_sx == gx) & (new_sy == gy)
             sid = jnp.where(jnp.any(at_goal), jnp.argmax(at_goal), -1).astype(
@@ -251,10 +251,18 @@ def build_step_fn(
 
             # Replacement: uniform over shelves not currently queued; the
             # delivered shelf is still queued at sampling time and therefore
-            # excluded (rware/warehouse.py:915-917).
+            # excluded (rware/warehouse.py:915-917).  When EVERY shelf is
+            # queued (request_queue_size == n_shelves — the reference crashes
+            # on np_random.choice([]) here) the delivered shelf simply stays
+            # requested.
             in_queue = jnp.any(queue[:, None] == shelf_ids[None, :], axis=0)
-            new_req = _masked_uniform_pick(
-                jax.random.fold_in(step_key, g), ~in_queue
+            has_candidate = jnp.any(~in_queue)
+            new_req = jnp.where(
+                has_candidate,
+                _masked_uniform_pick(
+                    jax.random.fold_in(step_key, g), ~in_queue
+                ),
+                sid,
             )
             queue = jnp.where(delivered, queue.at[slot].set(new_req), queue)
 
@@ -273,20 +281,31 @@ def build_step_fn(
                 has_delivered = has_delivered.at[aid].set(
                     jnp.where(delivered, True, has_delivered[aid])
                 )
-            return queue, rewards, has_delivered, any_delivered | delivered
+            return (
+                queue,
+                rewards,
+                has_delivered,
+                n_delivered + delivered.astype(jnp.int32),
+            )
 
         if config.request_queue_size > 0:
-            queue, rewards, new_has_delivered, any_delivered = jax.lax.fori_loop(
+            queue, rewards, new_has_delivered, n_delivered = jax.lax.fori_loop(
                 0,
                 n_goals,
                 goal_body,
-                (state.request_queue, rewards, new_has_delivered, jnp.asarray(False)),
+                (
+                    state.request_queue,
+                    rewards,
+                    new_has_delivered,
+                    jnp.zeros((), jnp.int32),
+                ),
                 unroll=True,
             )
         else:
             # Empty request queue (legal, see config): nothing can ever be
             # delivered, so the whole delivery section compiles away.
-            queue, any_delivered = state.request_queue, jnp.asarray(False)
+            queue, n_delivered = state.request_queue, jnp.zeros((), jnp.int32)
+        any_delivered = n_delivered > 0
 
         # --- termination (rware/warehouse.py:929-942).
         inactive = jnp.where(any_delivered, 0, state.cur_inactive_steps + 1)
@@ -313,7 +332,7 @@ def build_step_fn(
         )
 
         info = {
-            "deliveries": any_delivered.astype(jnp.int32),
+            "deliveries": n_delivered,
             "failed_moves": jnp.sum((~committed).astype(jnp.int32)),
         }
         return StepResult(

@@ -99,7 +99,6 @@ def _draw_distinct(n_draws, m, shape):
         chosen.append(d)
         # insert d into the ascending list (unrolled insertion pass)
         new_sorted = []
-        placed = jnp.zeros(shape, dtype=jnp.bool_)
         cur = d
         for c in sorted_cells:
             lo = jnp.minimum(cur, c)
@@ -108,7 +107,6 @@ def _draw_distinct(n_draws, m, shape):
             cur = hi
         new_sorted.append(cur)
         sorted_cells = new_sorted
-        del placed
     return chosen
 
 
@@ -356,6 +354,7 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
             in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
             for r_i in range(R):
                 in_queue |= shelf_rows == q[r_i]
+            any_candidate = jnp.any(~in_queue, axis=(0,))
             if st.scripted:
                 # deterministic: lowest-index non-queued shelf
                 repl = jnp.min(
@@ -378,6 +377,9 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
                     hit = avail & (acc == k)
                     repl = jnp.where(hit, s_i, repl)
                     acc += avail.astype(jnp.int32)
+            # R == S edge: no replacement candidate exists (the reference
+            # crashes here); keep the delivered shelf requested instead
+            repl = jnp.where(any_candidate, repl, sid)
             q = jnp.where(delivered & in_q_slot, repl, q)
 
             # reward by type (INDIVIDUAL/TWO_STAGE credit the agent
@@ -481,7 +483,7 @@ class _Static:
 
 
 def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
-    N, S, R, G, H, W, T = st.n, st.s, st.r, st.g, st.h, st.w, st.t
+    N, S, R, H, W, T = st.n, st.s, st.r, st.h, st.w, st.t
     HW = H * W
 
     def kernel(*refs):
@@ -546,7 +548,7 @@ def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
             [hd_ref[i] for i in range(N)],
             sx_ref[:],
             sy_ref[:],
-            q_ref[:] if R else jnp.zeros((SUB, LANE), jnp.int32),
+            q_ref[:] if R else jnp.zeros((1, SUB, LANE), jnp.int32),
             inact_ref[0],
             steps_ref[0],
             [jnp.zeros((SUB, LANE), dtype=jnp.float32) for _ in range(N)],
@@ -564,7 +566,7 @@ def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
         if R:
             oq[:] = q
         else:
-            oq[:] = jnp.zeros((SUB, LANE), jnp.int32)
+            oq[:] = jnp.zeros((1, SUB, LANE), jnp.int32)
         oinact[:] = inact[None]
         osteps[:] = steps[None]
         orew[:] = jnp.stack(rew, axis=0)
@@ -778,7 +780,6 @@ def _build_obs_rows(st, sensor_range, normalised, acts_state, slots_x, slots_y):
         rows.append((carrying[i] >= 0).astype(jnp.float32))
         for k in range(4):
             rows.append((ad[i] == k).astype(jnp.float32))
-        on_rack = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
         on_rack = jnp.any(
             (slots_x == ax[i]) & (slots_y == ay[i]), axis=0
         )
@@ -887,7 +888,7 @@ def _sample_gumbel(logits, n, deterministic=False):
 
 
 def _make_collect_kernel(
-    st, goals, sensor_range, normalised, obs_dim, tc_len, deterministic=False
+    st, goals, sensor_range, normalised, tc_len, deterministic=False
 ):
     """Kernel for grid (env_blocks, T // tc_len): policy + env fused, state
     persisted across time-chunks in VMEM scratch."""
@@ -1062,7 +1063,7 @@ def build_pallas_collect(
     )
     goals = tuple((int(x), int(y)) for x, y in layout.goals)
     kernel = _make_collect_kernel(
-        st, goals, config.sensor_range, config.normalised_coordinates, L,
+        st, goals, config.sensor_range, config.normalised_coordinates,
         tc_len, deterministic,
     )
     n_tc = n_steps // tc_len
@@ -1091,7 +1092,7 @@ def build_pallas_collect(
     in_specs += [sblock(d) for d in state_dims.values()]
     in_specs += [sblock(S), sblock(S)]
 
-    def tblock(rows, dtype_rows=None):
+    def tblock(rows):
         return pl.BlockSpec(
             (tc_len, rows, SUB, LANE),
             lambda i, tc: (tc, 0, i, 0),

@@ -164,3 +164,53 @@ def test_delivery_resets_inactivity_counter():
     state = state.replace(cur_inactive_steps=jnp.asarray(99, dtype=jnp.int32))
     res = env.step(state, jnp.asarray([FWD, NOOP]))
     assert int(res.state.cur_inactive_steps) == 0
+
+
+def test_multi_goal_simultaneous_delivery_counts_two():
+    # both goals deliver in the same step: rewards pay twice AND the info
+    # metric counts 2 (it used to emit a 0/1 flag)
+    env = rware_tpu.make(
+        WarehouseConfig(
+            n_agents=2,
+            request_queue_size=3,
+            reward_type=RewardType.INDIVIDUAL,
+            layout="""
+.....
+.xxx.
+.....
+.....
+...gg
+""",
+        )
+    )
+    state = make_state(
+        env.config,
+        [(3, 3, DOWN), (4, 3, DOWN)],
+        carrying=[0, 1],
+        queue=[0, 1, 2],
+    )
+    res = env.step(state, jnp.asarray([FWD, FWD]))
+    np.testing.assert_allclose(np.asarray(res.rewards), [1.0, 1.0])
+    assert int(res.info["deliveries"]) == 2
+
+
+def test_queue_equals_shelf_count_keeps_delivered_shelf():
+    # R == S: the reference crashes on an empty candidate list; here the
+    # delivered shelf stays requested (documented graceful behavior)
+    env = rware_tpu.make(
+        WarehouseConfig(
+            n_agents=2,
+            request_queue_size=3,
+            reward_type=RewardType.INDIVIDUAL,
+            layout=LAYOUT,
+        )
+    )
+    state = make_state(
+        env.config,
+        [(4, 3, DOWN), (0, 0, UP)],
+        carrying=[0, -1],
+        queue=[0, 1, 2],  # all three shelves requested
+    )
+    res = env.step(state, jnp.asarray([FWD, NOOP]))
+    np.testing.assert_allclose(np.asarray(res.rewards), [1.0, 0.0])
+    assert sorted(np.asarray(res.state.request_queue).tolist()) == [0, 1, 2]

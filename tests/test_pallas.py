@@ -145,3 +145,15 @@ def test_shard_map_over_mesh_matches_single_device():
         np.asarray(ns_sh.agent_x), np.asarray(ns.agent_x)
     )
     np.testing.assert_array_equal(np.asarray(rew_sh), np.asarray(rew))
+
+
+def test_zero_request_queue_rollout():
+    # request_queue_size=0 is a legal config (e.g. rware-tiny-1ag-hard-v2)
+    cfg = rware_tpu.WarehouseConfig(n_agents=2, request_queue_size=0, max_steps=4)
+    env = rware_tpu.make(cfg)
+    states, _ = batched_reset(env, jax.random.key(0), ENV_BLOCK)
+    actions = jnp.zeros((3, ENV_BLOCK, 2), dtype=jnp.int32)
+    roll = build_pallas_rollout(cfg, 3, scripted=True, interpret=True)
+    ns, rew, epis = roll(states, 0, actions)
+    assert float(np.asarray(rew).sum()) == 0.0
+    assert int(ns.cur_steps[0]) == 3

@@ -53,25 +53,27 @@ def main():
         jax.random.normal(key, (n_data, 2)),
     )
 
-    # A: the real update (4 epochs x 4 minibatches, random gathers)
+    # A: the real update (4 epochs x 4 minibatches, random gathers).
+    # dataset must be an ARGUMENT — closing over it bakes ~300MB of
+    # constants into the program and overflows the remote-compile request.
     upd = jax.jit(
-        lambda p, o, k: ppo_update_epochs(model, cfg, tx, p, o, dataset, k)
+        lambda p, o, d, k: ppo_update_epochs(model, cfg, tx, p, o, d, k)
     )
-    t = timeit(upd, params, opt_state, key)
+    t = timeit(upd, params, opt_state, dataset, key)
     print(f"A full update 4x4:            {t*1e3:8.1f} ms", flush=True)
 
     # B: one fwd+bwd on a minibatch, no gather
     batch = jax.tree.map(lambda x: x[: n_data // 4], dataset)
     grad_fn = jax.jit(
-        lambda p: jax.value_and_grad(ppo_loss, argnums=2, has_aux=True)(
-            model, cfg, p, batch
+        lambda p, b: jax.value_and_grad(ppo_loss, argnums=2, has_aux=True)(
+            model, cfg, p, b
         )
     )
-    t = timeit(grad_fn, params)
+    t = timeit(grad_fn, params, batch)
     print(f"B single fwd+bwd (no gather): {t*1e3:8.1f} ms  (x16 = {16*t*1e3:.0f})", flush=True)
 
     # C: gathers alone: 16 random-index takes
-    def gathers(key):
+    def gathers(dataset, key):
         def epoch(c, k):
             perm = jax.random.permutation(k, n_data)
             def mb(c, idx):
@@ -82,7 +84,7 @@ def main():
             return c, None
         c, _ = jax.lax.scan(epoch, 0.0, jax.random.split(key, cfg.epochs))
         return c
-    t = timeit(jax.jit(gathers), key)
+    t = timeit(jax.jit(gathers), dataset, key)
     print(f"C 16 random gathers only:     {t*1e3:8.1f} ms", flush=True)
 
 
