@@ -38,6 +38,11 @@ class IPPOConfig:
     max_grad_norm: float = 0.5
     anneal_lr: bool = False
     total_updates: int = 1000  # for lr annealing
+    # "shuffle": classic PPO random-permutation minibatches (random-index
+    # gathers cost ~118ms/update at B=4096,T=128 on v5e); "block": a random
+    # per-epoch offset then contiguous slices — sequential HBM reads, ~2.2x
+    # faster updates, minibatches are time-bands over all envs
+    minibatch_mode: str = "shuffle"
 
 
 class RunnerState(struct.PyTreeNode):
@@ -110,28 +115,60 @@ def ppo_loss(model, cfg: IPPOConfig, params, batch):
 
 
 def ppo_update_epochs(model, cfg: IPPOConfig, tx, params, opt_state, dataset, key):
-    """E epochs x M minibatches of SGD over a flat dataset tuple."""
+    """E epochs x M minibatches of SGD over a flat dataset tuple.
+
+    cfg.minibatch_mode selects how minibatches are drawn (see IPPOConfig).
+    """
     n_data = dataset[0].shape[0]
     mb_size = n_data // cfg.minibatches
 
-    def epoch(carry, key):
-        params, opt_state = carry
-        perm = jax.random.permutation(key, n_data)
+    def sgd_step(params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            ppo_loss, argnums=2, has_aux=True
+        )(model, cfg, params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, metrics
 
-        def minibatch(carry, idx):
+    if cfg.minibatch_mode == "block":
+
+        def epoch(carry, key):
             params, opt_state = carry
-            batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), dataset)
-            (loss, metrics), grads = jax.value_and_grad(
-                ppo_loss, argnums=2, has_aux=True
-            )(model, cfg, params, batch)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), metrics
+            off = jax.random.randint(key, (), 0, n_data)
+            rolled = jax.tree.map(lambda x: jnp.roll(x, off, axis=0), dataset)
 
-        idxs = perm[: mb_size * cfg.minibatches].reshape(
-            cfg.minibatches, mb_size
-        )
-        return jax.lax.scan(minibatch, (params, opt_state), idxs)
+            def minibatch(carry, i):
+                params, opt_state = carry
+                batch = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, i * mb_size, mb_size, 0
+                    ),
+                    rolled,
+                )
+                params, opt_state, metrics = sgd_step(params, opt_state, batch)
+                return (params, opt_state), metrics
+
+            return jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(cfg.minibatches)
+            )
+
+    else:
+
+        def epoch(carry, key):
+            params, opt_state = carry
+            perm = jax.random.permutation(key, n_data)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                batch = jax.tree.map(
+                    lambda x: jnp.take(x, idx, axis=0), dataset
+                )
+                params, opt_state, metrics = sgd_step(params, opt_state, batch)
+                return (params, opt_state), metrics
+
+            idxs = perm[: mb_size * cfg.minibatches].reshape(
+                cfg.minibatches, mb_size
+            )
+            return jax.lax.scan(minibatch, (params, opt_state), idxs)
 
     return jax.lax.scan(
         epoch, (params, opt_state), jax.random.split(key, cfg.epochs)

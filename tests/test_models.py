@@ -90,3 +90,18 @@ def test_dryrun_multichip_8_devices():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_block_minibatch_mode_trains():
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = IPPOConfig(
+        n_envs=8, rollout_len=8, epochs=2, minibatches=2, minibatch_mode="block"
+    )
+    runner, model, tx = init_runner(env, cfg, jax.random.key(0))
+    ts = jax.jit(build_train_step(env, model, tx, cfg))
+    new_runner, metrics = ts(runner)
+    assert np.isfinite(float(metrics["pg_loss"]))
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), runner.params, new_runner.params
+    )
+    assert max(jax.tree.leaves(diffs)) > 0

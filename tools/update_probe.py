@@ -17,13 +17,17 @@ import numpy as np
 
 
 def timeit(fn, *args, n=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # fetch a leaf value to host: block_until_ready resolves at enqueue on
+    # this backend, so only a host fetch proves completion
+    def sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(np.asarray(leaf).reshape(-1)[0])
+
+    sync(fn(*args))
     best = 1e9
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -86,6 +90,42 @@ def main():
         return c
     t = timeit(jax.jit(gathers), dataset, key)
     print(f"C 16 random gathers only:     {t*1e3:8.1f} ms", flush=True)
+
+    # D: update with contiguous-block minibatches (no permutation gather):
+    # minibatch m = dataset[m::M] strided view? No — contiguous slices with a
+    # random per-epoch offset (roll), sequential HBM reads
+    def block_update(params, opt_state, dataset, key):
+        n_mb = cfg.minibatches
+        mb = n_data // n_mb
+
+        def epoch(carry, k):
+            params, opt_state = carry
+            off = jax.random.randint(k, (), 0, n_data)
+            rolled = jax.tree.map(lambda x: jnp.roll(x, off, axis=0), dataset)
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                b = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb, 0),
+                    rolled,
+                )
+                (loss, metrics), grads = jax.value_and_grad(
+                    ppo_loss, argnums=2, has_aux=True
+                )(model, cfg, params, b)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            return jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(n_mb)
+            )
+
+        return jax.lax.scan(
+            epoch, (params, opt_state), jax.random.split(key, cfg.epochs)
+        )
+
+    t = timeit(jax.jit(block_update), params, opt_state, dataset, key)
+    print(f"D block-minibatch update 4x4: {t*1e3:8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

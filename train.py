@@ -27,6 +27,11 @@ def parse_args():
         help="policy network (gru = recurrent IPPO; ippo only)",
     )
     p.add_argument(
+        "--minibatch-mode", choices=["shuffle", "block"], default="shuffle",
+        help="PPO minibatching: block = contiguous random-offset slices "
+        "(~2x faster updates on TPU; time-band minibatches)",
+    )
+    p.add_argument(
         "--collect", choices=["xla", "pallas"], default="xla",
         help="experience collector: pallas = fused in-kernel obs+policy+env "
         "(TPU only, mlp ippo only)",
