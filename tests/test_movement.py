@@ -290,3 +290,61 @@ def test_vmap_step_matches_single():
         np.testing.assert_array_equal(
             np.asarray(batched.obs[b]), np.asarray(single.obs)
         )
+
+
+def test_loaded_head_on_swap_blocks_both():
+    # loaded variant of the head-on swap (ref: test_movement.py:168-245)
+    layout = """
+.....
+.x.x.
+....g
+"""
+    cfg = WarehouseConfig(n_agents=2, request_queue_size=1, layout=layout)
+    env = rware_tpu.make(cfg)
+    # ADJACENT loaded agents facing each other: a true head-on swap
+    state = make_state(
+        cfg, [(1, 0, RIGHT), (2, 0, LEFT)], carrying=[0, 1]
+    )
+    res = step_env(env, state, [FWD, FWD])
+    assert positions(res.state) == [(1, 0), (2, 0)]
+    # carried shelves stayed with their agents
+    assert int(res.state.shelf_x[0]) == 1 and int(res.state.shelf_x[1]) == 2
+
+
+def test_loaded_chain_moves_together():
+    layout = """
+......
+.x.x..
+.....g
+"""
+    cfg = WarehouseConfig(n_agents=2, request_queue_size=1, layout=layout)
+    env = rware_tpu.make(cfg)
+    state = make_state(
+        cfg, [(1, 0, RIGHT), (2, 0, RIGHT)], carrying=[0, 1]
+    )
+    res = step_env(env, state, [FWD, FWD])
+    assert positions(res.state) == [(2, 0), (3, 0)]
+    assert int(res.state.shelf_x[0]) == 2
+    assert int(res.state.shelf_x[1]) == 3
+
+
+def test_rotation_while_carrying_keeps_shelf():
+    env = open_env(1)
+    state = make_state(env.config, [(2, 2, UP)], carrying=[0])
+    res = step_env(env, state, [int(Action.RIGHT)])
+    assert int(res.state.agent_dir[0]) == int(RIGHT)
+    assert int(res.state.shelf_x[0]) == 2 and int(res.state.shelf_y[0]) == 2
+
+
+def test_unloaded_swap_under_shelves_blocked():
+    # two unloaded agents under adjacent shelves trying to swap still block
+    layout = """
+.....
+.xx..
+....g
+"""
+    cfg = WarehouseConfig(n_agents=2, request_queue_size=1, layout=layout)
+    env = rware_tpu.make(cfg)
+    state = make_state(cfg, [(1, 1, RIGHT), (2, 1, LEFT)])
+    res = step_env(env, state, [FWD, FWD])
+    assert positions(res.state) == [(1, 1), (2, 1)]
