@@ -83,6 +83,9 @@ def run_with_recovery(
     """
     restarts = 0
     u = int(np.asarray(runner.update_idx))
+    if checkpointer is not None and checkpointer.latest_step is None:
+        # anchor checkpoint so recovery works before the first periodic save
+        checkpointer.save(u, runner)
     while u < n_updates:
         try:
             runner, metrics = train_step(runner)

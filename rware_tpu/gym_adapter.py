@@ -39,7 +39,7 @@ from rware_tpu.types import (
 class GymWarehouse(gym.Env):
     """Stateful Gymnasium view of the TPU-native warehouse."""
 
-    metadata = {"render_modes": ["human", "rgb_array"], "render_fps": 20}
+    metadata = {"render_modes": ["human", "rgb_array"], "render_fps": 10}
 
     #: positional parameter order of the reference constructor
     #: (rware/warehouse.py:146-170) for drop-in compatibility.
@@ -76,7 +76,16 @@ class GymWarehouse(gym.Env):
             # whose configs are invalid — the reference registers some, e.g.
             # rware-tiny-17ag-easy-v2 wanting more requests than shelves —
             # fail at construction, matching the reference's reset-time crash.
-            config = parse_env_id(env_id) if env_id else WarehouseConfig(**kwargs)
+            # Extra kwargs override the id's config, so
+            # gym.make("rware-...-v2", max_steps=1000) works like upstream.
+            if env_id:
+                config = parse_env_id(env_id)
+                if kwargs:
+                    import dataclasses
+
+                    config = dataclasses.replace(config, **kwargs)
+            else:
+                config = WarehouseConfig(**kwargs)
         elif kwargs or env_id:
             raise TypeError("Pass either a config or kwargs, not both")
         self._env = Warehouse(config)
@@ -236,9 +245,10 @@ class GymWarehouse(gym.Env):
 
     def reset(self, *, seed: Optional[int] = None, options=None):
         super().reset(seed=seed)
+        pending = getattr(self, "_pending_seed", None)
+        self._pending_seed = None  # a stored legacy seed applies exactly once
         if seed is None:
-            seed = getattr(self, "_pending_seed", None)
-            self._pending_seed = None
+            seed = pending
         if seed is None:
             seed = int(self.np_random.integers(0, 2**31 - 1))
         state, obs = self._env.reset(jax.random.key(seed))
@@ -324,8 +334,16 @@ class GymWarehouse(gym.Env):
         """Global layer-stack view (reference: rware/warehouse.py:966-1040):
         cached until the state changes, optional centre-pad to a target shape."""
         if self._global_image_cache is None or recompute:
-            fn = build_global_layers_fn(self.config, tuple(image_layers))
-            img = np.asarray(jax.jit(fn)(self._state))
+            # jit cache is keyed per layers-tuple: repeated calls after state
+            # changes reuse the compiled program instead of re-tracing
+            layers = tuple(image_layers)
+            if not hasattr(self, "_global_image_fns"):
+                self._global_image_fns = {}
+            if layers not in self._global_image_fns:
+                self._global_image_fns[layers] = jax.jit(
+                    build_global_layers_fn(self.config, layers)
+                )
+            img = np.asarray(self._global_image_fns[layers](self._state))
             if pad_to_shape is not None:
                 # Reference semantics (warehouse.py:1022-1039): zip the target
                 # shape against leading axes of (C, H, W); before = floor,

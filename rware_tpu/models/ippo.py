@@ -223,71 +223,24 @@ def build_train_step(
     cfg: IPPOConfig,
 ) -> Callable[[RunnerState], Tuple[RunnerState, dict]]:
     """Returns the fully fused ``train_step(runner) -> (runner, metrics)``."""
+    from rware_tpu.parallel.rollout import autoreset_select
+
     step_fn = jax.vmap(env._step_fn)
     reset_fn = env._reset_fn
     obs_fn = env._obs_fn
-    n_agents = env.n_agents
 
     def collect(carry, key):
         params, env_states, obs = carry
-        k_act, k_step = jax.random.split(key)
+        k_act, _ = jax.random.split(key)
         logits, value = model.apply(params, obs)
         action, logp = sample_action(k_act, logits)
         res = step_fn(env_states, action)
-        # auto-reset finished envs (vmapped over the done flag)
-        def autoreset(state, done):
-            reset_key, carry_key = jax.random.split(state.key)
-            fresh = reset_fn(reset_key).replace(key=carry_key)
-            return jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, state)
-
-        next_states = jax.vmap(autoreset)(res.state, res.done)
+        next_states = jax.vmap(
+            lambda s, d: autoreset_select(reset_fn, s, d)
+        )(res.state, res.done)
         next_obs = jax.vmap(obs_fn)(next_states)
         t = Transition(obs, action, logp, value, res.rewards, res.done)
         return (params, next_states, next_obs), t
-
-    def gae(traj: Transition, last_value: jax.Array):
-        # done masks bootstrap: (T, B) -> broadcast over agents
-        def body(carry, t):
-            gae_t, next_value = carry
-            not_done = 1.0 - t.done.astype(jnp.float32)[:, None]
-            delta = t.reward + cfg.gamma * next_value * not_done - t.value
-            gae_t = delta + cfg.gamma * cfg.gae_lambda * not_done * gae_t
-            return (gae_t, t.value), gae_t
-
-        (_, _), advantages = jax.lax.scan(
-            body,
-            (jnp.zeros_like(last_value), last_value),
-            traj,
-            reverse=True,
-        )
-        return advantages, advantages + traj.value
-
-    def loss_fn(params, batch):
-        obs, action, old_logp, old_value, adv, target = batch
-        logits, value = model.apply(params, obs)
-        logp_all = jax.nn.log_softmax(logits)
-        logp = jnp.take_along_axis(logp_all, action[..., None], -1).squeeze(-1)
-        ratio = jnp.exp(logp - old_logp)
-        adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
-        pg1 = ratio * adv_norm
-        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
-        pg_loss = -jnp.minimum(pg1, pg2).mean()
-
-        v_clipped = old_value + jnp.clip(
-            value - old_value, -cfg.clip_eps, cfg.clip_eps
-        )
-        v_loss = 0.5 * jnp.maximum(
-            (value - target) ** 2, (v_clipped - target) ** 2
-        ).mean()
-
-        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
-        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
-        return total, {
-            "pg_loss": pg_loss,
-            "v_loss": v_loss,
-            "entropy": entropy,
-            "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
-        }
 
     def train_step(runner: RunnerState) -> Tuple[RunnerState, dict]:
         key, k_roll, k_perm = jax.random.split(runner.key, 3)
@@ -298,10 +251,12 @@ def build_train_step(
             collect, (runner.params, runner.env_states, runner.obs), roll_keys
         )
         _, last_value = model.apply(params, obs)
-        advantages, targets = gae(traj, last_value)
+        advantages, targets = compute_gae(
+            cfg, traj.reward, traj.value, traj.done, last_value
+        )
 
-        # --- flatten (T, B, N) -> (T*B*N is wasteful for obs gathers; keep
-        # (T*B, N, L) so the agent axis stays a batch axis of the matmul).
+        # --- flatten (T, B, N) -> (T*B, N, ...): the agent axis stays a
+        # batch axis of the matmul.
         def flat(x):
             return x.reshape((cfg.rollout_len * cfg.n_envs,) + x.shape[2:])
 
@@ -313,32 +268,8 @@ def build_train_step(
             flat(advantages),
             flat(targets),
         )
-
-        n_data = cfg.rollout_len * cfg.n_envs
-        mb_size = n_data // cfg.minibatches
-
-        def epoch(carry, key):
-            params, opt_state = carry
-            perm = jax.random.permutation(key, n_data)
-
-            def minibatch(carry, idx):
-                params, opt_state = carry
-                batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), dataset)
-                (loss, metrics), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, batch)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), metrics
-
-            idxs = perm[: mb_size * cfg.minibatches].reshape(
-                cfg.minibatches, mb_size
-            )
-            return jax.lax.scan(minibatch, (params, opt_state), idxs)
-
-        epoch_keys = jax.random.split(k_perm, cfg.epochs)
-        (params, opt_state), metrics = jax.lax.scan(
-            epoch, (runner.params, runner.opt_state), epoch_keys
+        (params, opt_state), metrics = ppo_update_epochs(
+            model, cfg, tx, runner.params, runner.opt_state, dataset, k_perm
         )
 
         mean_reward = traj.reward.sum() / cfg.n_envs

@@ -69,9 +69,19 @@ def build_pallas_train_step(
     )
     obs_fn = jax.vmap(env._obs_fn)
 
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    # the kernel consumes one PRNG stream per (env-block, time-chunk); a
+    # stride of update_idx * streams_per_update keeps streams disjoint
+    # across the whole run (a uniformly random per-update seed would
+    # birthday-collide at scale)
+    streams_per_update = (cfg.n_envs // ENV_BLOCK) * max(
+        1, cfg.rollout_len // _pick_tc_len(cfg.rollout_len)
+    )
+
     def train_step(runner: RunnerState) -> Tuple[RunnerState, dict]:
-        key, k_seed, k_perm = jax.random.split(runner.key, 3)
-        seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+        key, k_perm = jax.random.split(runner.key, 2)
+        seed = runner.update_idx * jnp.int32(streams_per_update)
 
         env_states, traj = collect(runner.env_states, runner.params, seed)
 

@@ -118,13 +118,11 @@ def build_seac_train_step(
         logits, _ = apply_own(params, obs)  # (B, N, A)
         action, logp = sample_action(k_act, logits)
         res = step_fn(env_states, action)
+        from rware_tpu.parallel.rollout import autoreset_select
 
-        def autoreset(state, done):
-            rk, ck = jax.random.split(state.key)
-            fresh = reset_fn(rk).replace(key=ck)
-            return jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, state)
-
-        next_states = jax.vmap(autoreset)(res.state, res.done)
+        next_states = jax.vmap(
+            lambda s, d: autoreset_select(reset_fn, s, d)
+        )(res.state, res.done)
         next_obs = jax.vmap(obs_fn)(next_states)
         return (params, next_states, next_obs), SEACTransition(
             obs, action, logp, res.rewards, res.done

@@ -1,5 +1,6 @@
 from rware_tpu.parallel.rollout import (
     Trajectory,
+    autoreset_select,
     batched_reset,
     build_batched_rollout_fn,
     build_rollout_fn,
@@ -17,6 +18,7 @@ from rware_tpu.parallel.sharding import (
 __all__ = [
     "ENV_AXIS",
     "Trajectory",
+    "autoreset_select",
     "batched_reset",
     "build_batched_rollout_fn",
     "build_rollout_fn",

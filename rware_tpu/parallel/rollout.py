@@ -29,6 +29,18 @@ class Trajectory(NamedTuple):
     info: dict
 
 
+def autoreset_select(reset_fn, state, done):
+    """Replace a single env's state with a fresh reset where ``done``.
+
+    The canonical on-device autoreset: split the env's own key stream, draw
+    the fresh state, and select leaf-wise.  vmap for a batch.  Shared by the
+    rollout helpers and every learner.
+    """
+    reset_key, carry_key = jax.random.split(state.key)
+    fresh = reset_fn(reset_key).replace(key=carry_key)
+    return jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, state)
+
+
 def random_policy(env: Warehouse) -> Callable:
     """(key, obs) -> uniform random actions, matching env action layout."""
 
@@ -63,11 +75,7 @@ def build_rollout_fn(
         res: StepResult = step_fn(state, actions)
         next_state, next_obs = res.state, res.obs
         if autoreset:
-            reset_key, carry_key = jax.random.split(res.state.key)
-            fresh = reset_fn(reset_key).replace(key=carry_key)
-            next_state = jax.tree.map(
-                lambda a, b: jnp.where(res.done, a, b), fresh, res.state
-            )
+            next_state = autoreset_select(reset_fn, res.state, res.done)
             next_obs = jax.tree.map(
                 lambda a, b: jnp.where(res.done, a, b), obs_fn(next_state), res.obs
             )
