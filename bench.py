@@ -33,7 +33,14 @@ def _ensure_backend():
         jax.devices()
 
 
-REF_TINY_2AG_STEPS_PER_SEC = 2330.0  # BASELINE.md, measured on this container
+# Reference single-process CPU throughput per config (BASELINE.md, measured
+# on this container); vs_baseline uses the matching config or null.
+REF_STEPS_PER_SEC = {
+    "rware-tiny-2ag-v2": 2330.0,
+    "rware-small-4ag-v2": 1680.0,
+    "rware-medium-6ag-v2": 1090.0,
+    "rware-large-8ag-v2": 780.0,
+}
 
 
 def main():
@@ -160,6 +167,7 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     steps_per_sec = B * T / best
+    ref = REF_STEPS_PER_SEC.get(args.env)
     print(
         json.dumps(
             {
@@ -168,7 +176,7 @@ def main():
                 f"{jax.devices()[0].device_kind})",
                 "value": round(steps_per_sec, 1),
                 "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_sec / REF_TINY_2AG_STEPS_PER_SEC, 1),
+                "vs_baseline": round(steps_per_sec / ref, 1) if ref else None,
             }
         )
     )

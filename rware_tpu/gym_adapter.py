@@ -54,6 +54,12 @@ class GymWarehouse(gym.Env):
         "max_inactivity_steps",
         "max_steps",
         "reward_type",
+        "layout",
+        "observation_type",
+        "image_observation_layers",
+        "image_observation_directional",
+        "normalised_coordinates",
+        "render_mode",
     )
 
     def __init__(
@@ -67,6 +73,11 @@ class GymWarehouse(gym.Env):
             # reference-style positional construction:
             # Warehouse(shelf_columns, column_height, ..., reward_type, **kw)
             pos = (config,) + args
+            if len(pos) > len(self._REF_PARAM_ORDER):
+                raise TypeError(
+                    f"Warehouse takes at most {len(self._REF_PARAM_ORDER)} "
+                    f"positional arguments ({len(pos)} given)"
+                )
             kwargs.update(zip(self._REF_PARAM_ORDER, pos))
             config = None
         elif args:

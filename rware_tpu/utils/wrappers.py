@@ -46,7 +46,13 @@ class FlattenAgents(gym.Wrapper):
 
     def step(self, action):
         n = self.unwrapped.n_agents
-        action = np.asarray(action).reshape(n, -1).squeeze(-1) if np.ndim(action) else [action]
+        if np.ndim(action):
+            # per-agent slices keep width 1+msg_bits (reference uses
+            # np.split, rware/utils/wrappers.py:33); squeeze only scalars
+            action = [np.squeeze(a) if a.size == 1 else a
+                      for a in np.split(np.asarray(action), n)]
+        else:
+            action = [action]
         observation, reward, done, truncated, info = super().step(list(action))
         return self._flatten(observation), float(np.sum(reward)), done, truncated, info
 

@@ -162,3 +162,36 @@ def test_register_full_variants():
     assert obs[0].shape == (8 + 49 * 7,)
     env2 = gym.make("rware-small-12h-4ag-easy-v2", disable_env_checker=True)
     assert env2.unwrapped.grid_size == (28, 10)
+
+
+def test_reference_positional_extras():
+    """Positionals 11+ (layout, observation_type, ...) map like the
+    reference signature (rware/warehouse.py:146-170); overflow raises."""
+    from rware_tpu.gym_adapter import GymWarehouse
+    from rware_tpu.types import RewardType
+
+    env = GymWarehouse(
+        3, 8, 1, 2, 0, 1, 2, None, 500, RewardType.INDIVIDUAL,
+        None, ObservationType.DICT,
+    )
+    assert env.config.observation_type == ObservationType.DICT
+    with pytest.raises(TypeError):
+        GymWarehouse(
+            3, 8, 1, 2, 0, 1, 2, None, 500, RewardType.INDIVIDUAL,
+            None, ObservationType.DICT, None, True, False, None, 99,
+        )
+
+
+def test_flatten_agents_msg_bits_action():
+    """FlattenAgents splits joint actions into (1+msg_bits)-wide slices
+    (reference np.split semantics, rware/utils/wrappers.py:33)."""
+    from rware_tpu.gym_adapter import GymWarehouse
+    from rware_tpu.types import RewardType
+
+    env = FlattenAgents(
+        GymWarehouse(3, 8, 1, 2, 2, 1, 2, None, 500, RewardType.INDIVIDUAL)
+    )
+    env.reset(seed=0)
+    joint = np.zeros(2 * 3, dtype=np.int64)  # 2 agents x (action + 2 bits)
+    obs, rew, done, trunc, info = env.step(joint)
+    assert np.isscalar(rew) or np.ndim(rew) == 0

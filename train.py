@@ -84,6 +84,7 @@ def main():
             rollout_len=args.rollout_len or 128,
             lr=args.lr,
             ent_coef=args.ent_coef,
+            minibatch_mode=args.minibatch_mode,
         )
         runner, model, tx = init_rnn_runner(env, cfg, key)
         train_step = jax.jit(build_rnn_train_step(env, model, tx, cfg))
@@ -96,6 +97,7 @@ def main():
             rollout_len=args.rollout_len or 128,
             lr=args.lr,
             ent_coef=args.ent_coef,
+            minibatch_mode=args.minibatch_mode,
         )
         runner, model, tx = init_runner(env, cfg, key)
         if args.collect == "pallas" and jax.devices()[0].platform == "cpu":
