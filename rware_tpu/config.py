@@ -117,3 +117,15 @@ class WarehouseConfig:
         return self.obs_bits_for_self + self.n_sensor_cells * (
             self.obs_bits_per_agent + self.obs_bits_per_shelf
         )
+
+    @property
+    def policy_obs_length(self) -> int:
+        """Per-agent policy input width: the FLATTENED vector length, or the
+        flattened (C, w2, w2) image stack for IMAGE/IMAGE_DICT configs (the
+        learner stack feeds MLPs a flat vector either way)."""
+        if self.observation_type in (
+            ObservationType.IMAGE,
+            ObservationType.IMAGE_DICT,
+        ):
+            return len(self.image_observation_layers) * self.n_sensor_cells
+        return self.flattened_obs_length

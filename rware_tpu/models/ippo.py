@@ -65,6 +65,26 @@ class Transition(NamedTuple):
     done: jax.Array  # (B,)
 
 
+def policy_obs_fn(env: Warehouse):
+    """Per-env observation as flat (N, L) vectors for the MLP learners.
+
+    FLATTENED/DICT configs pass through; IMAGE/IMAGE_DICT configs flatten
+    the (N, C, w2, w2) window stack (IMAGE_DICT's 6 self-features are not
+    fed to the policy — matching the in-kernel collector).  L =
+    config.policy_obs_length either way.
+    """
+    from rware_tpu.types import ObservationType
+
+    obs_fn = env._obs_fn
+    ot = env.config.observation_type
+    n = env.n_agents
+    if ot == ObservationType.IMAGE:
+        return lambda s: obs_fn(s).reshape(n, -1)
+    if ot == ObservationType.IMAGE_DICT:
+        return lambda s: obs_fn(s)["image"].reshape(n, -1)
+    return obs_fn
+
+
 def compute_gae(cfg: IPPOConfig, rewards, values, dones, last_value):
     """GAE over a (T, B, N) trajectory with (T, B) done masks."""
 
@@ -198,13 +218,13 @@ def init_runner(
     if model is None:
         model = ActorCritic(n_actions=env.n_actions)
     k_param, k_env, k_run = jax.random.split(key, 3)
-    obs_dim = env.config.flattened_obs_length
+    obs_dim = env.config.policy_obs_length
     params = model.init(k_param, jnp.zeros((1, env.n_agents, obs_dim)))
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
     env_keys = jax.random.split(k_env, cfg.n_envs)
     env_states = jax.vmap(env._reset_fn)(env_keys)
-    obs = jax.vmap(env._obs_fn)(env_states)
+    obs = jax.vmap(policy_obs_fn(env))(env_states)
     runner = RunnerState(
         params=params,
         opt_state=opt_state,
@@ -227,7 +247,7 @@ def build_train_step(
 
     step_fn = jax.vmap(env._step_fn)
     reset_fn = env._reset_fn
-    obs_fn = env._obs_fn
+    obs_fn = policy_obs_fn(env)
 
     def collect(carry, key):
         params, env_states, obs = carry

@@ -52,14 +52,16 @@ def init_rnn_runner(
     if model is None:
         model = RecurrentActorCritic(n_actions=env.n_actions)
     k_param, k_env, k_run = jax.random.split(key, 3)
-    obs_dim = env.config.flattened_obs_length
+    obs_dim = env.config.policy_obs_length
     carry0 = model.initialize_carry((1, env.n_agents))
     params = model.init(
         k_param, carry0, jnp.zeros((1, env.n_agents, obs_dim))
     )
     tx = make_optimizer(cfg)
     env_states = jax.vmap(env._reset_fn)(jax.random.split(k_env, cfg.n_envs))
-    obs = jax.vmap(env._obs_fn)(env_states)
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    obs = jax.vmap(policy_obs_fn(env))(env_states)
     runner = RNNRunnerState(
         params=params,
         opt_state=tx.init(params),
@@ -80,7 +82,9 @@ def build_rnn_train_step(
 ) -> Callable[[RNNRunnerState], Tuple[RNNRunnerState, dict]]:
     step_fn = jax.vmap(env._step_fn)
     reset_fn = env._reset_fn
-    obs_fn = env._obs_fn
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    obs_fn = policy_obs_fn(env)
 
     def collect(carry_state, key):
         params, env_states, obs, carry = carry_state

@@ -67,7 +67,7 @@ def init_seac(
     if model is None:
         model = ActorCritic(n_actions=env.n_actions)
     n = env.n_agents
-    obs_dim = env.config.flattened_obs_length
+    obs_dim = env.config.policy_obs_length
     k_par, k_env, k_run = jax.random.split(key, 3)
     # independent init per agent: stacked params with leading agent axis
     params = jax.vmap(
@@ -79,7 +79,9 @@ def init_seac(
     )
     opt_state = tx.init(params)
     env_states = jax.vmap(env._reset_fn)(jax.random.split(k_env, cfg.n_envs))
-    obs = jax.vmap(env._obs_fn)(env_states)
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    obs = jax.vmap(policy_obs_fn(env))(env_states)
     return (
         SEACRunner(
             params=params,
@@ -102,7 +104,9 @@ def build_seac_train_step(
 ) -> Callable[[SEACRunner], Tuple[SEACRunner, dict]]:
     step_fn = jax.vmap(env._step_fn)
     reset_fn = env._reset_fn
-    obs_fn = env._obs_fn
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    obs_fn = policy_obs_fn(env)
     n = env.n_agents
 
     def apply_own(params, obs):
@@ -221,6 +225,237 @@ def build_seac_train_step(
                 update_idx=runner.update_idx + 1,
             ),
             metrics,
+        )
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# SEAC-PPO: the shared-experience objective on a PPO trust region.
+#
+# The paper's 5-step A2C needs tens of millions of steps before the sparse
+# delivery reward registers (its Table 2 budgets); on TPU the long-rollout
+# PPO machinery is nearly free, so this variant keeps SEAC's defining
+# structure — per-agent parameters, each agent learning from every agent's
+# experience with importance weighting — but replaces the plain policy
+# gradient with the clipped surrogate: for agent i on agent j's data the
+# ratio pi_i_new(a_j|o_j) / pi_j_behaviour(a_j|o_j) IS the SEAC importance
+# weight, and clipping it bounds the off-policy correction exactly where
+# SEAC truncates w_ij.  This is the learner validated to improve reward
+# (BASELINE.md, SEAC learning validation).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SEACPPOConfig:
+    n_envs: int = 1024
+    rollout_len: int = 128
+    epochs: int = 4
+    minibatches: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    seac_lambda: float = 1.0
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 3e-4
+    max_grad_norm: float = 0.5
+
+
+def init_seac_ppo(
+    env: Warehouse,
+    cfg: SEACPPOConfig,
+    key: jax.Array,
+    model: Optional[ActorCritic] = None,
+):
+    """Same runner layout as init_seac (stacked per-agent params)."""
+    base = SEACConfig(
+        n_envs=cfg.n_envs, rollout_len=cfg.rollout_len, lr=cfg.lr,
+        max_grad_norm=cfg.max_grad_norm,
+    )
+    return init_seac(env, base, key, model)
+
+
+def build_seac_ppo_train_step(
+    env: Warehouse,
+    model: ActorCritic,
+    tx: optax.GradientTransformation,
+    cfg: SEACPPOConfig,
+) -> Callable[[SEACRunner], Tuple[SEACRunner, dict]]:
+    step_fn = jax.vmap(env._step_fn)
+    reset_fn = env._reset_fn
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    obs_fn = policy_obs_fn(env)
+    n = env.n_agents
+    eye = jnp.eye(n)  # (N_i, N_j)
+
+    def apply_own(params, obs):
+        return jax.vmap(
+            lambda p, o: model.apply(p, o), in_axes=(0, 1), out_axes=1
+        )(params, obs)
+
+    def collect(carry, key):
+        params, env_states, obs = carry
+        k_act, _ = jax.random.split(key)
+        logits, _ = apply_own(params, obs)
+        action, logp = sample_action(k_act, logits)
+        res = step_fn(env_states, action)
+        from rware_tpu.parallel.rollout import autoreset_select
+
+        next_states = jax.vmap(
+            lambda s, d: autoreset_select(reset_fn, s, d)
+        )(res.state, res.done)
+        next_obs = jax.vmap(obs_fn)(next_states)
+        return (params, next_states, next_obs), SEACTransition(
+            obs, action, logp, res.rewards, res.done
+        )
+
+    def cross_logp(logits_cross, action):
+        # logits (..., N_i, N_j, A), action (..., N_j) -> (..., N_i, N_j)
+        lsm = jax.nn.log_softmax(logits_cross)
+        return jnp.take_along_axis(
+            lsm, action[..., None, :, None], axis=-1
+        ).squeeze(-1), lsm
+
+    def minibatch_loss(params, batch):
+        obs, action, behav_logp, old_value, adv, target = batch
+        # obs (M, N, L) -> cross forward (M, N_i, N_j, ...)
+        logits_cross, values_cross = jax.vmap(
+            lambda p: model.apply(p, obs), out_axes=1
+        )(params)
+        logp_cross, lsm = cross_logp(logits_cross, action)
+
+        # ratio of agent i's policy to the BEHAVIOUR policy that produced
+        # the sample (agent j's old policy): the SEAC importance weight
+        ratio = jnp.exp(logp_cross - behav_logp[:, None, :])
+        adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv_norm
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
+        surr = -jnp.minimum(pg1, pg2)  # (M, N_i, N_j)
+
+        weight = eye + cfg.seac_lambda * (1.0 - eye)
+        pg_loss = (surr * weight).sum(-1).mean()
+
+        v_clipped = old_value + jnp.clip(
+            values_cross - old_value, -cfg.clip_eps, cfg.clip_eps
+        )
+        v_err = jnp.maximum(
+            (values_cross - target) ** 2, (v_clipped - target) ** 2
+        )
+        v_loss = 0.5 * (v_err * weight).sum(-1).mean()
+
+        # entropy of each agent's own policy (the i == j diagonal)
+        probs = jnp.exp(lsm)
+        ent_map = -(probs * lsm).sum(-1)  # (M, N_i, N_j)
+        entropy = jnp.diagonal(ent_map, axis1=1, axis2=2).mean()
+
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        own_ratio = jnp.diagonal(ratio, axis1=1, axis2=2)
+        return total, {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "approx_kl": ((own_ratio - 1) - jnp.log(own_ratio)).mean(),
+        }
+
+    def train_step(runner: SEACRunner) -> Tuple[SEACRunner, dict]:
+        key, k_roll, k_perm = jax.random.split(runner.key, 3)
+        roll_keys = jax.random.split(k_roll, cfg.rollout_len)
+        (params, env_states, obs), traj = jax.lax.scan(
+            collect, (runner.params, runner.env_states, runner.obs), roll_keys
+        )
+
+        # old-policy cross evaluation for advantages/targets/old values
+        logits_cross, values_cross = jax.vmap(
+            lambda p: model.apply(p, traj.obs), out_axes=2
+        )(params)  # (T, B, N_i, N_j, ...)
+        _, last_values_cross = jax.vmap(
+            lambda p: model.apply(p, obs), out_axes=1
+        )(params)  # (B, N_i, N_j)
+
+        not_done = 1.0 - traj.done.astype(jnp.float32)  # (T, B)
+
+        def gae_body(carry, xs):
+            g, next_v = carry
+            v, r, nd = xs
+            delta = r[:, None, :] + cfg.gamma * next_v * nd[:, None, None] - v
+            g = delta + cfg.gamma * cfg.gae_lambda * nd[:, None, None] * g
+            return (g, v), g
+
+        (_, _), adv_cross = jax.lax.scan(
+            gae_body,
+            (jnp.zeros_like(last_values_cross), last_values_cross),
+            (values_cross, traj.reward, not_done),
+            reverse=True,
+        )  # (T, B, N_i, N_j)
+        target_cross = adv_cross + values_cross
+
+        d = cfg.rollout_len * cfg.n_envs
+
+        def flat(x):
+            return x.reshape((d,) + x.shape[2:])
+
+        dataset = (
+            flat(traj.obs),
+            flat(traj.action),
+            flat(traj.logp),
+            flat(values_cross),
+            flat(adv_cross),
+            flat(target_cross),
+        )
+
+        mb = d // cfg.minibatches
+
+        def sgd_step(params, opt_state, batch):
+            (loss, metrics), grads = jax.value_and_grad(
+                minibatch_loss, has_aux=True
+            )(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, metrics
+
+        def epoch(carry, k):
+            params, opt_state = carry
+            off = jax.random.randint(k, (), 0, d)
+            rolled = jax.tree.map(lambda x: jnp.roll(x, off, axis=0), dataset)
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                batch = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, i * mb, mb, 0
+                    ),
+                    rolled,
+                )
+                params, opt_state, metrics = sgd_step(
+                    params, opt_state, batch
+                )
+                return (params, opt_state), metrics
+
+            return jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(cfg.minibatches)
+            )
+
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch,
+            (params, runner.opt_state),
+            jax.random.split(k_perm, cfg.epochs),
+        )
+        out_metrics = {
+            "reward_per_env": traj.reward.sum() / cfg.n_envs,
+            "episodes_done": traj.done.sum(),
+            **jax.tree.map(lambda x: x.mean(), metrics),
+        }
+        return (
+            SEACRunner(
+                params=params,
+                opt_state=opt_state,
+                env_states=env_states,
+                obs=obs,
+                key=key,
+                update_idx=runner.update_idx + 1,
+            ),
+            out_metrics,
         )
 
     return train_step

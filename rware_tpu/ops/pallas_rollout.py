@@ -154,136 +154,81 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
         ty[i] = jnp.where(cancel, ay[i], ty[i])
 
     # ---- resolver (same rules as ops/resolver.py) -----------------
+    # Stacked (N, SUB, LANE) / pairwise (N, N, SUB, LANE) formulation: the
+    # op COUNT is O(N) (each op over N- or N^2-sized tensors), not the
+    # round-1 O(N^3) per-agent unrolling — compile time stays flat across
+    # the full registered 1..19-agent range while the vector work is
+    # identical.  Dynamic cross-agent selects (successor walk etc.) use
+    # one-hot sums over the leading axis instead of gathers, which Mosaic
+    # cannot lower along untiled axes.
     if st.debug_level >= 5:
-        committed = [acts[i] == Action.FORWARD for i in range(N)]
-    match = [
-        [
-            (tx[i] == ax[j]) & (ty[i] == ay[j])
-            for j in range(N)
-        ]
-        for i in range(N)
-    ]
-    has_next, nxt = [], []
-    for i in range(N):
-        hn = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-        nx = jnp.zeros((SUB, LANE), dtype=jnp.int32)
-        for j in range(N):
-            hn |= match[i][j]
-            nx = jnp.where(match[i][j], j, nx)
-        has_next.append(hn)
-        nxt.append(nx)
+        committed_s = jnp.stack(
+            [acts[i] == Action.FORWARD for i in range(N)]
+        )
+    axs = jnp.stack(ax)  # (N, SUB, LANE)
+    ays = jnp.stack(ay)
+    txs = jnp.stack(tx)
+    tys = jnp.stack(ty)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, SUB, LANE), 0)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (N, N, SUB, LANE), 0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (N, N, SUB, LANE), 1)
+    off_diag = iota_i != iota_j
+
+    # match[i, j]: agent i's target cell is agent j's current cell
+    # (positions are unique, so at most one j per i)
+    match = (txs[:, None] == axs[None, :]) & (tys[:, None] == ays[None, :])
+    match_t = jnp.swapaxes(match, 0, 1)
+    has_next = jnp.any(match, axis=1)  # (N, SUB, LANE)
+    nxt = jnp.sum(jnp.where(match, iota_j, 0), axis=1)
 
     # cycle membership: walk successor pointers N steps
-    on_cycle = [jnp.zeros((SUB, LANE), dtype=jnp.bool_) for _ in range(N)]
-    cur = list(nxt)
-    valid = list(has_next)
+    on_cycle = jnp.zeros((N, SUB, LANE), dtype=jnp.bool_)
+    cur = nxt
+    valid = has_next
     for _ in range(N):
-        for i in range(N):
-            on_cycle[i] |= valid[i] & (cur[i] == i)
-        new_cur, new_valid = [], []
-        for i in range(N):
-            nv = jnp.zeros((SUB, LANE), dtype=jnp.int32)
-            va = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-            for j in range(N):
-                here = cur[i] == j
-                nv = jnp.where(here, nxt[j], nv)
-                va |= here & has_next[j]
-            new_cur.append(nv)
-            new_valid.append(valid[i] & va)
-        cur, valid = new_cur, new_valid
+        on_cycle |= valid & (cur == iota_n)
+        at = cur[:, None] == iota_j  # (Ni, Nj, SUB, LANE): cur[i] == j
+        cur = jnp.sum(jnp.where(at, nxt[None, :], 0), axis=1)
+        valid = valid & jnp.any(at & has_next[None, :], axis=1)
 
-    # head-on swaps
-    two_cycle = []
-    for i in range(N):
-        tc = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-        for j in range(N):
-            if i == j:
-                continue
-            tc |= match[i][j] & match[j][i]
-        two_cycle.append(tc)
+    # head-on swaps poison their whole weak component
+    two_cycle = jnp.any(match & match_t & off_diag, axis=1)
 
-    # weak-component closure over the N x N adjacency
-    shared = [
-        [
-            (tx[i] == tx[j]) & (ty[i] == ty[j])
-            for j in range(N)
-        ]
-        for i in range(N)
-    ]
-    adj = [
-        [
-            shared[i][j] | match[i][j] | match[j][i]
-            if i != j
-            else jnp.ones((SUB, LANE), dtype=jnp.bool_)
-            for j in range(N)
-        ]
-        for i in range(N)
-    ]
-    for _ in range(max(1, (N - 1).bit_length())):
-        adj = [
-            [
-                functools.reduce(
-                    jnp.logical_or,
-                    [adj[i][k] & adj[k][j] for k in range(N)],
-                )
-                for j in range(N)
-            ]
-            for i in range(N)
-        ]
-    comp_poison = [
-        functools.reduce(
-            jnp.logical_or, [adj[i][j] & two_cycle[j] for j in range(N)]
+    # weak-component flags by direct propagation along the adjacency
+    # (diameter <= N - 1 hops)
+    shared = (txs[:, None] == txs[None, :]) & (tys[:, None] == tys[None, :])
+    adj1 = (shared | match | match_t) & off_diag
+    comp_poison = two_cycle
+    comp_cycle = on_cycle
+    for _ in range(max(1, N - 1)):
+        comp_poison = comp_poison | jnp.any(
+            adj1 & comp_poison[None, :], axis=1
         )
-        for i in range(N)
-    ]
-    comp_cycle = [
-        functools.reduce(
-            jnp.logical_or, [adj[i][j] & on_cycle[j] for j in range(N)]
+        comp_cycle = comp_cycle | jnp.any(
+            adj1 & comp_cycle[None, :], axis=1
         )
-        for i in range(N)
-    ]
 
     # longest-chain priority with lowest-index tie-break
-    depth = [jnp.ones((SUB, LANE), dtype=jnp.int32) for _ in range(N)]
+    depth = jnp.ones((N, SUB, LANE), dtype=jnp.int32)
     for _ in range(N):
-        depth = [
-            1
-            + functools.reduce(
-                jnp.maximum,
-                [
-                    jnp.where(match[j][i], depth[j], 0)
-                    for j in range(N)
-                ],
-            )
-            for i in range(N)
-        ]
-    chosen = []
-    for i in range(N):
-        ok = jnp.ones((SUB, LANE), dtype=jnp.bool_)
-        for j in range(N):
-            if i == j:
-                continue
-            beats = (depth[j] < depth[i]) | (
-                (depth[j] == depth[i]) & (j >= i)
-            )
-            ok &= ~shared[i][j] | beats
-        chosen.append(ok)
-    cc = [chosen[i] & ~has_next[i] for i in range(N)]
+        depth = 1 + jnp.max(
+            jnp.where(match_t, depth[None, :], 0), axis=1
+        )
+    beats = (depth[None, :] < depth[:, None]) | (
+        (depth[None, :] == depth[:, None]) & (iota_j >= iota_i)
+    )
+    chosen = jnp.all(
+        ~(shared & off_diag) | beats, axis=1
+    )
+    cc = chosen & ~has_next
     for _ in range(N):
-        cc_new = []
-        for i in range(N):
-            follow = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-            for j in range(N):
-                follow |= (nxt[i] == j) & cc[j]
-            cc_new.append(
-                chosen[i] & (follow | ~has_next[i])
-            )
-        cc = cc_new
+        follow = jnp.any(
+            (nxt[:, None] == iota_j) & cc[None, :], axis=1
+        )
+        cc = chosen & (follow | ~has_next)
     if st.debug_level < 5:
-        committed = [
-            (on_cycle[i] & ~comp_poison[i]) | (cc[i] & ~comp_cycle[i])
-            for i in range(N)
-        ]
+        committed_s = (on_cycle & ~comp_poison) | (cc & ~comp_cycle)
+    committed = [committed_s[i] for i in range(N)]
     acts = [
         jnp.where(committed[i], acts[i], Action.NOOP) for i in range(N)
     ]
@@ -480,24 +425,30 @@ class _Static:
     # perf-bisect switch: 0=full, 1=no autoreset, 2=also no delivery,
     # 3=also no toggle/pre-cancel, 4=movement+resolver only, 5=movement only
     debug_level: int = 0
+    # message bits per agent (rware/warehouse.py:152,809-814): pure state
+    # pass-through for dynamics — set from action columns, cleared on reset
+    m: int = 0
 
 
 def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
-    N, S, R, H, W, T = st.n, st.s, st.r, st.h, st.w, st.t
-    HW = H * W
+    N, S, R, T, M = st.n, st.s, st.r, st.t, st.m
+    AW = 1 + M  # action width per agent: action column + message bits
 
     def kernel(*refs):
         shelf_rows = jax.lax.broadcasted_iota(jnp.int32, (S, SUB, LANE), 0)
-        if st.scripted:
-            (seed_ref, actions_ref, ax_ref, ay_ref, ad_ref, carry_ref, hd_ref,
-             sx_ref, sy_ref, q_ref, inact_ref, steps_ref, slotx_ref, sloty_ref,
-             oax, oay, oad, ocarry, ohd, osx, osy, oq, oinact, osteps,
-             orew, oepis) = refs
-        else:
-            (seed_ref, ax_ref, ay_ref, ad_ref, carry_ref, hd_ref,
-             sx_ref, sy_ref, q_ref, inact_ref, steps_ref, slotx_ref, sloty_ref,
-             oax, oay, oad, ocarry, ohd, osx, osy, oq, oinact, osteps,
-             orew, oepis) = refs
+        refs = list(refs)
+        seed_ref = refs.pop(0)
+        actions_ref = refs.pop(0) if st.scripted else None
+        (ax_ref, ay_ref, ad_ref, carry_ref, hd_ref) = refs[:5]
+        refs = refs[5:]
+        msg_ref = refs.pop(0) if M else None
+        (sx_ref, sy_ref, q_ref, inact_ref, steps_ref,
+         slotx_ref, sloty_ref) = refs[:7]
+        refs = refs[7:]
+        (oax, oay, oad, ocarry, ohd) = refs[:5]
+        refs = refs[5:]
+        omsg = refs.pop(0) if M else None
+        (osx, osy, oq, oinact, osteps, orew, oepis) = refs
 
         if not st.scripted:
             # scripted (validation) mode is RNG-free so it also runs under
@@ -508,7 +459,8 @@ def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
         slots_y = sloty_ref[:]
 
         def one_step(t, carry):
-            ax, ay, ad, carrying, hd_i, sx, sy, q, inact, steps, rew_acc, epis = carry
+            (ax, ay, ad, carrying, hd_i, msg, sx, sy, q, inact, steps,
+             rew_acc, epis) = carry
             # ax..: lists of (1, E); sx/sy: (S, E); q: (R, E) or None.
             # hd is carried as int32 — Mosaic cannot legalize loop-carried
             # i1 vectors — and viewed as bool inside the step.
@@ -517,12 +469,24 @@ def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
             # ---- actions --------------------------------------------------
             if st.scripted:
                 acts = [
-                    actions_ref[pl.ds(t, 1), i, :, :].reshape(SUB, LANE)
+                    actions_ref[pl.ds(t, 1), i * AW, :, :].reshape(SUB, LANE)
                     for i in range(N)
                 ]
+                if M:
+                    new_msg = jnp.concatenate(
+                        [
+                            actions_ref[
+                                pl.ds(t, 1), i * AW + 1 : i * AW + AW, :, :
+                            ].reshape(M, SUB, LANE)
+                            for i in range(N)
+                        ],
+                        axis=0,
+                    )
             else:
                 bits = _rand_mod((N, SUB, LANE), 5)
                 acts = [bits[i] for i in range(N)]
+                if M:
+                    new_msg = _rand_mod((N * M, SUB, LANE), 2)
 
             core_state = (
                 ax, ay, ad, carrying, hd, sx, sy, q, inact, steps,
@@ -532,11 +496,15 @@ def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
             )
             (new_ax, new_ay, new_ad, new_carrying, new_hd,
              sx, sy, q, inact, steps) = new_state
+            if M:
+                # messages set from action columns each step
+                # (rware/warehouse.py:809-814), cleared by autoreset
+                msg = jnp.where(done, 0, new_msg)
             rew_acc = [rew_acc[i] + rewards[i] for i in range(N)]
             epis = epis + done.astype(jnp.int32)
             new_hd_i = [h.astype(jnp.int32) for h in new_hd]
             return (
-                new_ax, new_ay, new_ad, new_carrying, new_hd_i,
+                new_ax, new_ay, new_ad, new_carrying, new_hd_i, msg,
                 sx, sy, q, inact, steps, rew_acc, epis,
             )
 
@@ -546,6 +514,7 @@ def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
             [ad_ref[i] for i in range(N)],
             [carry_ref[i] for i in range(N)],
             [hd_ref[i] for i in range(N)],
+            msg_ref[:] if M else jnp.zeros((1, SUB, LANE), jnp.int32),
             sx_ref[:],
             sy_ref[:],
             q_ref[:] if R else jnp.zeros((1, SUB, LANE), jnp.int32),
@@ -555,12 +524,15 @@ def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
             jnp.zeros((SUB, LANE), dtype=jnp.int32),
         )
         final = jax.lax.fori_loop(0, T, one_step, init, unroll=False)
-        ax, ay, ad, carrying, hd, sx, sy, q, inact, steps, rew, epis = final
+        (ax, ay, ad, carrying, hd, msg, sx, sy, q, inact, steps,
+         rew, epis) = final
         oax[:] = jnp.stack(ax, axis=0)
         oay[:] = jnp.stack(ay, axis=0)
         oad[:] = jnp.stack(ad, axis=0)
         ocarry[:] = jnp.stack(carrying, axis=0)
         ohd[:] = jnp.stack(hd, axis=0)
+        if M:
+            omsg[:] = msg
         osx[:] = sx
         osy[:] = sy
         if R:
@@ -586,21 +558,21 @@ def build_pallas_rollout(
     rewards_sum (B, N), episodes (B,))``.
 
     ``state_batch`` is a WarehouseState with leading batch axis B (multiple
-    of ENV_BLOCK).  ``actions`` (scripted mode): (T, B, N) int32.
+    of ENV_BLOCK).  ``actions`` (scripted mode): (T, B, N) int32, or
+    (T, B, N, 1 + msg_bits) when the config has message bits (action column
+    first, then the broadcast bits — rware/warehouse.py:809-814).
+
+    Supports the full registered config space: any ``n_agents`` (the agent
+    axis is unrolled; resolver algebra scales O(N^3 log N) in program size)
+    and any ``msg_bits`` (messages ride as extra state rows).
     """
     layout = config.compile_layout()
     H, W = layout.grid_size
     N = config.n_agents
     S = layout.n_shelves
     R = config.request_queue_size
-    if N > 8:
-        raise NotImplementedError(
-            "pallas rollout supports n_agents <= 8 (use the XLA engine)"
-        )
-    if config.msg_bits:
-        raise NotImplementedError(
-            "pallas rollout does not model message bits (use the XLA engine)"
-        )
+    M = config.msg_bits
+    AW = 1 + M
     st = _Static(
         n=N,
         s=S,
@@ -614,6 +586,7 @@ def build_pallas_rollout(
         max_inactivity=config.max_inactivity_steps or 0,
         scripted=scripted,
         debug_level=debug_level,
+        m=M,
     )
     goals = tuple((int(x), int(y)) for x, y in layout.goals)
     kernel = _make_kernel(st, goals)
@@ -621,6 +594,7 @@ def build_pallas_rollout(
 
     state_dims = {
         "ax": N, "ay": N, "ad": N, "carry": N, "hd": N,
+        **({"msg": N * M} if M else {}),
         "sx": S, "sy": S, "q": max(R, 1), "inact": 1, "steps": 1,
     }
 
@@ -634,7 +608,7 @@ def build_pallas_rollout(
     if scripted:
         in_specs.append(
             pl.BlockSpec(
-                (n_steps, N, SUB, LANE),
+                (n_steps, N * AW, SUB, LANE),
                 lambda i: (0, 0, i, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -678,14 +652,30 @@ def build_pallas_rollout(
         if scripted:
             if actions is None:
                 raise ValueError("scripted mode needs actions (T, B, N)")
-            acts = jnp.swapaxes(actions, 1, 2).astype(jnp.int32)  # (T, N, B)
-            inputs.append(acts.reshape(n_steps, N, b // LANE, LANE))
+            if M:
+                if actions.ndim != 4 or actions.shape[-1] != AW:
+                    raise ValueError(
+                        f"msg_bits={M} scripted actions must be "
+                        f"(T, B, N, {AW})"
+                    )
+                # (T, B, N, AW) -> (T, N, AW, B) -> (T, N*AW, RB, LANE)
+                acts = jnp.moveaxis(actions, 1, 3).astype(jnp.int32)
+                inputs.append(
+                    acts.reshape(n_steps, N * AW, b // LANE, LANE)
+                )
+            else:
+                acts = jnp.swapaxes(actions, 1, 2).astype(jnp.int32)
+                inputs.append(acts.reshape(n_steps, N, b // LANE, LANE))
         inputs += [
             ti(state.agent_x),
             ti(state.agent_y),
             ti(state.agent_dir),
             ti(state.agent_carrying),
             ti(state.agent_has_delivered),
+        ]
+        if M:
+            inputs.append(ti(state.agent_message.reshape(b, N * M)))
+        inputs += [
             ti(state.shelf_x),
             ti(state.shelf_y),
             ti(state.request_queue)
@@ -711,7 +701,11 @@ def build_pallas_rollout(
             out_shape=out_shape(b),
             interpret=interpret,
         )(*inputs)
-        (ax, ay, ad, carry, hd, sx, sy, q, inact, steps, rew, epis) = outs
+        outs = list(outs)
+        (ax, ay, ad, carry, hd) = outs[:5]
+        outs = outs[5:]
+        msg = outs.pop(0) if M else None
+        (sx, sy, q, inact, steps, rew, epis) = outs
 
         def to(x):
             return jnp.swapaxes(x.reshape(x.shape[0], b), 0, 1)
@@ -727,6 +721,15 @@ def build_pallas_rollout(
             request_queue=to(q) if R else state.request_queue,
             cur_inactive_steps=inact.reshape(b),
             cur_steps=steps.reshape(b),
+            **(
+                {
+                    "agent_message": to(msg)
+                    .reshape(b, N, M)
+                    .astype(jnp.float32)
+                }
+                if M
+                else {}
+            ),
         )
         return new_state, to(rew), epis.reshape(b)
 
@@ -803,6 +806,109 @@ def _build_obs_rows(st, sensor_range, normalised, acts_state, slots_x, slots_y):
             requested = jnp.any(req_cid == cid, axis=0)
             rows.append(has_shelf.astype(jnp.float32))
             rows.append(requested.astype(jnp.float32))
+        rows_per_agent.append(rows)
+    return rows_per_agent
+
+
+def _build_image_rows(
+    st, sensor_range, layers, directional, acts_state, goals
+):
+    """IMAGE observation rows per agent in env-tile layout.
+
+    Returns an N-list of (C * w2 * w2)-lists of (SUB, LANE) f32 tiles in
+    (channel, row, col) order — exactly the flattened layout of
+    core.observations.build_image_obs_fn (reference: rware/warehouse.py
+    :527-596 with the [y, x] indexing fix).  The reference's window
+    rotation (np.rot90 by agent dir) is folded into the sampling offsets:
+    output cell (u, v) reads the world at a dir-dependent offset
+      UP: (u-r, v-r)  DOWN: (r-u, r-v)  LEFT: (r-v, u-r)  RIGHT: (v-r, r-u)
+    so no materialised window is ever rotated.  Out-of-grid cells are 0 in
+    every layer (the reference's zero pad).
+    """
+    from rware_tpu.types import ImageLayer
+
+    N, S, R, H, W = st.n, st.s, st.r, st.h, st.w
+    r = sensor_range
+    w2 = 2 * r + 1
+    ax, ay, ad, carrying, sx, sy, q = acts_state
+
+    agent_cid = [ay[i] * W + ax[i] for i in range(N)]
+    shelf_cid = sy * W + sx  # (S, SUB, LANE)
+    in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
+    for r_i in range(R):
+        in_queue |= (
+            jax.lax.broadcasted_iota(jnp.int32, (S, SUB, LANE), 0) == q[r_i]
+        )
+    req_cid = jnp.where(in_queue, shelf_cid, -2)
+    goal_cids = [gy * W + gx for gx, gy in goals]
+
+    rows_per_agent = []
+    for i in range(N):
+        # per-output-cell world coordinates (dir-dependent when directional)
+        cell_cids, cell_valid = {}, {}
+        for u in range(w2):
+            for v in range(w2):
+                if directional:
+                    dy = _sel4(ad[i], (u - r, r - u, r - v, v - r))
+                    dx = _sel4(ad[i], (v - r, r - v, u - r, r - u))
+                else:
+                    dy = u - r
+                    dx = v - r
+                cx = ax[i] + dx
+                cy = ay[i] + dy
+                valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+                cell_cids[(u, v)] = jnp.where(valid, cy * W + cx, -1)
+                cell_valid[(u, v)] = valid
+
+        rows = []
+        for layer_type in layers:
+            for u in range(w2):
+                for v in range(w2):
+                    cid = cell_cids[(u, v)]
+                    if layer_type == ImageLayer.SHELVES:
+                        val = jnp.any(shelf_cid == cid, axis=0).astype(
+                            jnp.float32
+                        )
+                    elif layer_type == ImageLayer.REQUESTS:
+                        val = jnp.any(req_cid == cid, axis=0).astype(
+                            jnp.float32
+                        )
+                    elif layer_type == ImageLayer.AGENTS:
+                        hit = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+                        for j in range(N):
+                            hit |= agent_cid[j] == cid
+                        val = hit.astype(jnp.float32)
+                    elif layer_type == ImageLayer.AGENT_DIRECTION:
+                        val = jnp.zeros((SUB, LANE), dtype=jnp.float32)
+                        for j in range(N):
+                            here = agent_cid[j] == cid
+                            val = jnp.where(
+                                here, (ad[j] + 1).astype(jnp.float32), val
+                            )
+                    elif layer_type == ImageLayer.AGENT_LOAD:
+                        val = jnp.zeros((SUB, LANE), dtype=jnp.float32)
+                        for j in range(N):
+                            here = agent_cid[j] == cid
+                            val = jnp.where(
+                                here,
+                                (carrying[j] >= 0).astype(jnp.float32),
+                                val,
+                            )
+                    elif layer_type == ImageLayer.GOALS:
+                        hit = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+                        for gcid in goal_cids:
+                            hit |= cid == gcid
+                        val = hit.astype(jnp.float32)
+                    elif layer_type == ImageLayer.ACCESSIBLE:
+                        hit = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
+                        for j in range(N):
+                            hit |= agent_cid[j] == cid
+                        val = (
+                            cell_valid[(u, v)] & ~hit
+                        ).astype(jnp.float32)
+                    else:
+                        raise ValueError(f"unknown layer {layer_type}")
+                    rows.append(val)
         rows_per_agent.append(rows)
     return rows_per_agent
 
@@ -888,11 +994,22 @@ def _sample_gumbel(logits, n, deterministic=False):
 
 
 def _make_collect_kernel(
-    st, goals, sensor_range, normalised, tc_len, deterministic=False
+    st, goals, sensor_range, normalised, tc_len, deterministic=False,
+    obs_mode="flattened", image_layers=(), image_directional=True,
 ):
     """Kernel for grid (env_blocks, T // tc_len): policy + env fused, state
     persisted across time-chunks in VMEM scratch."""
     N, S, R = st.n, st.s, st.r
+
+    def build_rows(acts_state, slots_x, slots_y):
+        if obs_mode == "image":
+            return _build_image_rows(
+                st, sensor_range, image_layers, image_directional,
+                acts_state, goals,
+            )
+        return _build_obs_rows(
+            st, sensor_range, normalised, acts_state, slots_x, slots_y
+        )
 
     def kernel(*refs):
         (seed_ref,
@@ -957,10 +1074,8 @@ def _make_collect_kernel(
             ax, ay, ad, carrying, hd_i, sx, sy, q, inact, steps = carry
             hd = [h != 0 for h in hd_i]
 
-            feats = _build_obs_rows(
-                st, sensor_range, normalised,
-                (ax, ay, ad, carrying, sx, sy, q),
-                slots_x, slots_y,
+            feats = build_rows(
+                (ax, ay, ad, carrying, sx, sy, q), slots_x, slots_y
             )
             logits, value = _policy_forward(params, feats)
             action_t, logp_t = _sample_gumbel(logits, N, deterministic)
@@ -1030,6 +1145,7 @@ def build_pallas_collect(
     tc_len: int = 16,
     interpret: bool = False,
     deterministic: bool = False,
+    native_traj: bool = False,
 ):
     """Fused experience collector: obs + MLP policy + sampling + env step in
     one kernel, trajectories streamed to HBM in time-chunks.
@@ -1038,17 +1154,37 @@ def build_pallas_collect(
     ``traj = dict(obs (T,B,N,L) bf16, action/logp/value/reward (T,B,N),
     done (T,B))``.  ``params`` is an ActorCritic params pytree with hidden
     sizes ``hidden`` (bf16 compute, f32 heads, tanh — models/networks.py).
+
+    ``native_traj=True`` returns the trajectory in the kernel-native tiled
+    layout instead — obs (T, N, L, RB, LANE) bf16, action/logp/value/reward
+    (T, N, RB, LANE), done (T, 1, RB, LANE) with RB = B // LANE and env
+    ``e`` at ``(e // LANE, e % LANE)`` — skipping the (T, B, N, L) relayout
+    entirely; models.ippo_pallas consumes this directly (the only transpose
+    left fuses into the first update matmul).
     """
     layout = config.compile_layout()
     H, W = layout.grid_size
     N = config.n_agents
     S = layout.n_shelves
     R = config.request_queue_size
-    L = config.flattened_obs_length
     H1, H2 = hidden
-    if N > 8:
-        raise NotImplementedError("pallas collect supports n_agents <= 8")
+    from rware_tpu.types import ObservationType
+
+    obs_mode = (
+        "image"
+        if config.observation_type
+        in (ObservationType.IMAGE, ObservationType.IMAGE_DICT)
+        else "flattened"
+    )
+    if obs_mode == "image":
+        # flattened (C, w2, w2) stack fed to the MLP; IMAGE_DICT's 6 extra
+        # self-features are not modelled in-kernel
+        L = len(config.image_observation_layers) * config.window_size**2
+    else:
+        L = config.flattened_obs_length
     if config.msg_bits:
+        # no learner models the message channel (the policy head is
+        # Discrete(5)); route msg-bit configs through the XLA collector
         raise NotImplementedError("pallas collect does not model message bits")
     if n_steps % tc_len:
         raise ValueError(f"n_steps={n_steps} must be a multiple of {tc_len}")
@@ -1065,6 +1201,9 @@ def build_pallas_collect(
     kernel = _make_collect_kernel(
         st, goals, config.sensor_range, config.normalised_coordinates,
         tc_len, deterministic,
+        obs_mode=obs_mode,
+        image_layers=tuple(config.image_observation_layers),
+        image_directional=config.image_observation_directional,
     )
     n_tc = n_steps // tc_len
 
@@ -1197,15 +1336,25 @@ def build_pallas_collect(
             t = x.shape[0]
             return jnp.moveaxis(x.reshape(t, x.shape[1], b), 1, 2)
 
-        traj = {
-            # (T, N, L, rows, LANE) -> (T, B, N, L)
-            "obs": jnp.moveaxis(obs.reshape(n_steps, N, L, b), 3, 1),
-            "action": to_traj(act),
-            "logp": to_traj(logp),
-            "value": to_traj(val),
-            "reward": to_traj(rew),
-            "done": done.reshape(n_steps, b),
-        }
+        if native_traj:
+            traj = {
+                "obs": obs,
+                "action": act,
+                "logp": logp,
+                "value": val,
+                "reward": rew,
+                "done": done,
+            }
+        else:
+            traj = {
+                # (T, N, L, rows, LANE) -> (T, B, N, L)
+                "obs": jnp.moveaxis(obs.reshape(n_steps, N, L, b), 3, 1),
+                "action": to_traj(act),
+                "logp": to_traj(logp),
+                "value": to_traj(val),
+                "reward": to_traj(rew),
+                "done": done.reshape(n_steps, b),
+            }
         new_state = state.replace(
             agent_x=to_state(ax), agent_y=to_state(ay), agent_dir=to_state(ad),
             agent_carrying=to_state(carry),

@@ -107,12 +107,61 @@ def test_scripted_autoreset_counts_episode():
     assert int(new_state.agent_x[0][0]) == 0 and int(new_state.agent_y[0][0]) == 0
 
 
-def test_rejects_too_many_agents():
-    cfg = rware_tpu.WarehouseConfig(n_agents=9, request_queue_size=2)
+def test_scripted_dynamics_match_xla_12_agents():
+    # the reference registers up to 19 agents (rware/__init__.py:19); past
+    # the old N<=8 limit the stacked-resolver formulation keeps compile
+    # time flat (the round-1 per-agent unrolling took >30 min to compile
+    # at N=9 on CPU)
+    env = rware_tpu.make("rware-tiny-12ag-v2")
+    B, T = ENV_BLOCK, 6
+    states, _ = batched_reset(env, jax.random.key(0), B)
+    rng = np.random.default_rng(7)
+    actions = jnp.asarray(rng.integers(0, 5, (T, B, 12)), dtype=jnp.int32)
+
+    roll = build_pallas_rollout(env.config, T, scripted=True, interpret=True)
+    pallas_state, rew, epis = roll(states, 0, actions)
+    final, (rews, dones) = xla_rollout(env, states, actions)
+
+    for f in DYNAMICS_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pallas_state, f)),
+            np.asarray(getattr(final, f)),
+            err_msg=f,
+        )
+
+
+def test_scripted_msg_bits_roundtrip():
+    # messages (rware/warehouse.py:152,809-814) ride through the kernel as
+    # state rows: set from action columns, cleared on autoreset
+    cfg = rware_tpu.WarehouseConfig(
+        n_agents=2, msg_bits=2, request_queue_size=2
+    )
+    env = rware_tpu.make(cfg)
+    B, T = ENV_BLOCK, 6
+    states, _ = batched_reset(env, jax.random.key(0), B)
+    rng = np.random.default_rng(3)
+    actions = np.zeros((T, B, 2, 3), dtype=np.int32)
+    actions[..., 0] = rng.integers(0, 5, (T, B, 2))
+    actions[..., 1:] = rng.integers(0, 2, (T, B, 2, 2))
+    actions = jnp.asarray(actions)
+
+    roll = build_pallas_rollout(env.config, T, scripted=True, interpret=True)
+    pallas_state, rew, epis = roll(states, 0, actions)
+    final, (rews, dones) = xla_rollout(env, states, actions)
+
+    for f in DYNAMICS_FIELDS + ["agent_message"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pallas_state, f)),
+            np.asarray(getattr(final, f)),
+            err_msg=f,
+        )
+
+
+def test_collect_rejects_msg_bits():
+    from rware_tpu.ops.pallas_rollout import build_pallas_collect
+
     with pytest.raises(NotImplementedError):
-        build_pallas_rollout(cfg, 4)
-    with pytest.raises(NotImplementedError):
-        build_pallas_rollout(
+        build_pallas_collect(
             rware_tpu.WarehouseConfig(msg_bits=1, request_queue_size=2), 4
         )
 

@@ -120,3 +120,201 @@ def test_pallas_train_step_learns(setup):
         new_runner.params,
     )
     assert max(jax.tree.leaves(diffs)) > 0
+
+
+# --- native-layout update path (models/ippo_pallas) --------------------------
+
+
+def test_native_forward_matches_flax(setup):
+    """_native_forward on tiled obs == model.apply on (B, N, L) obs."""
+    from rware_tpu.models.ippo_pallas import _native_forward
+    from rware_tpu.ops.pallas_rollout import LANE
+
+    env, states, model, params, new_state, traj = setup
+    collect = build_pallas_collect(
+        env.config, 16, tc_len=8, interpret=True, deterministic=True,
+        native_traj=True,
+    )
+    _, ntraj = collect(states, params, 3)
+    logits_n, value_n = jax.jit(_native_forward)(params, ntraj["obs"])
+    # rearrange native (T, N, L, RB, LANE) -> (T, B, N, L) reference layout
+    t, n, L, rb, lane = ntraj["obs"].shape
+    obs_flat = jnp.moveaxis(
+        ntraj["obs"].reshape(t, n, L, rb * lane), 3, 1
+    ).astype(jnp.float32)
+    logits_f, value_f = model.apply(params, obs_flat)
+    # native logits (T, N, RB, LANE, A) -> (T, B, N, A)
+    ln = jnp.moveaxis(logits_n.reshape(t, n, rb * lane, 5), 2, 1)
+    vn = jnp.moveaxis(value_n.reshape(t, n, rb * lane), 2, 1)
+    np.testing.assert_allclose(
+        np.asarray(ln), np.asarray(logits_f), atol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(vn), np.asarray(value_f), atol=3e-2
+    )
+
+
+def test_native_gae_matches_flat():
+    from rware_tpu.models.ippo import compute_gae
+    from rware_tpu.models.ippo_pallas import compute_gae_native
+
+    cfg = IPPOConfig()
+    T, N, RB, LANE_ = 7, 2, 3, 4
+    B = RB * LANE_
+    key = jax.random.key(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rew = jax.random.normal(k1, (T, N, RB, LANE_))
+    val = jax.random.normal(k2, (T, N, RB, LANE_))
+    done = (jax.random.uniform(k3, (T, 1, RB, LANE_)) < 0.2).astype(jnp.int32)
+    last_v = jax.random.normal(k4, (N, RB, LANE_))
+
+    adv_n, tgt_n = compute_gae_native(cfg, rew, val, done, last_v)
+
+    def to_flat(x):  # (T, N, RB, LANE) -> (T, B, N)
+        return jnp.moveaxis(x.reshape(T, N, B), 1, 2)
+
+    adv_f, tgt_f = compute_gae(
+        cfg,
+        to_flat(rew),
+        to_flat(val),
+        done.reshape(T, B),
+        jnp.swapaxes(last_v.reshape(N, B), 0, 1),
+    )
+    np.testing.assert_allclose(
+        np.asarray(to_flat(adv_n)), np.asarray(adv_f), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(to_flat(tgt_n)), np.asarray(tgt_f), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_native_train_step_runs_and_matches_rollout_metrics():
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = IPPOConfig(n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2)
+    runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
+    ts_native = jax.jit(
+        build_pallas_train_step(
+            env, model, tx, cfg, interpret=True, deterministic_collect=True,
+            native=True,
+        )
+    )
+    ts_flat = jax.jit(
+        build_pallas_train_step(
+            env, model, tx, cfg, interpret=True, deterministic_collect=True,
+            native=False,
+        )
+    )
+    rn, mn = ts_native(runner)
+    rf, mf = ts_flat(runner)
+    assert int(rn.update_idx) == 1
+    for k, v in mn.items():
+        assert np.isfinite(float(v)), k
+    # same collect stream -> identical rollout statistics
+    assert float(mn["reward_per_env"]) == float(mf["reward_per_env"])
+    assert float(mn["episodes_done"]) == float(mf["episodes_done"])
+    # env states advance identically
+    np.testing.assert_array_equal(
+        np.asarray(rn.env_states.agent_x), np.asarray(rf.env_states.agent_x)
+    )
+    # params moved
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), runner.params, rn.params
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_sharded_native_train_step_matches_metrics():
+    """The shard_map'd pallas train step over the 8-device CPU mesh: runs,
+    produces finite metrics, and the rollout statistics equal the
+    single-device step (same seed streams by construction)."""
+    from rware_tpu.parallel import make_mesh, replicate, shard_env_batch
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    n_dev = len(jax.devices())
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK * n_dev, rollout_len=8, epochs=1,
+        minibatches=2,
+    )
+    runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
+
+    ts_single = jax.jit(
+        build_pallas_train_step(
+            env, model, tx, cfg, interpret=True, deterministic_collect=True,
+        )
+    )
+    r1, m1 = ts_single(runner)
+
+    mesh = make_mesh()
+    sharded_runner = runner.replace(
+        env_states=shard_env_batch(runner.env_states, mesh),
+        obs=shard_env_batch(runner.obs, mesh),
+        params=replicate(runner.params, mesh),
+        opt_state=replicate(runner.opt_state, mesh),
+    )
+    ts_mesh = jax.jit(
+        build_pallas_train_step(
+            env, model, tx, cfg, interpret=True, deterministic_collect=True,
+            mesh=mesh,
+        )
+    )
+    r2, m2 = ts_mesh(sharded_runner)
+    for k, v in m2.items():
+        assert np.isfinite(float(v)), k
+    # deterministic collect: identical rollouts -> identical statistics
+    assert float(m1["episodes_done"]) == float(m2["episodes_done"])
+    np.testing.assert_allclose(
+        float(m1["reward_per_env"]), float(m2["reward_per_env"]), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1.env_states.agent_x), np.asarray(r2.env_states.agent_x)
+    )
+    # params end up replicated and finite
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(r2.params)
+    )
+
+
+# --- IMAGE observations in-kernel --------------------------------------------
+
+
+@pytest.mark.parametrize("directional", [True, False])
+def test_in_kernel_image_obs_bit_exact(directional):
+    from rware_tpu.types import ObservationType
+
+    env = rware_tpu.make(
+        rware_tpu.WarehouseConfig(
+            observation_type=ObservationType.IMAGE,
+            image_observation_directional=directional,
+        )
+    )
+    L = env.config.policy_obs_length  # C * w2 * w2
+    states, _ = batched_reset(env, jax.random.key(2), ENV_BLOCK)
+    model = ActorCritic(n_actions=5)
+    params = model.init(jax.random.key(1), jnp.zeros((1, 2, L)))
+    collect = build_pallas_collect(
+        env.config, 4, tc_len=4, interpret=True, deterministic=True
+    )
+    _, traj = collect(states, params, 0)
+    xla_img = jax.vmap(env._obs_fn)(states)  # (B, N, C, w2, w2)
+    xla_flat = xla_img.reshape(xla_img.shape[0], xla_img.shape[1], -1)
+    np.testing.assert_array_equal(
+        np.asarray(traj["obs"][0], dtype=np.float32), np.asarray(xla_flat)
+    )
+
+
+def test_image_env_pallas_train_step_runs():
+    from rware_tpu.types import ObservationType
+
+    env = rware_tpu.make(
+        rware_tpu.WarehouseConfig(observation_type=ObservationType.IMAGE)
+    )
+    cfg = IPPOConfig(n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2)
+    runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
+    ts = jax.jit(
+        build_pallas_train_step(
+            env, model, tx, cfg, interpret=True, deterministic_collect=True
+        )
+    )
+    new_runner, metrics = ts(runner)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k

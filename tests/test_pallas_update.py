@@ -1,0 +1,93 @@
+"""Fused PPO gradient kernel (ops/pallas_update) vs XLA autodiff of
+ppo_loss_native — interpret mode on CPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rware_tpu
+from rware_tpu.models import ActorCritic, IPPOConfig
+from rware_tpu.models.ippo_pallas import ppo_loss_native
+from rware_tpu.ops.pallas_rollout import LANE
+from rware_tpu.ops.pallas_update import build_fused_ppo_grads
+
+
+@pytest.fixture(scope="module")
+def case():
+    T, N, L, RB = 4, 2, 71, 8
+    cfg = IPPOConfig(minibatches=1)
+    model = ActorCritic(n_actions=5)
+    key = jax.random.key(0)
+    params = model.init(key, jnp.zeros((1, N, L)))
+    ks = jax.random.split(key, 6)
+    batch = (
+        jax.random.normal(ks[0], (T, N, L, RB, LANE)).astype(jnp.bfloat16),
+        jax.random.randint(ks[1], (T, N, RB, LANE), 0, 5, dtype=jnp.int32),
+        jax.random.normal(ks[2], (T, N, RB, LANE)) * 0.1 - 1.6,
+        jax.random.normal(ks[3], (T, N, RB, LANE)),
+        jax.random.normal(ks[4], (T, N, RB, LANE)),
+        jax.random.normal(ks[5], (T, N, RB, LANE)),
+    )
+    return cfg, model, params, batch
+
+
+def test_fused_grads_match_autodiff(case):
+    cfg, model, params, batch = case
+    T, N, L, RB, _ = batch[0].shape
+
+    grads_fn = build_fused_ppo_grads(
+        obs_len=L, hidden=(128, 128), n_actions=5, rollout_len=T,
+        n_agents=N, mb_rows=RB, clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=True,
+    )
+    fused_grads, fused_metrics = jax.jit(grads_fn)(params, batch)
+
+    (loss, ref_metrics), ref_grads = jax.jit(
+        lambda p, b: jax.value_and_grad(
+            ppo_loss_native, argnums=1, has_aux=True
+        )(cfg, p, b)
+    )(params, batch)
+
+    for k in ("pg_loss", "v_loss", "entropy", "approx_kl"):
+        np.testing.assert_allclose(
+            float(fused_metrics[k]), float(ref_metrics[k]),
+            rtol=2e-2, atol=2e-3, err_msg=k,
+        )
+
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(fused_grads)
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(ref_grads)[0])
+    for path, g in flat_f:
+        r = np.asarray(flat_r[path])
+        g = np.asarray(g)
+        assert g.shape == r.shape, path
+        scale = max(np.abs(r).max(), 1e-6)
+        np.testing.assert_allclose(
+            g, r, atol=0.05 * scale, err_msg=str(path)
+        )
+
+
+def test_native_train_step_fused_update_runs():
+    from rware_tpu.models.ippo_pallas import (
+        build_pallas_train_step,
+        init_pallas_runner,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = IPPOConfig(n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2)
+    runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
+    ts = jax.jit(
+        build_pallas_train_step(
+            env, model, tx, cfg, interpret=True, deterministic_collect=True,
+            fused_update=True,
+        )
+    )
+    new_runner, metrics = ts(runner)
+    assert int(new_runner.update_idx) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), runner.params,
+        new_runner.params,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0

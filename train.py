@@ -21,7 +21,11 @@ import jax
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--env", default="rware-tiny-2ag-v2")
-    p.add_argument("--algo", choices=["ippo", "seac"], default="ippo")
+    p.add_argument(
+        "--algo", choices=["ippo", "seac", "seac-ppo"], default="ippo",
+        help="seac-ppo = shared-experience PPO (the SEAC variant validated "
+        "to learn; see models/seac.py)",
+    )
     p.add_argument(
         "--net", choices=["mlp", "gru"], default="mlp",
         help="policy network (gru = recurrent IPPO; ippo only)",
@@ -110,9 +114,32 @@ def main():
         if args.collect == "pallas":
             from rware_tpu.models.ippo_pallas import build_pallas_train_step
 
-            train_step = jax.jit(build_pallas_train_step(env, model, tx, cfg))
+            mesh = None
+            if args.mesh and len(jax.devices()) > 1:
+                from rware_tpu.parallel import make_mesh
+
+                mesh = make_mesh()
+            train_step = jax.jit(
+                build_pallas_train_step(env, model, tx, cfg, mesh=mesh)
+            )
         else:
             train_step = jax.jit(build_train_step(env, model, tx, cfg))
+        env_steps_per_update = cfg.n_envs * cfg.rollout_len
+    elif args.algo == "seac-ppo":
+        from rware_tpu.models.seac import (
+            SEACPPOConfig,
+            build_seac_ppo_train_step,
+            init_seac_ppo,
+        )
+
+        cfg = SEACPPOConfig(
+            n_envs=args.n_envs,
+            rollout_len=args.rollout_len or 128,
+            lr=args.lr,
+            ent_coef=args.ent_coef,
+        )
+        runner, model, tx = init_seac_ppo(env, cfg, key)
+        train_step = jax.jit(build_seac_ppo_train_step(env, model, tx, cfg))
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
     else:
         from rware_tpu.models.seac import (
