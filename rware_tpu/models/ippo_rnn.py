@@ -217,3 +217,146 @@ def build_rnn_train_step(
         )
 
     return train_step
+
+
+def build_rnn_pallas_train_step(
+    env: Warehouse,
+    model: RecurrentActorCritic,
+    tx: optax.GradientTransformation,
+    cfg: IPPOConfig,
+    interpret: bool = False,
+    deterministic_collect: bool = False,
+) -> Callable[[RNNRunnerState], Tuple[RNNRunnerState, dict]]:
+    """Recurrent IPPO with the GRU fused INTO the collect kernel.
+
+    The rollout — observations, embed+GRU forward, sampling, env step and
+    the episode-boundary carry reset — runs inside the Pallas kernel
+    (ops/pallas_rollout.build_pallas_collect(policy="gru")); the PPO update
+    replays the GRU over the stored trajectory in XLA exactly like
+    build_rnn_train_step (sequence-parallel over the env minibatch).
+    """
+    from rware_tpu.models.ippo_pallas import _pick_tc_len
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK, build_pallas_collect
+
+    hidden = (int(model.embed), int(model.hidden))
+    collect = build_pallas_collect(
+        env.config,
+        cfg.rollout_len,
+        hidden=hidden,
+        tc_len=_pick_tc_len(cfg.rollout_len),
+        interpret=interpret,
+        deterministic=deterministic_collect,
+        policy="gru",
+    )
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    obs_fn = jax.vmap(policy_obs_fn(env))
+    n_tc = max(1, cfg.rollout_len // _pick_tc_len(cfg.rollout_len))
+    streams_per_update = (cfg.n_envs // ENV_BLOCK) * n_tc
+
+    def loss_fn(params, batch):
+        obs, done, action, logp_old, value_old, adv, target, h0 = batch
+
+        def replay(carry, xs):
+            o, d = xs
+            new_carry, (logits, value) = model.apply(params, carry, o)
+            new_carry = jnp.where(
+                d[:, None, None], jnp.zeros_like(new_carry), new_carry
+            )
+            return new_carry, (logits, value)
+
+        _, (logits, value) = jax.lax.scan(replay, h0, (obs, done))
+        logp_all = jax.nn.log_softmax(logits)
+        logp = jnp.take_along_axis(
+            logp_all, action[..., None], -1
+        ).squeeze(-1)
+        ratio = jnp.exp(logp - logp_old)
+        adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv_norm
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_clipped = value_old + jnp.clip(
+            value - value_old, -cfg.clip_eps, cfg.clip_eps
+        )
+        v_loss = 0.5 * jnp.maximum(
+            (value - target) ** 2, (v_clipped - target) ** 2
+        ).mean()
+        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        return total, {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
+        }
+
+    def train_step(runner: RNNRunnerState) -> Tuple[RNNRunnerState, dict]:
+        key, k_perm = jax.random.split(runner.key, 2)
+        seed = runner.update_idx * jnp.int32(streams_per_update)
+        h0 = runner.carry  # (B, N, H) — carry at rollout start
+        env_states, new_carry, traj = collect(
+            runner.env_states, runner.params, seed, h0=h0
+        )
+        obs = obs_fn(env_states)
+        _, (_, last_value) = model.apply(
+            runner.params, new_carry.astype(runner.carry.dtype), obs
+        )
+
+        from rware_tpu.models.ippo import compute_gae
+
+        advantages, targets = compute_gae(
+            cfg, traj["reward"], traj["value"], traj["done"], last_value
+        )
+
+        obs_f = traj["obs"].astype(jnp.float32)
+        dataset = (
+            obs_f, traj["done"], traj["action"], traj["logp"],
+            traj["value"], advantages, targets,
+        )
+        mb_envs = cfg.n_envs // cfg.minibatches
+
+        def epoch(carry_es, key):
+            params, opt_state = carry_es
+            perm = jax.random.permutation(key, cfg.n_envs)
+
+            def minibatch(carry_es, idx):
+                params, opt_state = carry_es
+                batch = tuple(
+                    jnp.take(x, idx, axis=1) for x in dataset
+                ) + (jnp.take(h0.astype(runner.carry.dtype), idx, axis=0),)
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            idxs = perm[: mb_envs * cfg.minibatches].reshape(
+                cfg.minibatches, mb_envs
+            )
+            return jax.lax.scan(minibatch, (params, opt_state), idxs)
+
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch,
+            (runner.params, runner.opt_state),
+            jax.random.split(k_perm, cfg.epochs),
+        )
+        out_metrics = {
+            "reward_per_env": traj["reward"].sum() / cfg.n_envs,
+            "episodes_done": traj["done"].sum(),
+            **jax.tree.map(lambda x: x.mean(), metrics),
+        }
+        return (
+            RNNRunnerState(
+                params=params,
+                opt_state=opt_state,
+                env_states=env_states,
+                obs=obs,
+                carry=new_carry.astype(runner.carry.dtype),
+                key=key,
+                update_idx=runner.update_idx + 1,
+            ),
+            out_metrics,
+        )
+
+    return train_step

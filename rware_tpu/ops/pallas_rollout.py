@@ -955,6 +955,41 @@ def _policy_forward(params, feats_rows):
     return logits, value
 
 
+def _gru_forward(params, feats_rows, h):
+    """Recurrent actor-critic forward on env-tiled features.
+
+    Matches models.networks.RecurrentActorCritic (embed Dense + flax
+    GRUCell + f32 heads; bf16 hidden compute): gate layout ir/iz/in with
+    bias, hr/hz without, hn with (flax.linen.GRUCell defaults).  ``h`` is
+    the (Hg, N*SUB*LANE) carry (feature-major, like the activations);
+    returns (logits (A, M), value (1, M), new_h (Hg, M) f32).
+    """
+    (we, be, wir, bir, wiz, biz, win, bin_,
+     whr, whz, whn, bhn, wp, bp, wv, bv) = params
+    n = len(feats_rows)
+    L = len(feats_rows[0])
+    feats = jnp.stack(
+        [jnp.stack(rows, axis=0) for rows in feats_rows], axis=1
+    ).reshape(L, n * SUB * LANE).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+
+    def dot(w, x):
+        return jax.lax.dot_general(
+            w, x, dn, preferred_element_type=jnp.float32
+        )
+
+    e = jnp.tanh(dot(we, feats) + be.T).astype(jnp.bfloat16)  # (E, M)
+    hb = h.astype(jnp.bfloat16)
+    r = jax.nn.sigmoid(dot(wir, e) + dot(whr, hb) + bir.T)
+    z = jax.nn.sigmoid(dot(wiz, e) + dot(whz, hb) + biz.T)
+    nn_ = jnp.tanh(dot(win, e) + bin_.T + r * (dot(whn, hb) + bhn.T))
+    new_h = (1.0 - z) * nn_ + z * h.astype(jnp.float32)  # (Hg, M)
+    hf = new_h.astype(jnp.bfloat16).astype(jnp.float32)
+    logits = dot(wp.astype(jnp.float32), hf) + bp.T
+    value = dot(wv.astype(jnp.float32), hf) + bv.T
+    return logits, value, new_h
+
+
 def _sample_gumbel(logits, n, deterministic=False):
     """Gumbel-argmax sample + log-prob from (A, M) logits.
 
@@ -996,10 +1031,17 @@ def _sample_gumbel(logits, n, deterministic=False):
 def _make_collect_kernel(
     st, goals, sensor_range, normalised, tc_len, deterministic=False,
     obs_mode="flattened", image_layers=(), image_directional=True,
+    policy="mlp",
 ):
     """Kernel for grid (env_blocks, T // tc_len): policy + env fused, state
-    persisted across time-chunks in VMEM scratch."""
+    persisted across time-chunks in VMEM scratch.
+
+    ``policy="gru"`` uses the recurrent actor-critic (_gru_forward); the
+    GRU carry rides in a bf16 VMEM scratch across time-chunks and resets to
+    zero at episode boundaries, mirroring models.ippo_rnn.
+    """
     N, S, R = st.n, st.s, st.r
+    n_policy_params = 16 if policy == "gru" else 8
 
     def build_rows(acts_state, slots_x, slots_y):
         if obs_mode == "image":
@@ -1012,13 +1054,19 @@ def _make_collect_kernel(
         )
 
     def kernel(*refs):
-        (seed_ref,
-         w0_ref, b0_ref, w1_ref, b1_ref, wp_ref, bp_ref, wv_ref, bv_ref,
-         ax_ref, ay_ref, ad_ref, carry_ref, hd_ref, sx_ref, sy_ref, q_ref,
-         inact_ref, steps_ref, slotx_ref, sloty_ref,
-         obs_out, act_out, logp_out, val_out, rew_out, done_out,
-         oax, oay, oad, ocarry, ohd, osx, osy, oq, oinact, osteps,
-         st_scratch) = refs
+        refs = list(refs)
+        seed_ref = refs.pop(0)
+        param_refs = [refs.pop(0) for _ in range(n_policy_params)]
+        (ax_ref, ay_ref, ad_ref, carry_ref, hd_ref, sx_ref, sy_ref, q_ref,
+         inact_ref, steps_ref, slotx_ref, sloty_ref) = refs[:12]
+        refs = refs[12:]
+        h0_ref = refs.pop(0) if policy == "gru" else None
+        (obs_out, act_out, logp_out, val_out, rew_out, done_out,
+         oax, oay, oad, ocarry, ohd, osx, osy, oq, oinact, osteps) = refs[:16]
+        refs = refs[16:]
+        oh = refs.pop(0) if policy == "gru" else None
+        st_scratch = refs.pop(0)
+        h_scratch = refs.pop(0) if policy == "gru" else None
 
         tc = pl.program_id(1)
         n_tc = pl.num_programs(1)
@@ -1027,10 +1075,7 @@ def _make_collect_kernel(
         shelf_rows = jax.lax.broadcasted_iota(jnp.int32, (S, SUB, LANE), 0)
         slots_x = slotx_ref[:]
         slots_y = sloty_ref[:]
-        params = (
-            w0_ref[:], b0_ref[:], w1_ref[:], b1_ref[:],
-            wp_ref[:], bp_ref[:], wv_ref[:], bv_ref[:],
-        )
+        params = tuple(r[:] for r in param_refs)
 
         # state scratch layout (rows): N each of ax, ay, ad, carrying, hd,
         # then S sx, S sy, R q, 1 inact, 1 steps
@@ -1055,6 +1100,8 @@ def _make_collect_kernel(
             st_scratch[offs["q"] : offs["q"] + max(R, 1)] = q_ref[:]
             st_scratch[offs["inact"]] = inact_ref[0]
             st_scratch[offs["steps"]] = steps_ref[0]
+            if policy == "gru":
+                h_scratch[:] = h0_ref[:]
 
         def load(name, rows):
             base = offs[name]
@@ -1069,15 +1116,27 @@ def _make_collect_kernel(
             st_scratch[offs["inact"]],
             st_scratch[offs["steps"]],
         )
+        if policy == "gru":
+            hg = h_scratch.shape[0]
+            init = init + (h_scratch[:],)
 
         def one_step(tt, carry):
-            ax, ay, ad, carrying, hd_i, sx, sy, q, inact, steps = carry
+            if policy == "gru":
+                (ax, ay, ad, carrying, hd_i, sx, sy, q, inact, steps,
+                 h_t) = carry
+            else:
+                ax, ay, ad, carrying, hd_i, sx, sy, q, inact, steps = carry
             hd = [h != 0 for h in hd_i]
 
             feats = build_rows(
                 (ax, ay, ad, carrying, sx, sy, q), slots_x, slots_y
             )
-            logits, value = _policy_forward(params, feats)
+            if policy == "gru":
+                logits, value, new_h = _gru_forward(
+                    params, feats, h_t.reshape(hg, N * SUB * LANE)
+                )
+            else:
+                logits, value = _policy_forward(params, feats)
             action_t, logp_t = _sample_gumbel(logits, N, deterministic)
             acts = [action_t[i] for i in range(N)]
 
@@ -1097,14 +1156,28 @@ def _make_collect_kernel(
             (nax, nay, nad, ncarry, nhd, sx, sy, q, inact, steps) = new_state
             rew_out[pl.ds(tt, 1)] = jnp.stack(rewards, axis=0)[None]
             done_out[pl.ds(tt, 1)] = done.astype(jnp.int32)[None, None]
-            return (
+            out = (
                 nax, nay, nad, ncarry,
                 [h.astype(jnp.int32) for h in nhd],
                 sx, sy, q, inact, steps,
             )
+            if policy == "gru":
+                # reset hidden at episode boundaries (ippo_rnn:101-104)
+                h_next = jnp.where(
+                    done[None, None, :, :],
+                    0.0,
+                    new_h.reshape(hg, N, SUB, LANE),
+                ).astype(jnp.bfloat16)
+                out = out + (h_next,)
+            return out
 
         final = jax.lax.fori_loop(0, tc_len, one_step, init, unroll=False)
-        ax, ay, ad, carrying, hd, sx, sy, q, inact, steps = final
+        if policy == "gru":
+            (ax, ay, ad, carrying, hd, sx, sy, q, inact, steps,
+             h_final) = final
+            h_scratch[:] = h_final
+        else:
+            ax, ay, ad, carrying, hd, sx, sy, q, inact, steps = final
 
         def store(name, vals):
             base = offs[name]
@@ -1134,6 +1207,8 @@ def _make_collect_kernel(
             oq[:] = q
             oinact[:] = inact[None]
             osteps[:] = steps[None]
+            if policy == "gru":
+                oh[:] = h_scratch[:]
 
     return kernel
 
@@ -1146,8 +1221,9 @@ def build_pallas_collect(
     interpret: bool = False,
     deterministic: bool = False,
     native_traj: bool = False,
+    policy: str = "mlp",
 ):
-    """Fused experience collector: obs + MLP policy + sampling + env step in
+    """Fused experience collector: obs + policy + sampling + env step in
     one kernel, trajectories streamed to HBM in time-chunks.
 
     Returns ``collect(state_batch, params, seed) -> (new_state, traj)`` with
@@ -1161,6 +1237,12 @@ def build_pallas_collect(
     ``e`` at ``(e // LANE, e % LANE)`` — skipping the (T, B, N, L) relayout
     entirely; models.ippo_pallas consumes this directly (the only transpose
     left fuses into the first update matmul).
+
+    ``policy="gru"`` fuses the RecurrentActorCritic (embed + GRU cell +
+    heads; ``hidden`` = (embed, gru_hidden)) into the kernel; the signature
+    becomes ``collect(state, params, h0, seed) -> (new_state, new_h, traj)``
+    with ``h0``/``new_h`` the (B, N, Hg) carry, reset to zero at episode
+    boundaries in-kernel (mirroring models.ippo_rnn).
     """
     layout = config.compile_layout()
     H, W = layout.grid_size
@@ -1204,6 +1286,7 @@ def build_pallas_collect(
         obs_mode=obs_mode,
         image_layers=tuple(config.image_observation_layers),
         image_directional=config.image_observation_directional,
+        policy=policy,
     )
     n_tc = n_steps // tc_len
 
@@ -1223,13 +1306,34 @@ def build_pallas_collect(
             shape, lambda i, tc: tuple(0 for _ in shape), memory_space=pltpu.VMEM
         )
 
+    def hblock():
+        return pl.BlockSpec(
+            (H2, N, SUB, LANE),
+            lambda i, tc: (0, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    in_specs += [
-        pblock((L, H1)), pblock((1, H1)), pblock((H1, H2)), pblock((1, H2)),
-        pblock((H2, 5)), pblock((1, 5)), pblock((H2, 1)), pblock((1, 1)),
-    ]
+    if policy == "gru":
+        E, Hg = H1, H2
+        in_specs += [
+            pblock((L, E)), pblock((1, E)),
+            pblock((E, Hg)), pblock((1, Hg)),   # ir
+            pblock((E, Hg)), pblock((1, Hg)),   # iz
+            pblock((E, Hg)), pblock((1, Hg)),   # in
+            pblock((Hg, Hg)), pblock((Hg, Hg)), pblock((Hg, Hg)),  # hr/hz/hn
+            pblock((1, Hg)),                    # hn bias
+            pblock((Hg, 5)), pblock((1, 5)), pblock((Hg, 1)), pblock((1, 1)),
+        ]
+    else:
+        in_specs += [
+            pblock((L, H1)), pblock((1, H1)), pblock((H1, H2)), pblock((1, H2)),
+            pblock((H2, 5)), pblock((1, 5)), pblock((H2, 1)), pblock((1, 1)),
+        ]
     in_specs += [sblock(d) for d in state_dims.values()]
     in_specs += [sblock(S), sblock(S)]
+    if policy == "gru":
+        in_specs.append(hblock())
 
     def tblock(rows):
         return pl.BlockSpec(
@@ -1252,6 +1356,8 @@ def build_pallas_collect(
         tblock(1),  # done
     ]
     out_specs += [sblock(d) for d in state_dims.values()]
+    if policy == "gru":
+        out_specs.append(hblock())
 
     def out_shape(b):
         rows = b // LANE
@@ -1267,6 +1373,10 @@ def build_pallas_collect(
             jax.ShapeDtypeStruct((d, rows, LANE), jnp.int32)
             for d in state_dims.values()
         ]
+        if policy == "gru":
+            shapes.append(
+                jax.ShapeDtypeStruct((H2, N, rows, LANE), jnp.bfloat16)
+            )
         return shapes
 
     slots_x = np.asarray(layout.shelf_slots[:, 0])
@@ -1274,6 +1384,26 @@ def build_pallas_collect(
 
     def extract_params(params):
         p = params["params"]
+        if policy == "gru":
+            g = p["gru"]
+            return [
+                p["embed"]["kernel"].astype(jnp.bfloat16),
+                p["embed"]["bias"].astype(jnp.float32)[None, :],
+                g["ir"]["kernel"].astype(jnp.bfloat16),
+                g["ir"]["bias"].astype(jnp.float32)[None, :],
+                g["iz"]["kernel"].astype(jnp.bfloat16),
+                g["iz"]["bias"].astype(jnp.float32)[None, :],
+                g["in"]["kernel"].astype(jnp.bfloat16),
+                g["in"]["bias"].astype(jnp.float32)[None, :],
+                g["hr"]["kernel"].astype(jnp.bfloat16),
+                g["hz"]["kernel"].astype(jnp.bfloat16),
+                g["hn"]["kernel"].astype(jnp.bfloat16),
+                g["hn"]["bias"].astype(jnp.float32)[None, :],
+                p["policy"]["kernel"].astype(jnp.float32),
+                p["policy"]["bias"].astype(jnp.float32)[None, :],
+                p["value"]["kernel"].astype(jnp.float32),
+                p["value"]["bias"].astype(jnp.float32)[None, :],
+            ]
         return [
             p["dense_0"]["kernel"].astype(jnp.bfloat16),
             p["dense_0"]["bias"].astype(jnp.float32)[None, :],
@@ -1285,7 +1415,7 @@ def build_pallas_collect(
             p["value"]["bias"].astype(jnp.float32)[None, :],
         ]
 
-    def collect(state: WarehouseState, params, seed):
+    def collect(state: WarehouseState, params, seed, h0=None):
         b = state.agent_x.shape[0]
         if b % ENV_BLOCK:
             raise ValueError(f"batch {b} must be a multiple of {ENV_BLOCK}")
@@ -1315,18 +1445,34 @@ def build_pallas_collect(
                 (S, b // LANE, LANE),
             ),
         ]
+        if policy == "gru":
+            if h0 is None:
+                raise ValueError("gru collect needs the (B, N, Hg) carry")
+            # (B, N, Hg) -> (Hg, N, RB, LANE)
+            inputs.append(
+                jnp.transpose(h0, (2, 1, 0))
+                .reshape(H2, N, b // LANE, LANE)
+                .astype(jnp.bfloat16)
+            )
 
+        scratch_shapes = [pltpu.VMEM((scratch_rows, SUB, LANE), jnp.int32)]
+        if policy == "gru":
+            scratch_shapes.append(
+                pltpu.VMEM((H2, N, SUB, LANE), jnp.bfloat16)
+            )
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape(b),
-            scratch_shapes=[pltpu.VMEM((scratch_rows, SUB, LANE), jnp.int32)],
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(*inputs)
+        outs = list(outs)
         (obs, act, logp, val, rew, done, ax, ay, ad, carry, hd,
-         sx, sy, q, inact, steps) = outs
+         sx, sy, q, inact, steps) = outs[:16]
+        new_h = outs[16] if policy == "gru" else None
 
         def to_state(x):
             return jnp.swapaxes(x.reshape(x.shape[0], b), 0, 1)
@@ -1364,6 +1510,10 @@ def build_pallas_collect(
             cur_inactive_steps=inact.reshape(b),
             cur_steps=steps.reshape(b),
         )
+        if policy == "gru":
+            # (Hg, N, RB, LANE) -> (B, N, Hg)
+            h_out = jnp.transpose(new_h.reshape(H2, N, b), (2, 1, 0))
+            return new_state, h_out, traj
         return new_state, traj
 
     return collect

@@ -318,3 +318,113 @@ def test_image_env_pallas_train_step_runs():
     new_runner, metrics = ts(runner)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+# --- GRU policy in-kernel ----------------------------------------------------
+
+
+def test_gru_collect_matches_flax_and_replays():
+    from rware_tpu.models.networks import RecurrentActorCritic
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    states, _ = batched_reset(env, jax.random.key(0), ENV_BLOCK)
+    model = RecurrentActorCritic(n_actions=5)
+    carry0 = model.initialize_carry((ENV_BLOCK, 2))
+    params = model.init(
+        jax.random.key(1), carry0[:1], jnp.zeros((1, 2, 71))
+    )
+    collect = build_pallas_collect(
+        env.config, 16, hidden=(128, 128), tc_len=8, interpret=True,
+        deterministic=True, policy="gru",
+    )
+    new_state, new_h, traj = collect(states, params, 0, h0=carry0)
+
+    # t=0 forward vs flax from the zero carry.  The GRU has two distinct
+    # bf16 lowerings (kernel vs flax), so near-tie argmaxes may flip on a
+    # tiny fraction of envs; values agree to bf16 epsilon.
+    xla_obs = jax.vmap(env._obs_fn)(states)
+    new_carry, (logits, value) = model.apply(params, carry0, xla_obs)
+    mismatch = (
+        np.asarray(traj["action"][0]) != np.asarray(jnp.argmax(logits, -1))
+    ).mean()
+    assert mismatch < 0.01, mismatch
+    np.testing.assert_allclose(
+        np.asarray(traj["value"][0]), np.asarray(value), atol=3e-2
+    )
+    # final carry finite + consistent shape
+    assert new_h.shape == (ENV_BLOCK, 2, 128)
+    assert np.isfinite(np.asarray(new_h, dtype=np.float32)).all()
+
+    # recorded actions replay through the XLA engine to the same state
+    def replay(state, acts):
+        def body(s, a):
+            r = env._step_fn(s, a)
+            return r.state, r.rewards
+
+        return jax.lax.scan(body, state, acts)
+
+    final, rews = jax.jit(
+        jax.vmap(replay, in_axes=(0, 1), out_axes=(0, 1))
+    )(states, jnp.asarray(traj["action"]))
+    np.testing.assert_array_equal(
+        np.asarray(final.agent_x), np.asarray(new_state.agent_x)
+    )
+
+
+def test_gru_collect_carry_evolves_like_flax():
+    """Multi-step carry: kernel's final carry == flax scan over the same
+    recorded actions' observation sequence (bf16 tolerance)."""
+    from rware_tpu.models.networks import RecurrentActorCritic
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    states, _ = batched_reset(env, jax.random.key(3), ENV_BLOCK)
+    model = RecurrentActorCritic(n_actions=5)
+    carry0 = model.initialize_carry((ENV_BLOCK, 2))
+    params = model.init(jax.random.key(1), carry0[:1], jnp.zeros((1, 2, 71)))
+    T = 8
+    collect = build_pallas_collect(
+        env.config, T, tc_len=4, interpret=True, deterministic=True,
+        policy="gru",
+    )
+    _, new_h, traj = collect(states, params, 0, h0=carry0)
+
+    def replay(carry, xs):
+        obs, done = xs
+        nc, _ = model.apply(params, carry, obs)
+        nc = jnp.where(done[:, None, None], jnp.zeros_like(nc), nc)
+        return nc, None
+
+    obs_seq = jnp.asarray(traj["obs"], dtype=model.dtype)
+    final_c, _ = jax.lax.scan(
+        replay, carry0, (obs_seq, jnp.asarray(traj["done"]))
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_h, dtype=np.float32),
+        np.asarray(final_c, dtype=np.float32),
+        atol=5e-2,
+    )
+
+
+def test_rnn_pallas_train_step_runs():
+    from rware_tpu.models.ippo_rnn import (
+        build_rnn_pallas_train_step,
+        init_rnn_runner,
+    )
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = IPPOConfig(n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2)
+    runner, model, tx = init_rnn_runner(env, cfg, jax.random.key(0))
+    ts = jax.jit(
+        build_rnn_pallas_train_step(
+            env, model, tx, cfg, interpret=True, deterministic_collect=True
+        )
+    )
+    new_runner, metrics = ts(runner)
+    assert int(new_runner.update_idx) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), runner.params,
+        new_runner.params,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0

@@ -34,6 +34,11 @@ def timeit(fn, *args, n=3):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-envs", type=int, default=4096)
+    ap_args = ap.parse_args()
+
     import optax
 
     import rware_tpu
@@ -50,7 +55,7 @@ def main():
     from rware_tpu.ops.pallas_rollout import LANE, build_pallas_collect
 
     env = rware_tpu.make("rware-tiny-2ag-v2")
-    cfg = IPPOConfig(n_envs=4096, rollout_len=128)
+    cfg = IPPOConfig(n_envs=ap_args.n_envs, rollout_len=128)
     runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
     collect = build_pallas_collect(
         env.config, cfg.rollout_len, tc_len=_pick_tc_len(cfg.rollout_len),

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""On-hardware kernel-vs-XLA parity artifact (VERDICT round-1 #6).
+
+Interpret-mode CI cannot catch Mosaic lowering regressions (this repo has
+hit two: i1 loop carries, PRNG sign-bit arithmetic-shift).  This tool runs
+the COMPILED Pallas kernels against the XLA engine on the real chip:
+
+  * scripted-mode rollout equality (all dynamics fields, bit-exact) for a
+    spread of configs including >8 agents and msg_bits;
+  * deterministic fused-collect obs/replay equality for tiny-2ag.
+
+Writes a JSON verdict to the path given by --out (default
+TPUPARITY_r{N}.json in the repo root is committed by the round driver).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DYNAMICS_FIELDS = [
+    "agent_x", "agent_y", "agent_dir", "agent_carrying",
+    "shelf_x", "shelf_y", "cur_steps",
+]
+
+CONFIGS = [
+    "rware-tiny-2ag-v2",
+    "rware-large-8ag-v2",
+    "rware-tiny-12ag-v2",
+    "msg-bits-2ag",  # constructor-param config (msg_bits=2)
+]
+
+
+def check_rollout(env_id, B=1024, T=32):
+    import rware_tpu
+    from rware_tpu.ops.pallas_rollout import build_pallas_rollout
+    from rware_tpu.parallel import batched_reset
+
+    if env_id == "msg-bits-2ag":
+        cfg = rware_tpu.WarehouseConfig(
+            n_agents=2, msg_bits=2, request_queue_size=2
+        )
+        env = rware_tpu.make(cfg)
+    else:
+        env = rware_tpu.make(env_id)
+    n = env.n_agents
+    m = env.config.msg_bits
+    states, _ = batched_reset(env, jax.random.key(0), B)
+    rng = np.random.default_rng(1)
+    if m:
+        acts = np.zeros((T, B, n, 1 + m), dtype=np.int32)
+        acts[..., 0] = rng.integers(0, 5, (T, B, n))
+        acts[..., 1:] = rng.integers(0, 2, (T, B, n, m))
+        actions = jnp.asarray(acts)
+    else:
+        actions = jnp.asarray(rng.integers(0, 5, (T, B, n)), dtype=jnp.int32)
+
+    roll = build_pallas_rollout(env.config, T, scripted=True)
+    t0 = time.time()
+    pallas_state, rew, epis = roll(states, 0, actions)
+    jax.block_until_ready(pallas_state.agent_x)
+    compile_s = round(time.time() - t0, 1)
+
+    def one(state, a):
+        def body(s, aa):
+            r = env._step_fn(s, aa)
+            return r.state, r.rewards
+
+        return jax.lax.scan(body, state, a)
+
+    final, rews = jax.jit(jax.vmap(one, in_axes=(0, 1), out_axes=(0, 1)))(
+        states, actions
+    )
+
+    mismatches = []
+    fields = DYNAMICS_FIELDS + (["agent_message"] if m else [])
+    for f in fields:
+        a = np.asarray(getattr(pallas_state, f))
+        b = np.asarray(getattr(final, f))
+        if not np.array_equal(a, b):
+            mismatches.append({"field": f, "n_diff": int((a != b).sum())})
+    # reward sums (kernel returns the T-sum)
+    if not np.allclose(np.asarray(rew), np.asarray(rews).sum(0)):
+        mismatches.append({"field": "rewards", "n_diff": -1})
+    return {
+        "ok": not mismatches,
+        "mismatches": mismatches,
+        "B": B,
+        "T": T,
+        "compile_s": compile_s,
+    }
+
+
+def check_collect(B=1024, T=16):
+    import rware_tpu
+    from rware_tpu.models import ActorCritic
+    from rware_tpu.ops.pallas_rollout import build_pallas_collect
+    from rware_tpu.parallel import batched_reset
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    states, _ = batched_reset(env, jax.random.key(0), B)
+    model = ActorCritic(n_actions=5)
+    params = model.init(jax.random.key(1), jnp.zeros((1, 2, 71)))
+    collect = build_pallas_collect(env.config, T, tc_len=8, deterministic=True)
+    t0 = time.time()
+    new_state, traj = collect(states, params, 3)
+    jax.block_until_ready(traj["obs"])
+    compile_s = round(time.time() - t0, 1)
+
+    mismatches = []
+    xla_obs = np.asarray(jax.jit(jax.vmap(env._obs_fn))(states))
+    if not np.array_equal(
+        np.asarray(traj["obs"][0], dtype=np.float32), xla_obs
+    ):
+        mismatches.append({"field": "obs_t0", "n_diff": -1})
+    logits, value = model.apply(params, jnp.asarray(xla_obs))
+    if not np.array_equal(
+        np.asarray(traj["action"][0]), np.asarray(jnp.argmax(logits, -1))
+    ):
+        mismatches.append({"field": "action_t0", "n_diff": -1})
+    if not np.allclose(
+        np.asarray(traj["value"][0]), np.asarray(value), atol=2e-2
+    ):
+        mismatches.append({"field": "value_t0", "n_diff": -1})
+
+    # replay the recorded actions through the XLA engine
+    def replay(state, acts):
+        def body(s, a):
+            r = env._step_fn(s, a)
+            return r.state, r.rewards
+
+        return jax.lax.scan(body, state, acts)
+
+    final, rews = jax.jit(
+        jax.vmap(replay, in_axes=(0, 1), out_axes=(0, 1))
+    )(states, jnp.asarray(traj["action"]))
+    for f in ("agent_x", "agent_y", "shelf_x"):
+        a = np.asarray(getattr(new_state, f))
+        b = np.asarray(getattr(final, f))
+        if not np.array_equal(a, b):
+            mismatches.append({"field": f"collect_{f}", "n_diff": int((a != b).sum())})
+    return {
+        "ok": not mismatches,
+        "mismatches": mismatches,
+        "B": B,
+        "T": T,
+        "compile_s": compile_s,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="TPUPARITY.json")
+    p.add_argument("--configs", nargs="*", default=CONFIGS)
+    args = p.parse_args()
+
+    results = {"device": jax.devices()[0].device_kind}
+    for env_id in args.configs:
+        try:
+            results[env_id] = check_rollout(env_id)
+        except Exception as e:  # noqa: BLE001 — record, keep going
+            results[env_id] = {"ok": False, "error": repr(e)[:500]}
+        print(env_id, results[env_id], flush=True)
+    try:
+        results["collect-tiny-2ag"] = check_collect()
+    except Exception as e:  # noqa: BLE001
+        results["collect-tiny-2ag"] = {"ok": False, "error": repr(e)[:500]}
+    print("collect-tiny-2ag", results["collect-tiny-2ag"], flush=True)
+
+    results["all_ok"] = all(
+        v.get("ok", True) for v in results.values() if isinstance(v, dict)
+    )
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"tpu_parity_ok": results["all_ok"]}))
+
+
+if __name__ == "__main__":
+    main()

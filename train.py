@@ -38,7 +38,7 @@ def parse_args():
     p.add_argument(
         "--collect", choices=["xla", "pallas"], default="xla",
         help="experience collector: pallas = fused in-kernel obs+policy+env "
-        "(TPU only, mlp ippo only)",
+        "(TPU only; ippo with mlp or gru nets)",
     )
     p.add_argument("--updates", type=int, default=100)
     p.add_argument("--n-envs", type=int, default=256)
@@ -79,6 +79,7 @@ def main():
     if args.algo == "ippo" and args.net == "gru":
         from rware_tpu.models import IPPOConfig
         from rware_tpu.models.ippo_rnn import (
+            build_rnn_pallas_train_step,
             build_rnn_train_step,
             init_rnn_runner,
         )
@@ -91,7 +92,12 @@ def main():
             minibatch_mode=args.minibatch_mode,
         )
         runner, model, tx = init_rnn_runner(env, cfg, key)
-        train_step = jax.jit(build_rnn_train_step(env, model, tx, cfg))
+        if args.collect == "pallas" and jax.devices()[0].platform != "cpu":
+            train_step = jax.jit(
+                build_rnn_pallas_train_step(env, model, tx, cfg)
+            )
+        else:
+            train_step = jax.jit(build_rnn_train_step(env, model, tx, cfg))
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
     elif args.algo == "ippo":
         from rware_tpu.models import IPPOConfig, build_train_step, init_runner
