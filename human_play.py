@@ -25,6 +25,12 @@ def parse_args():
         "--display_info", action="store_true", help="show rewards/info each step"
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--backend", choices=["auto", "curses", "window"], default="auto",
+        help="window = graphical viewer with key hooks (needs a display, "
+        "the reference's pyglet-window equivalent); curses = terminal TUI; "
+        "auto tries window, falls back to curses",
+    )
     return p.parse_args()
 
 
@@ -153,6 +159,95 @@ def main(stdscr, args):
             msg = f"episode done after {steps} steps — R to reset"
 
 
+def main_window(args) -> bool:
+    """Windowed play via rendering.InteractiveViewer (the reference's
+    pyglet-window surface, rware/rendering.py:85-137 + human_play.py:70).
+
+    Returns False when no GUI backend exists so the caller can fall back.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("RWARE_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["RWARE_TPU_PLATFORM"])
+    import time
+
+    import numpy as np
+
+    from rware_tpu.gym_adapter import make_gym
+    from rware_tpu.rendering import InteractiveViewer
+    from rware_tpu.types import Action, Direction
+
+    env = make_gym(
+        args.env, max_steps=args.max_steps or 500, render_mode="rgb_array"
+    )
+    try:
+        viewer = InteractiveViewer(env.config)
+    except RuntimeError as e:
+        print(f"windowed viewer unavailable ({e})")
+        return False
+    env.reset(seed=args.seed)
+    state = {"selected": 0, "steps": 0}
+
+    KEYMAP = {
+        "up": Direction.UP, "w": Direction.UP,
+        "down": Direction.DOWN, "s": Direction.DOWN,
+        "left": Direction.LEFT, "a": Direction.LEFT,
+        "right": Direction.RIGHT, "d": Direction.RIGHT,
+    }
+    CLOCK = {0: 3, 3: 1, 1: 2, 2: 0}
+
+    def on_key(key):
+        action = None
+        if key in ("q", "escape"):
+            viewer.close()
+            return
+        if key == "tab":
+            state["selected"] = (state["selected"] + 1) % env.n_agents
+            return
+        if key == "r":
+            env.reset(seed=args.seed + state["steps"])
+            viewer.show(env.state)
+            return
+        if key == " ":
+            action = int(Action.TOGGLE_LOAD)
+        elif key in KEYMAP:
+            want = int(KEYMAP[key])
+            cur = int(np.asarray(env.state.agent_dir)[state["selected"]])
+            if cur == want:
+                action = int(Action.FORWARD)
+            elif CLOCK[cur] == want:
+                action = int(Action.RIGHT)
+            else:
+                action = int(Action.LEFT)
+        if action is None:
+            return
+        acts = [0] * env.n_agents
+        acts[state["selected"]] = action
+        obs, rew, done, trunc, info = env.step(acts)
+        state["steps"] += 1
+        if args.display_info:
+            print(f"rewards={rew} done={done} info={info}")
+        viewer.show(env.state)
+
+    viewer.on_key_press = on_key
+    viewer.show(env.state)
+    print(
+        f"{args.env}: arrows/WASD move, SPACE toggle, TAB agent, R reset, "
+        "Q quit (focus the window)"
+    )
+    while viewer.open:
+        viewer._fig.canvas.flush_events()
+        time.sleep(0.03)
+    return True
+
+
 if __name__ == "__main__":
     args = parse_args()
+    if args.backend in ("auto", "window"):
+        if main_window(args):
+            raise SystemExit(0)
+        if args.backend == "window":
+            raise SystemExit(1)
     curses.wrapper(main, args)

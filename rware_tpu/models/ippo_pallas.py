@@ -162,14 +162,17 @@ def ppo_loss_native(cfg: IPPOConfig, params, batch):
 
 def ppo_update_epochs_native(
     cfg: IPPOConfig, tx, params, opt_state, dataset, key, axis_name=None,
-    grads_fn=None,
+    grads_fn=None, mb_axis: str = "time",
 ):
     """E epochs x M minibatches over the native dataset.
 
-    Minibatches are contiguous slices of the env-block (RB) axis after a
-    random per-epoch rotation — sequential HBM reads, no index gathers; each
-    minibatch sees a band of envs across all T timesteps (the env-axis dual
-    of IPPOConfig.minibatch_mode="block").
+    Minibatches are contiguous slices after a random per-epoch rotation —
+    sequential HBM reads, no index gathers.  ``mb_axis`` picks the slicing
+    axis: "time" (default) makes each minibatch a T/M time window over ALL
+    envs — the fused-kernel-friendly shape (every grid cell contracts the
+    full RB*LANE env extent, amortising per-cell overhead 4x vs env
+    slices); "env" makes each minibatch a band of env-blocks across all T
+    (the env-axis dual of IPPOConfig.minibatch_mode="block").
 
     ``axis_name``: when run inside shard_map with the env batch sharded,
     gradients and metrics are pmean'd over that mesh axis (data-parallel
@@ -177,15 +180,29 @@ def ppo_update_epochs_native(
 
     ``grads_fn(params, batch) -> (grads, metrics)``: optional fused
     gradient kernel (ops/pallas_update.build_fused_ppo_grads); default is
-    jax.value_and_grad of ppo_loss_native.
+    jax.value_and_grad of ppo_loss_native.  Its ``rollout_len``/``mb_rows``
+    must match the minibatch shape this function produces.
     """
-    rb = dataset[1].shape[2]
-    if rb % cfg.minibatches:
-        raise ValueError(
-            f"n_envs/{dataset[1].shape[3]} = {rb} env-blocks must divide "
-            f"minibatches={cfg.minibatches}"
-        )
-    mb = rb // cfg.minibatches
+    if mb_axis == "time":
+        t_len = dataset[1].shape[0]
+        if t_len % cfg.minibatches:
+            raise ValueError(
+                f"rollout_len={t_len} must divide minibatches="
+                f"{cfg.minibatches} for time-axis minibatching"
+            )
+        mb = t_len // cfg.minibatches
+        roll_extent = t_len
+        axes = (0,) * len(_RB_AXES)
+    else:
+        rb = dataset[1].shape[2]
+        if rb % cfg.minibatches:
+            raise ValueError(
+                f"n_envs/{dataset[1].shape[3]} = {rb} env-blocks must divide "
+                f"minibatches={cfg.minibatches}"
+            )
+        mb = rb // cfg.minibatches
+        roll_extent = rb
+        axes = _RB_AXES
 
     if grads_fn is None:
 
@@ -205,16 +222,16 @@ def ppo_update_epochs_native(
 
     def epoch(carry, k):
         params, opt_state = carry
-        off = jax.random.randint(k, (), 0, rb)
+        off = jax.random.randint(k, (), 0, roll_extent)
         rolled = tuple(
-            jnp.roll(x, off, axis=ax) for x, ax in zip(dataset, _RB_AXES)
+            jnp.roll(x, off, axis=ax) for x, ax in zip(dataset, axes)
         )
 
         def minibatch(carry, i):
             params, opt_state = carry
             batch = tuple(
                 jax.lax.dynamic_slice_in_dim(x, i * mb, mb, ax)
-                for x, ax in zip(rolled, _RB_AXES)
+                for x, ax in zip(rolled, axes)
             )
             params, opt_state, metrics = sgd_step(params, opt_state, batch)
             return (params, opt_state), metrics
@@ -295,14 +312,15 @@ def build_pallas_train_step(
     if native and fused_update:
         from rware_tpu.ops.pallas_update import build_fused_ppo_grads
 
-        mb_rows = (n_local // LANE) // cfg.minibatches
+        # time-axis minibatches: each is a T/M window over the FULL local
+        # env extent, so every kernel grid cell contracts rb*LANE lanes
         grads_fn = build_fused_ppo_grads(
             obs_len=env.config.policy_obs_length,
             hidden=hidden,
             n_actions=env.n_actions,
-            rollout_len=cfg.rollout_len,
+            rollout_len=cfg.rollout_len // cfg.minibatches,
             n_agents=env.n_agents,
-            mb_rows=mb_rows,
+            mb_rows=n_local // LANE,
             clip_eps=cfg.clip_eps,
             vf_coef=cfg.vf_coef,
             ent_coef=cfg.ent_coef,

@@ -141,3 +141,56 @@ class Viewer:
 
             plt.close(self._fig)
             self._fig = None
+
+
+class InteractiveViewer(Viewer):
+    """Windowed interactive viewer with key-press hooks.
+
+    The GL-free equivalent of the reference's pyglet window
+    (``/root/reference/rware/rendering.py:85-137``), which ``human_play``
+    hooks via ``viewer.window.on_key_press``: here a GUI matplotlib figure
+    is the window and ``viewer.on_key_press`` (a callable taking the
+    matplotlib key name, e.g. ``"up"``, ``"tab"``, ``" "``) is the hook.
+    Raises ``RuntimeError`` under a headless Agg backend so callers can
+    fall back to the curses TUI.
+    """
+
+    def __init__(self, config: WarehouseConfig):
+        super().__init__(config)
+        import matplotlib
+
+        if "agg" in matplotlib.get_backend().lower():
+            raise RuntimeError(
+                "no GUI matplotlib backend available (headless display)"
+            )
+        import matplotlib.pyplot as plt
+
+        plt.ion()
+        h, w = self.layout.grid_size
+        blank = np.zeros((h * CELL + 1, w * CELL + 1, 3), dtype=np.uint8)
+        self._fig, ax = plt.subplots(
+            figsize=(blank.shape[1] / 72, blank.shape[0] / 72)
+        )
+        self._fig.canvas.manager.set_window_title("rware_tpu")
+        ax.axis("off")
+        self._img_artist = ax.imshow(blank)
+        self.on_key_press = None
+        self._fig.canvas.mpl_connect("key_press_event", self._handle_key)
+
+    def _handle_key(self, event) -> None:
+        if self.on_key_press is not None and event.key is not None:
+            self.on_key_press(event.key)
+
+    def show(self, state) -> None:
+        """Render one frame into the window and pump GUI events."""
+        self._img_artist.set_data(self.frame(state))
+        self._fig.canvas.draw_idle()
+        self._fig.canvas.flush_events()
+
+    @property
+    def open(self) -> bool:
+        import matplotlib.pyplot as plt
+
+        return self._fig is not None and plt.fignum_exists(
+            self._fig.number
+        )

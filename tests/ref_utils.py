@@ -35,6 +35,12 @@ def pinned_reference_tiebreak(ref_env):
     reference's longest-path call with a DP implementing that exact rule, so
     lockstep comparisons are bit-exact; outside ties the DP returns the same
     longest path networkx would.
+
+    How much behaviour does the pin decide?  Measured with
+    tools/tie_stats.py (random actions, 16k env-steps/config): equal-depth
+    contention occurs on ~0.02% of env-steps for tiny-2ag, ~0.04-0.1% for
+    the 4-8 agent registered configs, ~1% at 12 agents — everywhere else
+    the two implementations agree without any pinning.
     """
     import networkx as nx
 

@@ -195,3 +195,15 @@ def test_flatten_agents_msg_bits_action():
     joint = np.zeros(2 * 3, dtype=np.int64)  # 2 agents x (action + 2 bits)
     obs, rew, done, trunc, info = env.step(joint)
     assert np.isscalar(rew) or np.ndim(rew) == 0
+
+
+def test_interactive_viewer_headless_raises():
+    """InteractiveViewer (the windowed play surface) declines cleanly
+    under a headless Agg backend so human_play falls back to curses."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from rware_tpu.rendering import InteractiveViewer
+
+    with pytest.raises(RuntimeError):
+        InteractiveViewer(WarehouseConfig())
