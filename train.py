@@ -186,22 +186,40 @@ def main():
             print(f"resumed from update {start}", flush=True)
 
     logger = MetricLogger(print_every=args.log_every)
+    from rware_tpu.profiling import StepTimer, TraceWindow, aggregate_across_hosts
+
+    timer = StepTimer(skip_first=1)
+    # automatic trace artifact: a 3-step window after compile/warmup
+    tracer = TraceWindow(args.profile_dir, start=start + 3) if args.profile_dir else None
 
     def run_updates():
         nonlocal runner
+        timer.tick()
         for u in range(start, args.updates):
+            if tracer:
+                tracer.step(u)
             runner, metrics = train_step(runner)
+            if args.distributed:
+                metrics = aggregate_across_hosts(
+                    {k: float(v) for k, v in metrics.items()}
+                )
             logger.log(u + 1, metrics, env_steps=env_steps_per_update)
+            timer.tick()
             if ckpt and (u + 1) % args.checkpoint_every == 0:
                 ckpt.save(u + 1, runner)
+        if tracer:
+            tracer.close()
 
-    if args.profile_dir:
-        from rware_tpu.profiling import trace
-
-        with trace(args.profile_dir):
-            run_updates()
-    else:
-        run_updates()
+    run_updates()
+    step_stats = timer.summary()
+    if step_stats:
+        print(
+            f"timing: {step_stats['step_ms_p50']:.1f}ms p50 / "
+            f"{step_stats['step_ms_p95']:.1f}ms p95 per update "
+            f"({step_stats['steps_per_s'] * env_steps_per_update / 1e6:.2f}M "
+            "env-steps/s)",
+            flush=True,
+        )
 
     if ckpt:
         ckpt.save(args.updates, runner, wait=True)
