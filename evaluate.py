@@ -57,47 +57,74 @@ def main():
         leaves = jax.tree.leaves(params)
         # SEAC stores per-agent stacks (leading agent axis on every leaf)
         per_agent_params = all(l.shape[0] == n for l in leaves) and n > 1
+        recurrent = "gru" in params.get("params", {})
         ckpt.close()
-    model = ActorCritic(n_actions=env.n_actions)
+    else:
+        recurrent = False
+    if recurrent:
+        from rware_tpu.models import RecurrentActorCritic
 
-    def policy(key, obs, params):
+        model = RecurrentActorCritic(n_actions=env.n_actions)
+    else:
+        model = ActorCritic(n_actions=env.n_actions)
+
+    def policy(key, obs, params, carry):
+        """Returns (action, new_carry); carry is None for feedforward."""
         if args.random:
-            return jax.random.randint(key, (B, n), 0, 5, dtype=jnp.int32)
-        if per_agent_params:
+            return (
+                jax.random.randint(key, (B, n), 0, 5, dtype=jnp.int32),
+                carry,
+            )
+        if recurrent:
+            carry, (logits, _) = model.apply(params, carry, obs)
+        elif per_agent_params:
             logits, _ = jax.vmap(
                 lambda p, o: model.apply(p, o), in_axes=(0, 1), out_axes=1
             )(params, obs)
         else:
             logits, _ = model.apply(params, obs)
         if args.greedy:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), carry
         action, _ = sample_action(key, logits)
-        return action
+        return action, carry
 
     keys = jax.random.split(jax.random.key(args.seed), B)
     states = jax.vmap(env._reset_fn)(keys)
     obs = jax.vmap(env._obs_fn)(states)
 
+    carry0 = (
+        model.initialize_carry((B, n)) if recurrent else jnp.zeros((B,))
+    )
+
     @jax.jit
     def run(states, obs, params, key):
-        def body(carry, k):
-            states, obs, returns, lengths, alive = carry
-            actions = policy(k, obs, params)
+        def body(carry_t, k):
+            states, obs, rnn_carry, returns, lengths, alive = carry_t
+            actions, rnn_carry = policy(k, obs, params, rnn_carry)
             res = jax.vmap(env._step_fn)(states, actions)
             returns = returns + res.rewards.sum(-1) * alive
             lengths = lengths + alive
             alive = alive * (1.0 - res.done.astype(jnp.float32))
             next_obs = jax.vmap(env._obs_fn)(res.state)
-            return (res.state, next_obs, returns, lengths, alive), res.done
+            if recurrent:
+                rnn_carry = jnp.where(
+                    res.done[:, None, None],
+                    jnp.zeros_like(rnn_carry),
+                    rnn_carry,
+                )
+            return (
+                res.state, next_obs, rnn_carry, returns, lengths, alive,
+            ), res.done
 
         init = (
             states,
             obs,
+            carry0,
             jnp.zeros(B),
             jnp.zeros(B),
             jnp.ones(B),
         )
-        (states, obs, returns, lengths, alive), dones = jax.lax.scan(
+        (states, obs, _, returns, lengths, alive), dones = jax.lax.scan(
             body, init, jax.random.split(key, args.max_steps)
         )
         return returns, lengths, alive
