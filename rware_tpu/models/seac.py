@@ -281,7 +281,14 @@ def build_seac_ppo_train_step(
     model: ActorCritic,
     tx: optax.GradientTransformation,
     cfg: SEACPPOConfig,
+    collect_mode: str = "xla",
+    interpret: bool = False,
+    deterministic_collect: bool = False,
 ) -> Callable[[SEACRunner], Tuple[SEACRunner, dict]]:
+    """``collect_mode="pallas"`` runs the rollout through the fused collect
+    kernel with PER-AGENT weights (ops/pallas_rollout
+    build_pallas_collect(policy="mlp_per_agent")); the shared-experience
+    PPO update (cross-agent forwards) stays in XLA."""
     step_fn = jax.vmap(env._step_fn)
     reset_fn = env._reset_fn
     from rware_tpu.models.ippo import policy_obs_fn
@@ -289,6 +296,25 @@ def build_seac_ppo_train_step(
     obs_fn = policy_obs_fn(env)
     n = env.n_agents
     eye = jnp.eye(n)  # (N_i, N_j)
+
+    pallas_collect = None
+    if collect_mode == "pallas":
+        from rware_tpu.models.ippo_pallas import _pick_tc_len
+        from rware_tpu.ops.pallas_rollout import (
+            ENV_BLOCK,
+            build_pallas_collect,
+        )
+
+        pallas_collect = build_pallas_collect(
+            env.config,
+            cfg.rollout_len,
+            tc_len=_pick_tc_len(cfg.rollout_len),
+            interpret=interpret,
+            deterministic=deterministic_collect,
+            policy="mlp_per_agent",
+        )
+        n_tc = max(1, cfg.rollout_len // _pick_tc_len(cfg.rollout_len))
+        streams_per_update = (cfg.n_envs // ENV_BLOCK) * n_tc
 
     def apply_own(params, obs):
         return jax.vmap(
@@ -361,10 +387,27 @@ def build_seac_ppo_train_step(
 
     def train_step(runner: SEACRunner) -> Tuple[SEACRunner, dict]:
         key, k_roll, k_perm = jax.random.split(runner.key, 3)
-        roll_keys = jax.random.split(k_roll, cfg.rollout_len)
-        (params, env_states, obs), traj = jax.lax.scan(
-            collect, (runner.params, runner.env_states, runner.obs), roll_keys
-        )
+        params = runner.params
+        if pallas_collect is not None:
+            seed = runner.update_idx * jnp.int32(streams_per_update)
+            env_states, ktraj = pallas_collect(
+                runner.env_states, params, seed
+            )
+            obs = jax.vmap(obs_fn)(env_states)
+            traj = SEACTransition(
+                obs=ktraj["obs"].astype(jnp.float32),
+                action=ktraj["action"],
+                logp=ktraj["logp"],
+                reward=ktraj["reward"],
+                done=ktraj["done"].astype(jnp.bool_),
+            )
+        else:
+            roll_keys = jax.random.split(k_roll, cfg.rollout_len)
+            (params, env_states, obs), traj = jax.lax.scan(
+                collect,
+                (runner.params, runner.env_states, runner.obs),
+                roll_keys,
+            )
 
         # old-policy cross evaluation for advantages/targets/old values
         logits_cross, values_cross = jax.vmap(

@@ -955,6 +955,53 @@ def _policy_forward(params, feats_rows):
     return logits, value
 
 
+def _policy_forward_per_agent(params, feats_rows):
+    """Per-agent-parameter MLP actor-critic (SEAC-style learners).
+
+    Like _policy_forward but every weight carries a leading agent axis
+    (the stacked per-agent param pytree of models.seac.init_seac): agent
+    i's features go through agent i's network — N small matmuls of
+    M = SUB*LANE instead of one shared matmul.  Returns (logits (A, M),
+    value (1, M)) with the same agent-major M ordering as the shared path.
+    """
+    w0, b0, w1, b1, wp, bp, wv, bv = params
+    n = len(feats_rows)
+    L = len(feats_rows[0])
+    dn = (((0,), (0,)), ((), ()))
+    logits_parts, value_parts = [], []
+    for i in range(n):
+        feats = jnp.stack(feats_rows[i], axis=0).reshape(
+            L, SUB * LANE
+        ).astype(jnp.bfloat16)
+        x = jax.lax.dot_general(
+            w0[i], feats, dn, preferred_element_type=jnp.float32
+        )
+        x = jnp.tanh(x + b0[i].reshape(-1, 1)).astype(jnp.bfloat16)
+        x = jax.lax.dot_general(
+            w1[i], x, dn, preferred_element_type=jnp.float32
+        )
+        x = jnp.tanh(x + b1[i].reshape(-1, 1)).astype(jnp.bfloat16)
+        xf = x.astype(jnp.float32)
+        logits_parts.append(
+            jax.lax.dot_general(
+                wp[i].astype(jnp.float32), xf, dn,
+                preferred_element_type=jnp.float32,
+            )
+            + bp[i].reshape(-1, 1)
+        )
+        value_parts.append(
+            jax.lax.dot_general(
+                wv[i].astype(jnp.float32), xf, dn,
+                preferred_element_type=jnp.float32,
+            )
+            + bv[i].reshape(-1, 1)
+        )
+    return (
+        jnp.concatenate(logits_parts, axis=1),
+        jnp.concatenate(value_parts, axis=1),
+    )
+
+
 def _gru_forward(params, feats_rows, h):
     """Recurrent actor-critic forward on env-tiled features.
 
@@ -1135,6 +1182,8 @@ def _make_collect_kernel(
                 logits, value, new_h = _gru_forward(
                     params, feats, h_t.reshape(hg, N * SUB * LANE)
                 )
+            elif policy == "mlp_per_agent":
+                logits, value = _policy_forward_per_agent(params, feats)
             else:
                 logits, value = _policy_forward(params, feats)
             action_t, logp_t = _sample_gumbel(logits, N, deterministic)
@@ -1325,6 +1374,13 @@ def build_pallas_collect(
             pblock((1, Hg)),                    # hn bias
             pblock((Hg, 5)), pblock((1, 5)), pblock((Hg, 1)), pblock((1, 1)),
         ]
+    elif policy == "mlp_per_agent":
+        in_specs += [
+            pblock((N, L, H1)), pblock((N, H1)),
+            pblock((N, H1, H2)), pblock((N, H2)),
+            pblock((N, H2, 5)), pblock((N, 5)),
+            pblock((N, H2, 1)), pblock((N, 1)),
+        ]
     else:
         in_specs += [
             pblock((L, H1)), pblock((1, H1)), pblock((H1, H2)), pblock((1, H2)),
@@ -1384,6 +1440,18 @@ def build_pallas_collect(
 
     def extract_params(params):
         p = params["params"]
+        if policy == "mlp_per_agent":
+            # stacked per-agent leaves (leading N axis; models.seac)
+            return [
+                p["dense_0"]["kernel"].astype(jnp.bfloat16),
+                p["dense_0"]["bias"].astype(jnp.float32),
+                p["dense_1"]["kernel"].astype(jnp.bfloat16),
+                p["dense_1"]["bias"].astype(jnp.float32),
+                p["policy"]["kernel"].astype(jnp.float32),
+                p["policy"]["bias"].astype(jnp.float32),
+                p["value"]["kernel"].astype(jnp.float32),
+                p["value"]["bias"].astype(jnp.float32),
+            ]
         if policy == "gru":
             g = p["gru"]
             return [

@@ -90,3 +90,69 @@ def test_seac_ppo_improves_on_value_objective():
         runner, metrics = ts(runner)
     assert np.isfinite(float(metrics["v_loss"]))
     assert abs(float(metrics["approx_kl"])) < 0.5
+
+
+def test_per_agent_kernel_collect_matches_apply_own():
+    """build_pallas_collect(policy='mlp_per_agent') forwards each agent
+    through its OWN stacked weights: deterministic actions == argmax of
+    models.seac apply_own (modulo rare bf16 near-ties)."""
+    import jax.numpy as jnp
+
+    from rware_tpu.models.seac import SEACConfig, init_seac
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK, build_pallas_collect
+    from rware_tpu.parallel import batched_reset
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = SEACConfig(n_envs=ENV_BLOCK)
+    runner, model, tx = init_seac(env, cfg, jax.random.key(0))
+    states, _ = batched_reset(env, jax.random.key(2), ENV_BLOCK)
+
+    collect = build_pallas_collect(
+        env.config, 8, tc_len=8, interpret=True, deterministic=True,
+        policy="mlp_per_agent",
+    )
+    _, traj = collect(states, runner.params, 0)
+
+    obs = jax.vmap(env._obs_fn)(states)
+    logits, values = jax.vmap(
+        lambda p, o: model.apply(p, o), in_axes=(0, 1), out_axes=1
+    )(runner.params, obs)
+    mismatch = (
+        np.asarray(traj["action"][0]) != np.asarray(jnp.argmax(logits, -1))
+    ).mean()
+    assert mismatch < 0.01, mismatch
+    np.testing.assert_allclose(
+        np.asarray(traj["value"][0]), np.asarray(values), atol=3e-2
+    )
+    # the two agents' policies genuinely differ (independent inits)
+    a = np.asarray(traj["action"][0])
+    assert (a[:, 0] != a[:, 1]).mean() > 0.05
+
+
+def test_seac_ppo_pallas_collect_train_step_runs():
+    from rware_tpu.models.seac import (
+        SEACPPOConfig,
+        build_seac_ppo_train_step,
+        init_seac_ppo,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = SEACPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, model, tx = init_seac_ppo(env, cfg, jax.random.key(0))
+    ts = jax.jit(
+        build_seac_ppo_train_step(
+            env, model, tx, cfg, collect_mode="pallas", interpret=True,
+            deterministic_collect=True,
+        )
+    )
+    new_runner, metrics = ts(runner)
+    assert int(new_runner.update_idx) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    for a, b in zip(
+        jax.tree.leaves(runner.params), jax.tree.leaves(new_runner.params)
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0

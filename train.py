@@ -145,7 +145,17 @@ def main():
             ent_coef=args.ent_coef,
         )
         runner, model, tx = init_seac_ppo(env, cfg, key)
-        train_step = jax.jit(build_seac_ppo_train_step(env, model, tx, cfg))
+        collect_mode = (
+            "pallas"
+            if args.collect == "pallas"
+            and jax.devices()[0].platform != "cpu"
+            else "xla"
+        )
+        train_step = jax.jit(
+            build_seac_ppo_train_step(
+                env, model, tx, cfg, collect_mode=collect_mode
+            )
+        )
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
     else:
         from rware_tpu.models.seac import (
