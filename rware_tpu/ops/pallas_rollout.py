@@ -756,12 +756,25 @@ def _build_obs_rows(st, sensor_range, normalised, acts_state, slots_x, slots_y):
     [has_agent, dir-onehot(4) (empty-cell quirk [1,0,0,0]), has_shelf,
     shelf_requested].  Out-of-grid window cells produce all-zero features
     (coordinate compares simply fail), matching the reference's zero pad.
+
+    The window axis is STACKED (W2 = (1+2r)^2 leading axis) so the whole
+    window is a handful of big tensor ops instead of per-cell loops —
+    Mosaic per-op overhead, not FLOPs, dominates this builder.
     """
     N, S, R, H, W = st.n, st.s, st.r, st.h, st.w
     ax, ay, ad, carrying, sx, sy, q = acts_state
+    r = sensor_range
+    side = 2 * r + 1
+    w2 = side * side
+    # offsets derived via iota (a captured jnp constant is illegal in a
+    # pallas kernel body); order matches _window_offsets (dy outer, dx inner)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (w2, 1, 1), 0)
+    dys = c_iota // side - r
+    dxs = c_iota % side - r
 
     # cell-id encodings halve the coordinate compares
-    agent_cid = [ay[i] * W + ax[i] for i in range(N)]
+    agent_cid = jnp.stack([ay[i] * W + ax[i] for i in range(N)])  # (N,S,L)
+    agent_dir = jnp.stack(ad)
     shelf_cid = sy * W + sx  # (S, SUB, LANE)
     in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
     for r_i in range(R):
@@ -788,24 +801,31 @@ def _build_obs_rows(st, sensor_range, normalised, acts_state, slots_x, slots_y):
         )
         rows.append((~on_rack).astype(jnp.float32))
 
-        for dy, dx in _window_offsets(sensor_range):
-            cx = ax[i] + dx
-            cy = ay[i] + dy
-            valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
-            cid = jnp.where(valid, cy * W + cx, -1)
-            has_agent = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-            cell_dir = jnp.zeros((SUB, LANE), dtype=jnp.int32)
-            for j in range(N):
-                here = agent_cid[j] == cid
-                has_agent |= here
-                cell_dir = jnp.where(here, ad[j], cell_dir)
-            rows.append(has_agent.astype(jnp.float32))
+        # whole window at once: (W2, SUB, LANE) coordinates
+        cx = ax[i][None] + dxs
+        cy = ay[i][None] + dys
+        valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+        cid = jnp.where(valid, cy * W + cx, -1)
+        here = agent_cid[:, None] == cid[None]  # (N, W2, SUB, LANE)
+        has_agent = jnp.any(here, axis=0).astype(jnp.float32)
+        cell_dir = jnp.sum(
+            jnp.where(here, agent_dir[:, None], 0), axis=0
+        )
+        dir_onehot = [
+            (cell_dir == k).astype(jnp.float32) for k in range(4)
+        ]
+        has_shelf = jnp.any(
+            shelf_cid[:, None] == cid[None], axis=0
+        ).astype(jnp.float32)
+        requested = jnp.any(
+            req_cid[:, None] == cid[None], axis=0
+        ).astype(jnp.float32)
+        for c in range(w2):
+            rows.append(has_agent[c])
             for k in range(4):
-                rows.append((cell_dir == k).astype(jnp.float32))
-            has_shelf = jnp.any(shelf_cid == cid, axis=0)
-            requested = jnp.any(req_cid == cid, axis=0)
-            rows.append(has_shelf.astype(jnp.float32))
-            rows.append(requested.astype(jnp.float32))
+                rows.append(dir_onehot[k][c])
+            rows.append(has_shelf[c])
+            rows.append(requested[c])
         rows_per_agent.append(rows)
     return rows_per_agent
 
@@ -829,10 +849,15 @@ def _build_image_rows(
 
     N, S, R, H, W = st.n, st.s, st.r, st.h, st.w
     r = sensor_range
-    w2 = 2 * r + 1
+    side = 2 * r + 1
+    w2 = side * side
     ax, ay, ad, carrying, sx, sy, q = acts_state
 
-    agent_cid = [ay[i] * W + ax[i] for i in range(N)]
+    agent_cid = jnp.stack([ay[i] * W + ax[i] for i in range(N)])
+    agent_dir = jnp.stack(ad)
+    agent_loaded = jnp.stack(
+        [(carrying[i] >= 0).astype(jnp.float32) for i in range(N)]
+    )
     shelf_cid = sy * W + sx  # (S, SUB, LANE)
     in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
     for r_i in range(R):
@@ -842,73 +867,72 @@ def _build_image_rows(
     req_cid = jnp.where(in_queue, shelf_cid, -2)
     goal_cids = [gy * W + gx for gx, gy in goals]
 
+    # stacked per-output-cell offsets; (u, v) = (c // side, c % side)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (w2, 1, 1), 0)
+    u_i = c_iota // side
+    v_i = c_iota % side
+
     rows_per_agent = []
     for i in range(N):
-        # per-output-cell world coordinates (dir-dependent when directional)
-        cell_cids, cell_valid = {}, {}
-        for u in range(w2):
-            for v in range(w2):
-                if directional:
-                    dy = _sel4(ad[i], (u - r, r - u, r - v, v - r))
-                    dx = _sel4(ad[i], (v - r, r - v, u - r, r - u))
-                else:
-                    dy = u - r
-                    dx = v - r
-                cx = ax[i] + dx
-                cy = ay[i] + dy
-                valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
-                cell_cids[(u, v)] = jnp.where(valid, cy * W + cx, -1)
-                cell_valid[(u, v)] = valid
+        if directional:
+            d = ad[i][None]  # (1, SUB, LANE)
+            dy = jnp.where(
+                d == 0, u_i - r,
+                jnp.where(d == 1, r - u_i, jnp.where(d == 2, r - v_i, v_i - r)),
+            )
+            dx = jnp.where(
+                d == 0, v_i - r,
+                jnp.where(d == 1, r - v_i, jnp.where(d == 2, u_i - r, r - u_i)),
+            )
+        else:
+            dy = jnp.broadcast_to(u_i - r, (w2, SUB, LANE))
+            dx = jnp.broadcast_to(v_i - r, (w2, SUB, LANE))
+        cx = ax[i][None] + dx
+        cy = ay[i][None] + dy
+        valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+        cid = jnp.where(valid, cy * W + cx, -1)  # (W2, SUB, LANE)
+
+        here = agent_cid[:, None] == cid[None]  # (N, W2, SUB, LANE)
+        agent_hit = jnp.any(here, axis=0)
+        layer_vals = {}
+        for layer_type in layers:
+            if layer_type == ImageLayer.SHELVES:
+                val = jnp.any(
+                    shelf_cid[:, None] == cid[None], axis=0
+                ).astype(jnp.float32)
+            elif layer_type == ImageLayer.REQUESTS:
+                val = jnp.any(
+                    req_cid[:, None] == cid[None], axis=0
+                ).astype(jnp.float32)
+            elif layer_type == ImageLayer.AGENTS:
+                val = agent_hit.astype(jnp.float32)
+            elif layer_type == ImageLayer.AGENT_DIRECTION:
+                # positions are unique, so the sum selects the one agent
+                val = jnp.sum(
+                    jnp.where(
+                        here, (agent_dir[:, None] + 1).astype(jnp.float32), 0.0
+                    ),
+                    axis=0,
+                )
+            elif layer_type == ImageLayer.AGENT_LOAD:
+                val = jnp.sum(
+                    jnp.where(here, agent_loaded[:, None], 0.0), axis=0
+                )
+            elif layer_type == ImageLayer.GOALS:
+                hit = jnp.zeros((w2, SUB, LANE), dtype=jnp.bool_)
+                for gcid in goal_cids:
+                    hit |= cid == gcid
+                val = hit.astype(jnp.float32)
+            elif layer_type == ImageLayer.ACCESSIBLE:
+                val = (valid & ~agent_hit).astype(jnp.float32)
+            else:
+                raise ValueError(f"unknown layer {layer_type}")
+            layer_vals[layer_type] = val
 
         rows = []
         for layer_type in layers:
-            for u in range(w2):
-                for v in range(w2):
-                    cid = cell_cids[(u, v)]
-                    if layer_type == ImageLayer.SHELVES:
-                        val = jnp.any(shelf_cid == cid, axis=0).astype(
-                            jnp.float32
-                        )
-                    elif layer_type == ImageLayer.REQUESTS:
-                        val = jnp.any(req_cid == cid, axis=0).astype(
-                            jnp.float32
-                        )
-                    elif layer_type == ImageLayer.AGENTS:
-                        hit = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-                        for j in range(N):
-                            hit |= agent_cid[j] == cid
-                        val = hit.astype(jnp.float32)
-                    elif layer_type == ImageLayer.AGENT_DIRECTION:
-                        val = jnp.zeros((SUB, LANE), dtype=jnp.float32)
-                        for j in range(N):
-                            here = agent_cid[j] == cid
-                            val = jnp.where(
-                                here, (ad[j] + 1).astype(jnp.float32), val
-                            )
-                    elif layer_type == ImageLayer.AGENT_LOAD:
-                        val = jnp.zeros((SUB, LANE), dtype=jnp.float32)
-                        for j in range(N):
-                            here = agent_cid[j] == cid
-                            val = jnp.where(
-                                here,
-                                (carrying[j] >= 0).astype(jnp.float32),
-                                val,
-                            )
-                    elif layer_type == ImageLayer.GOALS:
-                        hit = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-                        for gcid in goal_cids:
-                            hit |= cid == gcid
-                        val = hit.astype(jnp.float32)
-                    elif layer_type == ImageLayer.ACCESSIBLE:
-                        hit = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
-                        for j in range(N):
-                            hit |= agent_cid[j] == cid
-                        val = (
-                            cell_valid[(u, v)] & ~hit
-                        ).astype(jnp.float32)
-                    else:
-                        raise ValueError(f"unknown layer {layer_type}")
-                    rows.append(val)
+            for c in range(w2):
+                rows.append(layer_vals[layer_type][c])
         rows_per_agent.append(rows)
     return rows_per_agent
 
