@@ -41,6 +41,8 @@ class _UpdStatic:
     t: int
     n: int  # agents
     mb_rows: int  # env rows per minibatch
+    rb_chunk: int  # env rows per grid cell (M = rb_chunk * LANE <= ~4k,
+    # keeping the ~6 live (H, M) f32 activations under the 16MB VMEM cap)
     clip_eps: float
     vf_coef: float
     ent_coef: float
@@ -48,8 +50,8 @@ class _UpdStatic:
 
 def _make_update_kernel(st: _UpdStatic):
     L, H1, H2, A = st.l, st.h1, st.h2, st.a
-    M = st.mb_rows * LANE
-    inv_n = 1.0 / (st.t * st.n * M)
+    M = st.rb_chunk * LANE
+    inv_n = 1.0 / (st.t * st.n * st.mb_rows * LANE)
     eps = st.clip_eps
 
     def kernel(
@@ -60,7 +62,7 @@ def _make_update_kernel(st: _UpdStatic):
     ):
         t = pl.program_id(0)
         n = pl.program_id(1)
-        first = (t == 0) & (n == 0)
+        first = (t == 0) & (n == 0) & (pl.program_id(2) == 0)
 
         @pl.when(first)
         def _():
@@ -218,35 +220,39 @@ def build_fused_ppo_grads(
     """
     L, (H1, H2), A = obs_len, hidden, n_actions
     T, N = rollout_len, n_agents
+    # chunk the env-rows axis so M = rb_chunk*LANE stays <= 4096 (VMEM cap)
+    rb_chunk = mb_rows
+    while rb_chunk > 32 or mb_rows % rb_chunk:
+        rb_chunk -= 1
     st = _UpdStatic(
         l=L, h1=H1, h2=H2, a=A, t=T, n=N, mb_rows=mb_rows,
+        rb_chunk=rb_chunk,
         clip_eps=clip_eps, vf_coef=vf_coef, ent_coef=ent_coef,
     )
     kernel = _make_update_kernel(st)
-    M = mb_rows * LANE
-    n_total = T * N * M
+    n_total = T * N * mb_rows * LANE
     inv_n = 1.0 / n_total
 
-    grid = (T, N)
+    grid = (T, N, mb_rows // rb_chunk)
 
     def cblock(shape):
         return pl.BlockSpec(
-            shape, lambda t, n: tuple(0 for _ in shape),
+            shape, lambda t, n, c: tuple(0 for _ in shape),
             memory_space=pltpu.VMEM,
         )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # adv stats (2,)
     in_specs += [
         pl.BlockSpec(
-            (1, 1, L, mb_rows, LANE),
-            lambda t, n: (t, n, 0, 0, 0),
+            (1, 1, L, rb_chunk, LANE),
+            lambda t, n, c: (t, n, 0, c, 0),
             memory_space=pltpu.VMEM,
         )
     ]
     in_specs += [
         pl.BlockSpec(
-            (1, 1, mb_rows, LANE),
-            lambda t, n: (t, n, 0, 0),
+            (1, 1, rb_chunk, LANE),
+            lambda t, n, c: (t, n, c, 0),
             memory_space=pltpu.VMEM,
         )
         for _ in range(5)
@@ -260,7 +266,7 @@ def build_fused_ppo_grads(
         cblock((L, H1)), cblock((1, H1)), cblock((H1, H2)), cblock((1, H2)),
         cblock((H2, A)), cblock((1, A)), cblock((H2, 1)), cblock((1, 1)),
         pl.BlockSpec(
-            (len(_METRICS),), lambda t, n: (0,), memory_space=pltpu.SMEM
+            (len(_METRICS),), lambda t, n, c: (0,), memory_space=pltpu.SMEM
         ),
     ]
     out_shape = [
