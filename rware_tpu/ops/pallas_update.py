@@ -46,6 +46,8 @@ class _UpdStatic:
     clip_eps: float
     vf_coef: float
     ent_coef: float
+    # perf-bisect: 0=full, 1=no wgrad matmuls, 2=forward+loss only
+    debug_level: int = 0
 
 
 def _make_update_kernel(st: _UpdStatic):
@@ -155,36 +157,44 @@ def _make_update_kernel(st: _UpdStatic):
         # ---- backward through the MLP ----
         dn10 = (((1,), (0,)), ((), ()))  # contract lhs dim1 with rhs dim0
         dn11 = (((1,), (1,)), ((), ()))  # contract the M axes
-        dh2 = (
-            jax.lax.dot_general(
-                wp_ref[:], dlogits, dn10, preferred_element_type=jnp.float32
-            )
-            + wv_ref[:] * dvalue
-        )  # (H2, M)
-        dz2 = dh2 * (1.0 - h2 * h2)
-        dz2b = dz2.astype(jnp.bfloat16)
-        dh1 = jax.lax.dot_general(
-            w1_ref[:], dz2b, dn10, preferred_element_type=jnp.float32
-        )  # (H1, M)
-        dz1 = dh1 * (1.0 - h1 * h1)
-        dz1b = dz1.astype(jnp.bfloat16)
-
-        dw0[:] += jax.lax.dot_general(
-            x, dz1b, dn11, preferred_element_type=jnp.float32
-        )  # (L, H1)
-        db0[:] += jnp.sum(dz1, axis=1, keepdims=True).T  # (1, H1)
-        dw1[:] += jax.lax.dot_general(
-            h1b, dz2b, dn11, preferred_element_type=jnp.float32
-        )  # (H1, H2)
-        db1[:] += jnp.sum(dz2, axis=1, keepdims=True).T
-        dwp[:] += jax.lax.dot_general(
-            h2f, dlogits, dn11, preferred_element_type=jnp.float32
-        )  # (H2, A)
-        dbp[:] += jnp.sum(dlogits, axis=1, keepdims=True).T
-        dwv[:] += jax.lax.dot_general(
-            h2f, dvalue, dn11, preferred_element_type=jnp.float32
-        )  # (H2, 1)
-        dbv[:] += jnp.sum(dvalue, axis=1, keepdims=True).T
+        if st.debug_level < 2:
+            dh2 = (
+                jax.lax.dot_general(
+                    wp_ref[:], dlogits, dn10,
+                    preferred_element_type=jnp.float32,
+                )
+                + wv_ref[:] * dvalue
+            )  # (H2, M)
+            dz2 = dh2 * (1.0 - h2 * h2)
+            dz2b = dz2.astype(jnp.bfloat16)
+            dh1 = jax.lax.dot_general(
+                w1_ref[:], dz2b, dn10, preferred_element_type=jnp.float32
+            )  # (H1, M)
+            dz1 = dh1 * (1.0 - h1 * h1)
+            dz1b = dz1.astype(jnp.bfloat16)
+        if st.debug_level < 1:
+            dw0[:] += jax.lax.dot_general(
+                x, dz1b, dn11, preferred_element_type=jnp.float32
+            )  # (L, H1)
+            db0[:] += jnp.sum(dz1, axis=1, keepdims=True).T  # (1, H1)
+            dw1[:] += jax.lax.dot_general(
+                h1b, dz2b, dn11, preferred_element_type=jnp.float32
+            )  # (H1, H2)
+            db1[:] += jnp.sum(dz2, axis=1, keepdims=True).T
+            dwp[:] += jax.lax.dot_general(
+                h2f, dlogits, dn11, preferred_element_type=jnp.float32
+            )  # (H2, A)
+            dbp[:] += jnp.sum(dlogits, axis=1, keepdims=True).T
+            dwv[:] += jax.lax.dot_general(
+                h2f, dvalue, dn11, preferred_element_type=jnp.float32
+            )  # (H2, 1)
+            dbv[:] += jnp.sum(dvalue, axis=1, keepdims=True).T
+        elif st.debug_level == 1:
+            # dgrads computed but wgrad matmuls skipped; keep the dgrad
+            # chain alive through the bias-grad sums
+            db0[:] += jnp.sum(dz1, axis=1, keepdims=True).T
+            db1[:] += jnp.sum(dz2, axis=1, keepdims=True).T
+            dbv[:] += jnp.sum(dvalue, axis=1, keepdims=True).T
 
         # ---- metric partial sums ----
         mets[0] += jnp.sum(obj)
@@ -208,6 +218,7 @@ def build_fused_ppo_grads(
     vf_coef: float,
     ent_coef: float,
     interpret: bool = False,
+    debug_level: int = 0,
 ):
     """Returns ``grads(params, batch) -> (grads_pytree, metrics_dict)``.
 
@@ -228,6 +239,7 @@ def build_fused_ppo_grads(
         l=L, h1=H1, h2=H2, a=A, t=T, n=N, mb_rows=mb_rows,
         rb_chunk=rb_chunk,
         clip_eps=clip_eps, vf_coef=vf_coef, ent_coef=ent_coef,
+        debug_level=debug_level,
     )
     kernel = _make_update_kernel(st)
     n_total = T * N * mb_rows * LANE
