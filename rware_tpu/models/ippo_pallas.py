@@ -72,7 +72,9 @@ def _native_forward(params, obs):
         (((nd - 3,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (..., RB, LANE, H1)
-    x = jnp.tanh(x + p["dense_0"]["bias"]).astype(jnp.bfloat16)
+    # bf16 tanh: flax Dense(dtype=bf16) emits bf16 pre-activations; the
+    # fused update kernel computes the same way
+    x = jnp.tanh((x + p["dense_0"]["bias"]).astype(jnp.bfloat16))
     i = 1
     while f"dense_{i}" in p:
         d = p[f"dense_{i}"]
@@ -82,7 +84,7 @@ def _native_forward(params, obs):
             (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        x = jnp.tanh(x + d["bias"]).astype(jnp.bfloat16)
+        x = jnp.tanh((x + d["bias"]).astype(jnp.bfloat16))
         i += 1
     xf = x.astype(jnp.float32)
     logits = (

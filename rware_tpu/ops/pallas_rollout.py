@@ -958,11 +958,12 @@ def _policy_forward(params, feats_rows):
     x = jax.lax.dot_general(
         feats, w0, dn, preferred_element_type=jnp.float32
     )  # (M, H1)
-    x = jnp.tanh(x + b0).astype(jnp.bfloat16)
+    # bf16 tanh matches flax Dense(dtype=bf16) and halves VPU work
+    x = jnp.tanh((x + b0).astype(jnp.bfloat16))
     x = jax.lax.dot_general(
         x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    x = jnp.tanh(x + b1).astype(jnp.bfloat16)
+    x = jnp.tanh((x + b1).astype(jnp.bfloat16))
     # heads transposed: contract the hidden axis, leave (A, M)/(1, M)
     logits = (
         jax.lax.dot_general(
@@ -1000,11 +1001,11 @@ def _policy_forward_per_agent(params, feats_rows):
         x = jax.lax.dot_general(
             w0[i], feats, dn, preferred_element_type=jnp.float32
         )
-        x = jnp.tanh(x + b0[i].reshape(-1, 1)).astype(jnp.bfloat16)
+        x = jnp.tanh((x + b0[i].reshape(-1, 1)).astype(jnp.bfloat16))
         x = jax.lax.dot_general(
             w1[i], x, dn, preferred_element_type=jnp.float32
         )
-        x = jnp.tanh(x + b1[i].reshape(-1, 1)).astype(jnp.bfloat16)
+        x = jnp.tanh((x + b1[i].reshape(-1, 1)).astype(jnp.bfloat16))
         xf = x.astype(jnp.float32)
         logits_parts.append(
             jax.lax.dot_general(
@@ -1049,13 +1050,17 @@ def _gru_forward(params, feats_rows, h):
             w, x, dn, preferred_element_type=jnp.float32
         )
 
-    e = jnp.tanh(dot(we, feats) + be.T).astype(jnp.bfloat16)  # (E, M)
+    e = jnp.tanh((dot(we, feats) + be.T).astype(jnp.bfloat16))  # (E, M)
     hb = h.astype(jnp.bfloat16)
-    r = jax.nn.sigmoid(dot(wir, e) + dot(whr, hb) + bir.T)
-    z = jax.nn.sigmoid(dot(wiz, e) + dot(whz, hb) + biz.T)
-    nn_ = jnp.tanh(dot(win, e) + bin_.T + r * (dot(whn, hb) + bhn.T))
-    new_h = (1.0 - z) * nn_ + z * h.astype(jnp.float32)  # (Hg, M)
-    hf = new_h.astype(jnp.bfloat16).astype(jnp.float32)
+    one = jnp.bfloat16(1.0)
+    r = jax.nn.sigmoid((dot(wir, e) + dot(whr, hb) + bir.T).astype(jnp.bfloat16))
+    z = jax.nn.sigmoid((dot(wiz, e) + dot(whz, hb) + biz.T).astype(jnp.bfloat16))
+    nn_ = jnp.tanh(
+        (dot(win, e) + bin_.T).astype(jnp.bfloat16)
+        + r * (dot(whn, hb) + bhn.T).astype(jnp.bfloat16)
+    )
+    new_h = (one - z) * nn_ + z * hb  # (Hg, M) bf16
+    hf = new_h.astype(jnp.float32)
     logits = dot(wp.astype(jnp.float32), hf) + bp.T
     value = dot(wv.astype(jnp.float32), hf) + bv.T
     return logits, value, new_h

@@ -89,13 +89,14 @@ def _make_update_kernel(st: _UpdStatic):
         z1 = jax.lax.dot_general(
             w0_ref[:], x, dn00, preferred_element_type=jnp.float32
         )  # (H1, M)
-        h1 = jnp.tanh(z1 + b0_ref[:].T)
-        h1b = h1.astype(jnp.bfloat16)
+        # hidden elementwise in bf16: halves VPU work and matches flax
+        # (Dense(dtype=bf16) emits bf16 pre-activations)
+        h1b = jnp.tanh((z1 + b0_ref[:].T).astype(jnp.bfloat16))
         z2 = jax.lax.dot_general(
             w1_ref[:], h1b, dn00, preferred_element_type=jnp.float32
         )  # (H2, M)
-        h2 = jnp.tanh(z2 + b1_ref[:].T)
-        h2f = h2.astype(jnp.bfloat16).astype(jnp.float32)
+        h2b = jnp.tanh((z2 + b1_ref[:].T).astype(jnp.bfloat16))
+        h2f = h2b.astype(jnp.float32)
         logits = (
             jax.lax.dot_general(
                 wp_ref[:], h2f, dn00, preferred_element_type=jnp.float32
@@ -165,22 +166,25 @@ def _make_update_kernel(st: _UpdStatic):
                 )
                 + wv_ref[:] * dvalue
             )  # (H2, M)
-            dz2 = dh2 * (1.0 - h2 * h2)
-            dz2b = dz2.astype(jnp.bfloat16)
+            one = jnp.bfloat16(1.0)
+            dz2b = dh2.astype(jnp.bfloat16) * (one - h2b * h2b)
             dh1 = jax.lax.dot_general(
                 w1_ref[:], dz2b, dn10, preferred_element_type=jnp.float32
             )  # (H1, M)
-            dz1 = dh1 * (1.0 - h1 * h1)
-            dz1b = dz1.astype(jnp.bfloat16)
+            dz1b = dh1.astype(jnp.bfloat16) * (one - h1b * h1b)
         if st.debug_level < 1:
             dw0[:] += jax.lax.dot_general(
                 x, dz1b, dn11, preferred_element_type=jnp.float32
             )  # (L, H1)
-            db0[:] += jnp.sum(dz1, axis=1, keepdims=True).T  # (1, H1)
+            db0[:] += jnp.sum(
+                dz1b.astype(jnp.float32), axis=1, keepdims=True
+            ).T  # (1, H1)
             dw1[:] += jax.lax.dot_general(
                 h1b, dz2b, dn11, preferred_element_type=jnp.float32
             )  # (H1, H2)
-            db1[:] += jnp.sum(dz2, axis=1, keepdims=True).T
+            db1[:] += jnp.sum(
+                dz2b.astype(jnp.float32), axis=1, keepdims=True
+            ).T
             dwp[:] += jax.lax.dot_general(
                 h2f, dlogits, dn11, preferred_element_type=jnp.float32
             )  # (H2, A)
@@ -192,8 +196,12 @@ def _make_update_kernel(st: _UpdStatic):
         elif st.debug_level == 1:
             # dgrads computed but wgrad matmuls skipped; keep the dgrad
             # chain alive through the bias-grad sums
-            db0[:] += jnp.sum(dz1, axis=1, keepdims=True).T
-            db1[:] += jnp.sum(dz2, axis=1, keepdims=True).T
+            db0[:] += jnp.sum(
+                dz1b.astype(jnp.float32), axis=1, keepdims=True
+            ).T
+            db1[:] += jnp.sum(
+                dz2b.astype(jnp.float32), axis=1, keepdims=True
+            ).T
             dbv[:] += jnp.sum(dvalue, axis=1, keepdims=True).T
 
         # ---- metric partial sums ----
