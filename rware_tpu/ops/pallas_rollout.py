@@ -1053,8 +1053,10 @@ def _gru_forward(params, feats_rows, h):
     e = jnp.tanh((dot(we, feats) + be.T).astype(jnp.bfloat16))  # (E, M)
     hb = h.astype(jnp.bfloat16)
     one = jnp.bfloat16(1.0)
-    r = jax.nn.sigmoid((dot(wir, e) + dot(whr, hb) + bir.T).astype(jnp.bfloat16))
-    z = jax.nn.sigmoid((dot(wiz, e) + dot(whz, hb) + biz.T).astype(jnp.bfloat16))
+    # sigmoid stays f32: Mosaic mis-lowers its internal f32 constants when
+    # applied to bf16 vectors (vector.broadcast verification error)
+    r = jax.nn.sigmoid(dot(wir, e) + dot(whr, hb) + bir.T).astype(jnp.bfloat16)
+    z = jax.nn.sigmoid(dot(wiz, e) + dot(whz, hb) + biz.T).astype(jnp.bfloat16)
     nn_ = jnp.tanh(
         (dot(win, e) + bin_.T).astype(jnp.bfloat16)
         + r * (dot(whn, hb) + bhn.T).astype(jnp.bfloat16)
