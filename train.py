@@ -97,7 +97,7 @@ def main():
                 build_rnn_pallas_train_step(env, model, tx, cfg)
             )
         else:
-            train_step = jax.jit(build_rnn_train_step(env, model, tx, cfg))
+            train_step = jax.jit(build_rnn_train_step(env, model, tx, cfg), donate_argnums=0)
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
     elif args.algo == "ippo":
         from rware_tpu.models import IPPOConfig, build_train_step, init_runner
@@ -126,10 +126,11 @@ def main():
 
                 mesh = make_mesh()
             train_step = jax.jit(
-                build_pallas_train_step(env, model, tx, cfg, mesh=mesh)
+                build_pallas_train_step(env, model, tx, cfg, mesh=mesh),
+                donate_argnums=0,
             )
         else:
-            train_step = jax.jit(build_train_step(env, model, tx, cfg))
+            train_step = jax.jit(build_train_step(env, model, tx, cfg), donate_argnums=0)
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
     elif args.algo == "seac-ppo":
         from rware_tpu.models.seac import (
@@ -154,7 +155,8 @@ def main():
         train_step = jax.jit(
             build_seac_ppo_train_step(
                 env, model, tx, cfg, collect_mode=collect_mode
-            )
+            ),
+            donate_argnums=0,
         )
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
     else:
@@ -171,7 +173,7 @@ def main():
             ent_coef=args.ent_coef,
         )
         runner, model, tx = init_seac(env, cfg, key)
-        train_step = jax.jit(build_seac_train_step(env, model, tx, cfg))
+        train_step = jax.jit(build_seac_train_step(env, model, tx, cfg), donate_argnums=0)
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
 
     if args.mesh and len(jax.devices()) > 1:
