@@ -28,6 +28,15 @@ def make_gym(env_id_or_config, **overrides):
     from rware_tpu.gym_adapter import make_gym as _make_gym
 
     return _make_gym(env_id_or_config, **overrides)
+
+
+def make_vec(env_id_or_config, num_envs=8, **overrides):
+    """Gymnasium ``VectorEnv`` over the batched engine (lazy import)."""
+    from rware_tpu.vector import make_vec as _make_vec
+
+    return _make_vec(env_id_or_config, num_envs, **overrides)
+
+
 from rware_tpu.types import (
     Action,
     Direction,
@@ -50,6 +59,7 @@ __all__ = [
     "WarehouseState",
     "make",
     "make_gym",
+    "make_vec",
     "parse_env_id",
     "__version__",
 ]
