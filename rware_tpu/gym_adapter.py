@@ -416,6 +416,7 @@ def register_all(force: bool = False, image: bool = False) -> int:
                     gym.register(
                         id=env_id,
                         entry_point="rware_tpu.gym_adapter:GymWarehouse",
+                        vector_entry_point="rware_tpu.vector:vector_entry_point",
                         kwargs={"env_id": env_id},
                     )
                     count += 1
@@ -452,6 +453,7 @@ def register_full(
                     gym.register(
                         id=env_id,
                         entry_point="rware_tpu.gym_adapter:GymWarehouse",
+                        vector_entry_point="rware_tpu.vector:vector_entry_point",
                         kwargs={"env_id": env_id},
                     )
                     count += 1

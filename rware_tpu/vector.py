@@ -245,3 +245,11 @@ def make_vec(
 ) -> VectorGymWarehouse:
     """Vectorised counterpart of ``make_gym``."""
     return VectorGymWarehouse(env_id_or_config, num_envs, **overrides)
+
+
+def vector_entry_point(num_envs: int = 1, env_id: str = None, **overrides):
+    """``gymnasium.make_vec`` hook (registered ids carry
+    ``vector_entry_point="rware_tpu.vector:vector_entry_point"``), so
+    ``gym.make_vec("rware-tiny-2ag-v2", num_envs=1024)`` returns the
+    single-XLA-program batch instead of a host SyncVectorEnv loop."""
+    return VectorGymWarehouse(env_id, num_envs, **overrides)

@@ -88,6 +88,18 @@ def test_vector_next_step_autoreset():
     assert (np.asarray(venv.states.cur_steps) == 1).all()
 
 
+def test_gym_make_vec_entry_point():
+    from rware_tpu.gym_adapter import register_all
+
+    register_all()
+    venv = gym.make_vec("rware-tiny-2ag-v2", num_envs=B)
+    assert type(venv).__name__ == "VectorGymWarehouse"
+    obs, _ = venv.reset(seed=0)
+    obs, rew, term, trunc, info = venv.step(venv.action_space.sample())
+    assert venv.observation_space.contains(obs)
+    assert rew.shape == (B, venv.config.n_agents)
+
+
 def test_vector_reset_determinism():
     v1 = rware_tpu.make_vec("rware-tiny-2ag-v2", num_envs=B)
     v2 = rware_tpu.make_vec("rware-tiny-2ag-v2", num_envs=B)
