@@ -66,15 +66,15 @@ def main():
 
         model = RecurrentActorCritic(n_actions=env.n_actions)
     else:
-        model = ActorCritic(n_actions=env.n_actions)
+        model = ActorCritic(
+            n_actions=env.n_actions, msg_bits=env.config.msg_bits
+        )
+    msg_mode = env.config.msg_bits > 0 and not recurrent
 
     def policy(key, obs, params, carry):
         """Returns (action, new_carry); carry is None for feedforward."""
         if args.random:
-            return (
-                jax.random.randint(key, (B, n), 0, 5, dtype=jnp.int32),
-                carry,
-            )
+            return env_random_actions(key), carry
         if recurrent:
             carry, (logits, _) = model.apply(params, carry, obs)
         elif per_agent_params:
@@ -83,10 +83,28 @@ def main():
             )(params, obs)
         else:
             logits, _ = model.apply(params, obs)
+        if msg_mode:
+            from rware_tpu.models.networks import sample_action_msg
+
+            move_logits, msg_logits = logits
+            if args.greedy:
+                action = jnp.concatenate(
+                    [
+                        jnp.argmax(move_logits, -1)[..., None],
+                        (msg_logits > 0).astype(jnp.int32),
+                    ],
+                    axis=-1,
+                ).astype(jnp.int32)
+                return action, carry
+            action, _ = sample_action_msg(key, move_logits, msg_logits)
+            return action, carry
         if args.greedy:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), carry
         action, _ = sample_action(key, logits)
         return action, carry
+
+    def env_random_actions(key):
+        return jax.vmap(env.sample_actions)(jax.random.split(key, B))
 
     keys = jax.random.split(jax.random.key(args.seed), B)
     states = jax.vmap(env._reset_fn)(keys)

@@ -106,11 +106,36 @@ def compute_gae(cfg: IPPOConfig, rewards, values, dones, last_value):
 
 
 def ppo_loss(model, cfg: IPPOConfig, params, batch):
-    """Clipped-PPO loss on a flat (M, N, ...) minibatch."""
+    """Clipped-PPO loss on a flat (M, N, ...) minibatch.
+
+    Message mode is detected statically from the action rank: a composite
+    ``(M, N, 1 + msg_bits)`` action (vs plain ``(M, N)``) means the model
+    carries a Bernoulli message head, and logp/entropy are joint over the
+    move categorical and the message bits.
+    """
+    from rware_tpu.models.networks import bernoulli_logp
+
     obs, action, old_logp, old_value, adv, target = batch
-    logits, value = model.apply(params, obs)
-    logp_all = jax.nn.log_softmax(logits)
-    logp = jnp.take_along_axis(logp_all, action[..., None], -1).squeeze(-1)
+    msg_mode = action.ndim == obs.ndim
+    heads, value = model.apply(params, obs)
+    if msg_mode:
+        move_logits, msg_logits = heads
+        move, bits = action[..., 0], action[..., 1:]
+        logp_all = jax.nn.log_softmax(move_logits)
+        logp = (
+            jnp.take_along_axis(logp_all, move[..., None], -1).squeeze(-1)
+            + bernoulli_logp(msg_logits, bits).sum(-1)
+        )
+        p_msg = jax.nn.sigmoid(msg_logits)
+        msg_entropy = -(
+            p_msg * jax.nn.log_sigmoid(msg_logits)
+            + (1.0 - p_msg) * jax.nn.log_sigmoid(-msg_logits)
+        ).sum(-1)
+    else:
+        logits = heads
+        logp_all = jax.nn.log_softmax(logits)
+        logp = jnp.take_along_axis(logp_all, action[..., None], -1).squeeze(-1)
+        msg_entropy = 0.0
     ratio = jnp.exp(logp - old_logp)
     adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
     pg1 = ratio * adv_norm
@@ -124,7 +149,7 @@ def ppo_loss(model, cfg: IPPOConfig, params, batch):
         (value - target) ** 2, (v_clipped - target) ** 2
     ).mean()
 
-    entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+    entropy = (-(jnp.exp(logp_all) * logp_all).sum(-1) + msg_entropy).mean()
     total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
     return total, {
         "pg_loss": pg_loss,
@@ -216,7 +241,9 @@ def init_runner(
 ) -> Tuple[RunnerState, ActorCritic, optax.GradientTransformation]:
     """Initialise params, optimiser and a fresh batch of env states."""
     if model is None:
-        model = ActorCritic(n_actions=env.n_actions)
+        model = ActorCritic(
+            n_actions=env.n_actions, msg_bits=env.config.msg_bits
+        )
     k_param, k_env, k_run = jax.random.split(key, 3)
     obs_dim = env.config.policy_obs_length
     params = model.init(k_param, jnp.zeros((1, env.n_agents, obs_dim)))
@@ -249,11 +276,18 @@ def build_train_step(
     reset_fn = env._reset_fn
     obs_fn = policy_obs_fn(env)
 
+    msg_mode = getattr(model, "msg_bits", 0) > 0
+
     def collect(carry, key):
         params, env_states, obs = carry
         k_act, _ = jax.random.split(key)
-        logits, value = model.apply(params, obs)
-        action, logp = sample_action(k_act, logits)
+        heads, value = model.apply(params, obs)
+        if msg_mode:
+            from rware_tpu.models.networks import sample_action_msg
+
+            action, logp = sample_action_msg(k_act, *heads)
+        else:
+            action, logp = sample_action(k_act, heads)
         res = step_fn(env_states, action)
         next_states = jax.vmap(
             lambda s, d: autoreset_select(reset_fn, s, d)

@@ -75,6 +75,14 @@ def main():
         flush=True,
     )
 
+    if env.config.msg_bits > 0 and (
+        args.collect == "pallas" or args.net == "gru" or args.algo != "ippo"
+    ):
+        sys.exit(
+            "msg_bits configs train with --algo ippo --net mlp --collect xla "
+            "(the Bernoulli message head lives on the XLA path; see ROADMAP #5)"
+        )
+
     key = jax.random.key(args.seed)
     if args.algo == "ippo" and args.net == "gru":
         from rware_tpu.models import IPPOConfig
