@@ -235,15 +235,24 @@ def build_rnn_pallas_train_step(
     replays the GRU over the stored trajectory in XLA exactly like
     build_rnn_train_step (sequence-parallel over the env minibatch).
     """
-    from rware_tpu.models.ippo_pallas import _pick_tc_len
     from rware_tpu.ops.pallas_rollout import ENV_BLOCK, build_pallas_collect
+
+    def _pick_tc_len_gru(t: int) -> int:
+        # The GRU carry block (Hg, N, RB, LANE) costs ~2MB of scoped VMEM
+        # on top of the MLP collector's budget, which overflows the 16MB
+        # limit at tc=8 (measured: 17.74M at B=4096).  tc=4 halves the obs
+        # trajectory block and fits.
+        for tc in (4, 2, 1):
+            if t % tc == 0:
+                return tc
+        return 1
 
     hidden = (int(model.embed), int(model.hidden))
     collect = build_pallas_collect(
         env.config,
         cfg.rollout_len,
         hidden=hidden,
-        tc_len=_pick_tc_len(cfg.rollout_len),
+        tc_len=_pick_tc_len_gru(cfg.rollout_len),
         interpret=interpret,
         deterministic=deterministic_collect,
         policy="gru",
@@ -251,7 +260,7 @@ def build_rnn_pallas_train_step(
     from rware_tpu.models.ippo import policy_obs_fn
 
     obs_fn = jax.vmap(policy_obs_fn(env))
-    n_tc = max(1, cfg.rollout_len // _pick_tc_len(cfg.rollout_len))
+    n_tc = max(1, cfg.rollout_len // _pick_tc_len_gru(cfg.rollout_len))
     streams_per_update = (cfg.n_envs // ENV_BLOCK) * n_tc
 
     def loss_fn(params, batch):
