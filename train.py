@@ -40,6 +40,11 @@ def parse_args():
         help="experience collector: pallas = fused in-kernel obs+policy+env "
         "(TPU only; ippo with mlp or gru nets)",
     )
+    p.add_argument(
+        "--msg-bits", type=int, default=None,
+        help="override the env's message-channel width (ids cannot express "
+        "it); trains the Bernoulli message head on the XLA ippo path",
+    )
     p.add_argument("--updates", type=int, default=100)
     p.add_argument("--n-envs", type=int, default=256)
     p.add_argument("--rollout-len", type=int, default=None)
@@ -68,7 +73,11 @@ def main():
     from rware_tpu.metrics import MetricLogger
     from rware_tpu.parallel import make_mesh, replicate, shard_env_batch
 
-    env = rware_tpu.make(args.env)
+    env = (
+        rware_tpu.make(args.env, msg_bits=args.msg_bits)
+        if args.msg_bits is not None
+        else rware_tpu.make(args.env)
+    )
     print(
         f"env={args.env} grid={env.grid_size} agents={env.n_agents} "
         f"devices={len(jax.devices())}",
