@@ -64,12 +64,14 @@ def main():
     if recurrent:
         from rware_tpu.models import RecurrentActorCritic
 
-        model = RecurrentActorCritic(n_actions=env.n_actions)
+        model = RecurrentActorCritic(
+            n_actions=env.n_actions, msg_bits=env.config.msg_bits
+        )
     else:
         model = ActorCritic(
             n_actions=env.n_actions, msg_bits=env.config.msg_bits
         )
-    msg_mode = env.config.msg_bits > 0 and not recurrent
+    msg_mode = env.config.msg_bits > 0
 
     def policy(key, obs, params, carry):
         """Returns (action, new_carry); carry is None for feedforward."""

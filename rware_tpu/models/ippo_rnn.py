@@ -50,7 +50,9 @@ def init_rnn_runner(
     model: Optional[RecurrentActorCritic] = None,
 ) -> Tuple[RNNRunnerState, RecurrentActorCritic, optax.GradientTransformation]:
     if model is None:
-        model = RecurrentActorCritic(n_actions=env.n_actions)
+        model = RecurrentActorCritic(
+            n_actions=env.n_actions, msg_bits=env.config.msg_bits
+        )
     k_param, k_env, k_run = jax.random.split(key, 3)
     obs_dim = env.config.policy_obs_length
     carry0 = model.initialize_carry((1, env.n_agents))
@@ -85,12 +87,18 @@ def build_rnn_train_step(
     from rware_tpu.models.ippo import policy_obs_fn
 
     obs_fn = policy_obs_fn(env)
+    msg_mode = getattr(model, "msg_bits", 0) > 0
 
     def collect(carry_state, key):
         params, env_states, obs, carry = carry_state
         k_act, _ = jax.random.split(key)
-        new_carry, (logits, value) = model.apply(params, carry, obs)
-        action, logp = sample_action(k_act, logits)
+        new_carry, (heads, value) = model.apply(params, carry, obs)
+        if msg_mode:
+            from rware_tpu.models.networks import sample_action_msg
+
+            action, logp = sample_action_msg(k_act, *heads)
+        else:
+            action, logp = sample_action(k_act, heads)
         res = step_fn(env_states, action)
         from rware_tpu.parallel.rollout import autoreset_select
 
@@ -125,19 +133,37 @@ def build_rnn_train_step(
 
         def replay(carry, xs):
             obs, done = xs
-            new_carry, (logits, value) = model.apply(params, carry, obs)
+            new_carry, (heads, value) = model.apply(params, carry, obs)
             new_carry = jnp.where(
                 done[:, None, None], jnp.zeros_like(new_carry), new_carry
             )
-            return new_carry, (logits, value)
+            return new_carry, (heads, value)
 
-        _, (logits, value) = jax.lax.scan(
+        _, (heads, value) = jax.lax.scan(
             replay, init_carry, (traj.obs, traj.done)
         )
-        logp_all = jax.nn.log_softmax(logits)
-        logp = jnp.take_along_axis(
-            logp_all, traj.action[..., None], -1
-        ).squeeze(-1)
+        if msg_mode:
+            from rware_tpu.models.networks import bernoulli_logp
+
+            logits, msg_logits = heads
+            move, bits = traj.action[..., 0], traj.action[..., 1:]
+            logp_all = jax.nn.log_softmax(logits)
+            logp = (
+                jnp.take_along_axis(logp_all, move[..., None], -1).squeeze(-1)
+                + bernoulli_logp(msg_logits, bits).sum(-1)
+            )
+            p_msg = jax.nn.sigmoid(msg_logits)
+            msg_entropy = -(
+                p_msg * jax.nn.log_sigmoid(msg_logits)
+                + (1.0 - p_msg) * jax.nn.log_sigmoid(-msg_logits)
+            ).sum(-1)
+        else:
+            logits = heads
+            logp_all = jax.nn.log_softmax(logits)
+            logp = jnp.take_along_axis(
+                logp_all, traj.action[..., None], -1
+            ).squeeze(-1)
+            msg_entropy = 0.0
         ratio = jnp.exp(logp - traj.logp)
         adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
         pg1 = ratio * adv_norm
@@ -149,7 +175,7 @@ def build_rnn_train_step(
         v_loss = 0.5 * jnp.maximum(
             (value - target) ** 2, (v_clipped - target) ** 2
         ).mean()
-        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+        entropy = (-(jnp.exp(logp_all) * logp_all).sum(-1) + msg_entropy).mean()
         total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
         return total, {
             "pg_loss": pg_loss,
@@ -236,6 +262,12 @@ def build_rnn_pallas_train_step(
     build_rnn_train_step (sequence-parallel over the env minibatch).
     """
     from rware_tpu.ops.pallas_rollout import ENV_BLOCK, build_pallas_collect
+
+    if env.config.msg_bits > 0:
+        raise NotImplementedError(
+            "the GRU collect kernel samples moves only; msg_bits configs "
+            "use build_rnn_train_step (XLA collect, message head)"
+        )
 
     def _pick_tc_len_gru(t: int) -> int:
         # The GRU carry block (Hg, N, RB, LANE) costs ~2MB of scoped VMEM

@@ -61,6 +61,7 @@ class RecurrentActorCritic(nn.Module):
     n_actions: int = 5
     hidden: int = 128
     embed: int = 128
+    msg_bits: int = 0
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -70,6 +71,11 @@ class RecurrentActorCritic(nn.Module):
         carry, x = nn.GRUCell(self.hidden, dtype=self.dtype, name="gru")(carry, x)
         logits = nn.Dense(self.n_actions, dtype=jnp.float32, name="policy")(x)
         value = nn.Dense(1, dtype=jnp.float32, name="value")(x)
+        if self.msg_bits > 0:
+            msg_logits = nn.Dense(
+                self.msg_bits, dtype=jnp.float32, name="message"
+            )(x)
+            return carry, ((logits, msg_logits), jnp.squeeze(value, axis=-1))
         return carry, (logits, jnp.squeeze(value, axis=-1))
 
     def initialize_carry(self, batch_shape: Tuple[int, ...]) -> jax.Array:

@@ -71,6 +71,34 @@ def test_msg_train_step_end_to_end():
     assert "message" in runner.params["params"]
 
 
+def test_msg_gru_train_step_end_to_end():
+    from rware_tpu.models.ippo_rnn import build_rnn_train_step, init_rnn_runner
+
+    env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=2)
+    cfg = IPPOConfig(n_envs=8, rollout_len=8, epochs=1, minibatches=2)
+    runner, model, tx = init_rnn_runner(env, cfg, jax.random.key(0))
+    assert model.msg_bits == 2
+    step = jax.jit(build_rnn_train_step(env, model, tx, cfg))
+    runner, metrics = step(runner)
+    runner, metrics = step(runner)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert float(jnp.mean(runner.env_states.agent_message)) > 0
+
+
+def test_msg_gru_pallas_path_guarded():
+    from rware_tpu.models.ippo_rnn import (
+        build_rnn_pallas_train_step,
+        init_rnn_runner,
+    )
+
+    env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=2)
+    cfg = IPPOConfig(n_envs=8, rollout_len=8)
+    runner, model, tx = init_rnn_runner(env, cfg, jax.random.key(0))
+    with pytest.raises(NotImplementedError):
+        build_rnn_pallas_train_step(env, model, tx, cfg, interpret=True)
+
+
 def test_msg_entropy_includes_bits():
     """Uniform message head adds msg_bits * ln2 of entropy."""
     from rware_tpu.models.ippo import ppo_loss

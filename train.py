@@ -85,11 +85,12 @@ def main():
     )
 
     if env.config.msg_bits > 0 and (
-        args.collect == "pallas" or args.net == "gru" or args.algo != "ippo"
+        args.collect == "pallas" or args.algo != "ippo"
     ):
         sys.exit(
-            "msg_bits configs train with --algo ippo --net mlp --collect xla "
-            "(the Bernoulli message head lives on the XLA path; see ROADMAP #5)"
+            "msg_bits configs train with --algo ippo --collect xla (mlp or "
+            "gru; the Bernoulli message head lives on the XLA path; see "
+            "ROADMAP #5)"
         )
 
     key = jax.random.key(args.seed)
