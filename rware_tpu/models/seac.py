@@ -102,6 +102,11 @@ def build_seac_train_step(
     tx: optax.GradientTransformation,
     cfg: SEACConfig,
 ) -> Callable[[SEACRunner], Tuple[SEACRunner, dict]]:
+    if env.config.msg_bits > 0:
+        raise NotImplementedError(
+            "SEAC learners sample moves only; msg_bits configs train via "
+            "models.ippo / models.ippo_rnn (message head, ROADMAP #5)"
+        )
     step_fn = jax.vmap(env._step_fn)
     reset_fn = env._reset_fn
     from rware_tpu.models.ippo import policy_obs_fn
@@ -289,6 +294,11 @@ def build_seac_ppo_train_step(
     kernel with PER-AGENT weights (ops/pallas_rollout
     build_pallas_collect(policy="mlp_per_agent")); the shared-experience
     PPO update (cross-agent forwards) stays in XLA."""
+    if env.config.msg_bits > 0:
+        raise NotImplementedError(
+            "SEAC learners sample moves only; msg_bits configs train via "
+            "models.ippo / models.ippo_rnn (message head, ROADMAP #5)"
+        )
     step_fn = jax.vmap(env._step_fn)
     reset_fn = env._reset_fn
     from rware_tpu.models.ippo import policy_obs_fn
