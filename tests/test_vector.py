@@ -91,7 +91,9 @@ def test_vector_next_step_autoreset():
 def test_gym_make_vec_entry_point():
     from rware_tpu.gym_adapter import register_all
 
-    register_all()
+    # force: earlier tests may have imported the reference package, whose
+    # import side effect registers the same ids (no vector entry point)
+    register_all(force=True)
     venv = gym.make_vec("rware-tiny-2ag-v2", num_envs=B)
     assert type(venv).__name__ == "VectorGymWarehouse"
     obs, _ = venv.reset(seed=0)
