@@ -189,8 +189,8 @@ def ppo_update_epochs_native(
         t_len = dataset[1].shape[0]
         if t_len % cfg.minibatches:
             raise ValueError(
-                f"rollout_len={t_len} must divide minibatches="
-                f"{cfg.minibatches} for time-axis minibatching"
+                f"minibatches={cfg.minibatches} must divide "
+                f"rollout_len={t_len} for time-axis minibatching"
             )
         mb = t_len // cfg.minibatches
         roll_extent = t_len
@@ -199,8 +199,9 @@ def ppo_update_epochs_native(
         rb = dataset[1].shape[2]
         if rb % cfg.minibatches:
             raise ValueError(
-                f"n_envs/{dataset[1].shape[3]} = {rb} env-blocks must divide "
-                f"minibatches={cfg.minibatches}"
+                f"minibatches={cfg.minibatches} must divide the "
+                f"{rb} env rows (n_envs / lane width "
+                f"{dataset[1].shape[3]}) for env-axis minibatching"
             )
         mb = rb // cfg.minibatches
         roll_extent = rb

@@ -562,9 +562,10 @@ def build_pallas_rollout(
     (T, B, N, 1 + msg_bits) when the config has message bits (action column
     first, then the broadcast bits — rware/warehouse.py:809-814).
 
-    Supports the full registered config space: any ``n_agents`` (the agent
-    axis is unrolled; resolver algebra scales O(N^3 log N) in program size)
-    and any ``msg_bits`` (messages ride as extra state rows).
+    Supports the full registered config space: any ``n_agents`` (the
+    stacked resolver keeps program size at O(N) ops — each over N- or
+    N^2-sized tensors, so vector work is O(N^3) but compile time stays
+    flat in N) and any ``msg_bits`` (messages ride as extra state rows).
     """
     layout = config.compile_layout()
     H, W = layout.grid_size

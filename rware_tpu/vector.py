@@ -85,8 +85,7 @@ class VectorGymWarehouse(gym.vector.VectorEnv):
     def _build_reset(self):
         env = self._env
 
-        def vreset(key: jax.Array):
-            keys = jax.random.split(key, self.num_envs)
+        def vreset(keys: jax.Array):
             states = jax.vmap(env._reset_fn)(keys)
             return states, jax.vmap(env._obs_fn)(states)
 
@@ -102,7 +101,10 @@ class VectorGymWarehouse(gym.vector.VectorEnv):
 
         def one(state, prev_done, action):
             res = step_fn(state, action)
-            reset_key, carry_key = jax.random.split(state.key)
+            # split the POST-step key: _step_fn already consumed state.key
+            # (core/engine.py:156), so splitting the pre-step key would
+            # reuse the stream the step itself derived from
+            reset_key, carry_key = jax.random.split(res.state.key)
             fresh = reset_fn(reset_key).replace(key=carry_key)
             sel = lambda a, b: jnp.where(prev_done, a, b)
             next_state = jax.tree.map(sel, fresh, res.state)
@@ -198,11 +200,22 @@ class VectorGymWarehouse(gym.vector.VectorEnv):
     # -- gym.vector API --------------------------------------------------------
 
     def reset(self, *, seed: Optional[int] = None, options=None):
+        """Gymnasium VectorEnv reset. ``seed`` may be an int (per-env keys
+        are derived by splitting) or a per-env list/tuple of ints (each env
+        seeded independently, honoring the VectorEnv contract). ``options``
+        is accepted for API compatibility and ignored (no resettable
+        options exist — the reference's reset takes none either)."""
         if seed is None:
             seed = int(np.random.default_rng().integers(0, 2**31 - 1))
-        elif isinstance(seed, (list, tuple)):
-            seed = int(seed[0])
-        states, obs = self._vreset(jax.random.key(int(seed)))
+        if isinstance(seed, (list, tuple)):
+            if len(seed) != self.num_envs:
+                raise ValueError(
+                    f"seed list length {len(seed)} != num_envs {self.num_envs}"
+                )
+            keys = jnp.stack([jax.random.key(int(s)) for s in seed])
+        else:
+            keys = jax.random.split(jax.random.key(int(seed)), self.num_envs)
+        states, obs = self._vreset(keys)
         self._states = states
         self._prev_done = jnp.zeros(self.num_envs, dtype=bool)
         return self._convert_obs(obs), {}
