@@ -120,12 +120,15 @@ class WarehouseConfig:
 
     @property
     def policy_obs_length(self) -> int:
-        """Per-agent policy input width: the FLATTENED vector length, or the
-        flattened (C, w2, w2) image stack for IMAGE/IMAGE_DICT configs (the
-        learner stack feeds MLPs a flat vector either way)."""
-        if self.observation_type in (
-            ObservationType.IMAGE,
-            ObservationType.IMAGE_DICT,
-        ):
+        """Per-agent policy input width: the FLATTENED vector length, the
+        flattened (C, w2, w2) image stack for IMAGE configs, or the image
+        stack + the 6 self features [dir-onehot(4), on_highway, carrying]
+        for IMAGE_DICT (the learner stack feeds MLPs a flat vector either
+        way; reference rware/warehouse.py:725-742)."""
+        if self.observation_type == ObservationType.IMAGE:
             return len(self.image_observation_layers) * self.n_sensor_cells
+        if self.observation_type == ObservationType.IMAGE_DICT:
+            return (
+                len(self.image_observation_layers) * self.n_sensor_cells + 6
+            )
         return self.flattened_obs_length

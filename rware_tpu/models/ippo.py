@@ -68,10 +68,11 @@ class Transition(NamedTuple):
 def policy_obs_fn(env: Warehouse):
     """Per-env observation as flat (N, L) vectors for the MLP learners.
 
-    FLATTENED/DICT configs pass through; IMAGE/IMAGE_DICT configs flatten
-    the (N, C, w2, w2) window stack (IMAGE_DICT's 6 self-features are not
-    fed to the policy — matching the in-kernel collector).  L =
-    config.policy_obs_length either way.
+    FLATTENED/DICT configs pass through; IMAGE configs flatten the
+    (N, C, w2, w2) window stack; IMAGE_DICT configs flatten the window
+    stack and append the 6 self features [dir-onehot(4), on_highway,
+    carrying] (reference rware/warehouse.py:725-742 — matching the
+    in-kernel collector).  L = config.policy_obs_length either way.
     """
     from rware_tpu.types import ObservationType
 
@@ -81,7 +82,13 @@ def policy_obs_fn(env: Warehouse):
     if ot == ObservationType.IMAGE:
         return lambda s: obs_fn(s).reshape(n, -1)
     if ot == ObservationType.IMAGE_DICT:
-        return lambda s: obs_fn(s)["image"].reshape(n, -1)
+        def imgdict_obs(s):
+            o = obs_fn(s)
+            return jnp.concatenate(
+                [o["image"].reshape(n, -1), o["features"]], axis=-1
+            )
+
+        return imgdict_obs
     return obs_fn
 
 

@@ -56,12 +56,13 @@ _RB_AXES = (3, 2, 2, 2, 2, 2)
 
 
 def _native_forward(params, obs):
-    """ActorCritic forward on native-layout obs (..., L, RB, LANE).
+    """ActorCritic forward on native-layout obs (..., L, N, RB, LANE).
 
-    Contracts the L axis (axis -3) against dense_0 without materialising a
+    Contracts the L axis (axis -4) against dense_0 without materialising a
     transposed copy; hidden compute bf16 with f32 accumulation + f32 heads,
     mirroring the in-kernel _policy_forward / models.networks.ActorCritic.
-    Returns logits (..., RB, LANE, A) f32 and value (..., RB, LANE) f32.
+    Returns logits (..., N, RB, LANE, A) f32 and value (..., N, RB, LANE)
+    f32.
     """
     p = params["params"]
     nd = obs.ndim
@@ -69,9 +70,9 @@ def _native_forward(params, obs):
     x = jax.lax.dot_general(
         obs.astype(jnp.bfloat16),
         w0,
-        (((nd - 3,), (0,)), ((), ())),
+        (((nd - 4,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (..., RB, LANE, H1)
+    )  # (..., N, RB, LANE, H1)
     # bf16 tanh: flax Dense(dtype=bf16) emits bf16 pre-activations; the
     # fused update kernel computes the same way
     x = jnp.tanh((x + p["dense_0"]["bias"]).astype(jnp.bfloat16))

@@ -748,103 +748,195 @@ def _window_offsets(sensor_range):
     return [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
 
 
-def _build_obs_rows(st, sensor_range, normalised, acts_state, slots_x, slots_y):
-    """FLATTENED observation rows per agent, env-tile layout.
+def _window_onehot(rel, valid, n_words):
+    """Per-entity packed window-cell one-hots.
 
-    Returns an N-list of L-lists of (SUB, LANE) float32 tiles in the exact
-    reference bit order (rware/warehouse.py:631-674): self
+    ``rel`` (E, SUB, LANE) int32 window-cell index of each entity relative
+    to one agent's window, ``valid`` (E, SUB, LANE) bool (entity inside the
+    window).  Returns an ``n_words``-list of (E, SUB, LANE) int32 with bit
+    ``rel - 32*w`` set in word ``w`` — each entity's window membership as
+    ONE set bit, so any per-cell membership mask reduces over the entity
+    axis with a single sum per word (cell occupancy is unique, so sum == or)
+    instead of a (E, W^2) compare tensor.
+    """
+    outs = []
+    for wi in range(n_words):
+        if n_words == 1:
+            sel = valid
+        else:
+            sel = valid & (rel >= wi * 32) & (rel < wi * 32 + 32)
+        # clip keeps the shift amount architecturally valid on lanes the
+        # select masks out (shift-by->=32 is poison)
+        sh = jnp.clip(rel - wi * 32, 0, 31)
+        outs.append(jnp.where(sel, jnp.int32(1) << sh, 0))
+    return outs
+
+
+def _bitmap(onehot_words, mask=None):
+    """Reduce per-entity one-hot words into per-agent window bitmaps:
+    an n_words-list of (SUB, LANE) int32."""
+    if mask is None:
+        return [jnp.sum(w, axis=0) for w in onehot_words]
+    return [jnp.sum(jnp.where(mask, w, 0), axis=0) for w in onehot_words]
+
+
+def _window_bits(bitmap_words, w2):
+    """Unpack bitmap words into (W2, SUB, LANE) int32 0/1 rows with ONE
+    broadcast shift per word (bit c of word c // 32; arithmetic >> is fine
+    because of the trailing & 1)."""
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (w2, 1, 1), 0)
+    if len(bitmap_words) == 1:
+        return (bitmap_words[0][None] >> c_iota) & 1
+    out = None
+    for wi, word in enumerate(bitmap_words):
+        sh = jnp.clip(c_iota - wi * 32, 0, 31)
+        sel = (c_iota >= wi * 32) & (c_iota < wi * 32 + 32)
+        v = jnp.where(sel, (word[None] >> sh) & 1, 0)
+        out = v if out is None else out + v
+    return out
+
+
+def _build_obs_feats(
+    st, sensor_range, normalised, acts_state, slots_x, slots_y, msg=None
+):
+    """FLATTENED observation features per agent, env-tile layout.
+
+    Returns an N-list of (L, SUB, LANE) bfloat16 feature blocks in the
+    exact reference bit order (rware/warehouse.py:631-674): self
     [x, y, carrying, dir-onehot(4), on_highway] then per window cell
-    [has_agent, dir-onehot(4) (empty-cell quirk [1,0,0,0]), has_shelf,
-    shelf_requested].  Out-of-grid window cells produce all-zero features
-    (coordinate compares simply fail), matching the reference's zero pad.
+    [has_agent, dir-onehot(4) (empty-cell quirk [1,0,0,0]), msg bits...,
+    has_shelf, shelf_requested].  Out-of-grid window cells produce all-zero
+    features (entities are always in-grid, so no bit is ever set for them),
+    matching the reference's zero pad.
 
-    The window axis is STACKED (W2 = (1+2r)^2 leading axis) so the whole
-    window is a handful of big tensor ops instead of per-cell loops —
-    Mosaic per-op overhead, not FLOPs, dominates this builder.
+    Design: each entity's window-relative cell index is packed as ONE bit
+    of a per-agent int32 bitmap (_window_onehot / _bitmap) and the W^2
+    feature rows are unpacked with one broadcast shift (_window_bits) —
+    tile work is O(N + S + W^2) per agent instead of the
+    O((N + S) * W^2) of per-cell coordinate compares, and the rows come
+    out pre-stacked (no per-cell slicing).
+
+    ``msg``: (N*M, SUB, LANE) message state rows (agent-major: row
+    i*M + m is agent i's bit m) when the config has message bits.
     """
     N, S, R, H, W = st.n, st.s, st.r, st.h, st.w
+    M = st.m
     ax, ay, ad, carrying, sx, sy, q = acts_state
     r = sensor_range
     side = 2 * r + 1
     w2 = side * side
-    # offsets derived via iota (a captured jnp constant is illegal in a
-    # pallas kernel body); order matches _window_offsets (dy outer, dx inner)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (w2, 1, 1), 0)
-    dys = c_iota // side - r
-    dxs = c_iota % side - r
+    n_words = (w2 + 31) // 32
 
-    # cell-id encodings halve the coordinate compares
-    agent_cid = jnp.stack([ay[i] * W + ax[i] for i in range(N)])  # (N,S,L)
-    agent_dir = jnp.stack(ad)
-    shelf_cid = sy * W + sx  # (S, SUB, LANE)
+    axs = jnp.stack(ax)  # (N, SUB, LANE)
+    ays = jnp.stack(ay)
+    ads = jnp.stack(ad)
+
+    shelf_rows_i = jax.lax.broadcasted_iota(jnp.int32, (S, SUB, LANE), 0)
     in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
     for r_i in range(R):
-        in_queue |= (
-            jax.lax.broadcasted_iota(jnp.int32, (S, SUB, LANE), 0) == q[r_i]
-        )
-    req_cid = jnp.where(in_queue, shelf_cid, -2)
+        in_queue |= shelf_rows_i == q[r_i]
+    slot_cid = slots_y * W + slots_x  # (S, SUB, LANE)
 
-    rows_per_agent = []
+    feats = []
     for i in range(N):
-        rows = []
+        # ---- per-entity window one-hots ----
+        rel_ax = axs - ax[i][None] + r
+        rel_ay = ays - ay[i][None] + r
+        a_valid = (
+            (rel_ax >= 0) & (rel_ax < side) & (rel_ay >= 0) & (rel_ay < side)
+        )
+        a_oh = _window_onehot(rel_ay * side + rel_ax, a_valid, n_words)
+        rel_sx = sx - ax[i][None] + r
+        rel_sy = sy - ay[i][None] + r
+        s_valid = (
+            (rel_sx >= 0) & (rel_sx < side) & (rel_sy >= 0) & (rel_sy < side)
+        )
+        s_oh = _window_onehot(rel_sy * side + rel_sx, s_valid, n_words)
+
+        # ---- per-cell rows (each a (W2, SUB, LANE) unpack) ----
+        a_bits = _window_bits(_bitmap(a_oh), w2)
+        d_bits = [
+            _window_bits(_bitmap(a_oh, ads == k), w2) for k in range(4)
+        ]
+        # empty-cell quirk: no agent reads as dir UP -> onehot [1,0,0,0]
+        d_bits[0] = d_bits[0] + 1 - a_bits
+        msg_rows = [
+            _window_bits(_bitmap(a_oh, msg[m::M] != 0), w2) for m in range(M)
+        ]
+        cell_block = jnp.stack(
+            [a_bits] + d_bits + msg_rows
+            + [
+                _window_bits(_bitmap(s_oh), w2),
+                _window_bits(_bitmap(s_oh, in_queue), w2),
+            ],
+            axis=1,
+        )  # (W2, bits-per-cell, SUB, LANE) — cell-major flatten below
+        cell_rows = cell_block.reshape(-1, SUB, LANE).astype(jnp.bfloat16)
+
+        # ---- self rows ----
         fx = ax[i].astype(jnp.float32)
         fy = ay[i].astype(jnp.float32)
         if normalised:
             fx = fx / (W - 1)
             fy = fy / (H - 1)
-        rows.append(fx)
-        rows.append(fy)
-        rows.append((carrying[i] >= 0).astype(jnp.float32))
-        for k in range(4):
-            rows.append((ad[i] == k).astype(jnp.float32))
-        on_rack = jnp.any(
-            (slots_x == ax[i]) & (slots_y == ay[i]), axis=0
+        on_rack = jnp.any(slot_cid == (ay[i] * W + ax[i])[None], axis=0)
+        self_rows = jnp.stack(
+            [
+                fx,
+                fy,
+                (carrying[i] >= 0).astype(jnp.float32),
+                (ad[i] == 0).astype(jnp.float32),
+                (ad[i] == 1).astype(jnp.float32),
+                (ad[i] == 2).astype(jnp.float32),
+                (ad[i] == 3).astype(jnp.float32),
+                (~on_rack).astype(jnp.float32),
+            ],
+            axis=0,
+        ).astype(jnp.bfloat16)
+        feats.append(jnp.concatenate([self_rows, cell_rows], axis=0))
+    return feats
+
+
+def _rot_window_rel(oy, ox, d, directional, r, side):
+    """Window-cell index of an entity at world offset (oy, ox) from the
+    agent, with the reference's np.rot90 rotation folded in: the entity
+    lands at output cell  UP:(oy+r, ox+r)  DOWN:(r-oy, r-ox)
+    LEFT:(ox+r, r-oy)  RIGHT:(r-ox, oy+r)  (the inverse of the sampling
+    map in core.observations / rware/warehouse.py:584-595).  Returns
+    (rel, valid)."""
+    if directional:
+        u = jnp.where(
+            d == 0, oy + r,
+            jnp.where(d == 1, r - oy, jnp.where(d == 2, ox + r, r - ox)),
         )
-        rows.append((~on_rack).astype(jnp.float32))
-
-        # whole window at once: (W2, SUB, LANE) coordinates
-        cx = ax[i][None] + dxs
-        cy = ay[i][None] + dys
-        valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
-        cid = jnp.where(valid, cy * W + cx, -1)
-        here = agent_cid[:, None] == cid[None]  # (N, W2, SUB, LANE)
-        has_agent = jnp.any(here, axis=0).astype(jnp.float32)
-        cell_dir = jnp.sum(
-            jnp.where(here, agent_dir[:, None], 0), axis=0
+        v = jnp.where(
+            d == 0, ox + r,
+            jnp.where(d == 1, r - ox, jnp.where(d == 2, r - oy, oy + r)),
         )
-        dir_onehot = [
-            (cell_dir == k).astype(jnp.float32) for k in range(4)
-        ]
-        has_shelf = jnp.any(
-            shelf_cid[:, None] == cid[None], axis=0
-        ).astype(jnp.float32)
-        requested = jnp.any(
-            req_cid[:, None] == cid[None], axis=0
-        ).astype(jnp.float32)
-        for c in range(w2):
-            rows.append(has_agent[c])
-            for k in range(4):
-                rows.append(dir_onehot[k][c])
-            rows.append(has_shelf[c])
-            rows.append(requested[c])
-        rows_per_agent.append(rows)
-    return rows_per_agent
+    else:
+        u = oy + r
+        v = ox + r
+    valid = (u >= 0) & (u < side) & (v >= 0) & (v < side)
+    return u * side + v, valid
 
 
-def _build_image_rows(
-    st, sensor_range, layers, directional, acts_state, goals
+def _build_image_feats(
+    st, sensor_range, layers, directional, acts_state, goals,
+    slots_x, slots_y, self_feats=False,
 ):
-    """IMAGE observation rows per agent in env-tile layout.
+    """IMAGE observation features per agent, env-tile layout.
 
-    Returns an N-list of (C * w2 * w2)-lists of (SUB, LANE) f32 tiles in
-    (channel, row, col) order — exactly the flattened layout of
-    core.observations.build_image_obs_fn (reference: rware/warehouse.py
-    :527-596 with the [y, x] indexing fix).  The reference's window
-    rotation (np.rot90 by agent dir) is folded into the sampling offsets:
-    output cell (u, v) reads the world at a dir-dependent offset
-      UP: (u-r, v-r)  DOWN: (r-u, r-v)  LEFT: (r-v, u-r)  RIGHT: (v-r, r-u)
-    so no materialised window is ever rotated.  Out-of-grid cells are 0 in
-    every layer (the reference's zero pad).
+    Returns an N-list of (L, SUB, LANE) bfloat16 blocks, rows = the
+    flattened (C, w2, w2) layer stack in (channel, row, col) order —
+    exactly core.observations.build_image_obs_fn (reference:
+    rware/warehouse.py:527-596 with the [y, x] indexing fix).  With
+    ``self_feats`` (IMAGE_DICT) 6 extra rows [dir-onehot(4), on_highway,
+    carrying] are appended (build_image_dict_features_fn; reference
+    :725-742).  Same packed-bitmap scheme as _build_obs_feats; the window
+    rotation is folded into each entity's cell index (_rot_window_rel), so
+    no materialised window is ever rotated.  Out-of-grid cells are 0 in
+    every layer except ACCESSIBLE's in-grid mask (the reference's zero
+    pad).
     """
     from rware_tpu.types import ImageLayer
 
@@ -852,109 +944,142 @@ def _build_image_rows(
     r = sensor_range
     side = 2 * r + 1
     w2 = side * side
+    n_words = (w2 + 31) // 32
     ax, ay, ad, carrying, sx, sy, q = acts_state
 
-    agent_cid = jnp.stack([ay[i] * W + ax[i] for i in range(N)])
-    agent_dir = jnp.stack(ad)
-    agent_loaded = jnp.stack(
-        [(carrying[i] >= 0).astype(jnp.float32) for i in range(N)]
-    )
-    shelf_cid = sy * W + sx  # (S, SUB, LANE)
+    axs = jnp.stack(ax)
+    ays = jnp.stack(ay)
+    ads = jnp.stack(ad)
+    carry_s = jnp.stack(carrying)
+
     in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
     for r_i in range(R):
         in_queue |= (
             jax.lax.broadcasted_iota(jnp.int32, (S, SUB, LANE), 0) == q[r_i]
         )
-    req_cid = jnp.where(in_queue, shelf_cid, -2)
-    goal_cids = [gy * W + gx for gx, gy in goals]
+    slot_cid = slots_y * W + slots_x
 
-    # stacked per-output-cell offsets; (u, v) = (c // side, c % side)
+    need_acc = ImageLayer.ACCESSIBLE in layers
+    # per-output-cell world coords for the ACCESSIBLE in-grid mask
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (w2, 1, 1), 0)
     u_i = c_iota // side
     v_i = c_iota % side
 
-    rows_per_agent = []
+    feats = []
     for i in range(N):
-        if directional:
-            d = ad[i][None]  # (1, SUB, LANE)
-            dy = jnp.where(
-                d == 0, u_i - r,
-                jnp.where(d == 1, r - u_i, jnp.where(d == 2, r - v_i, v_i - r)),
-            )
-            dx = jnp.where(
-                d == 0, v_i - r,
-                jnp.where(d == 1, r - v_i, jnp.where(d == 2, u_i - r, r - u_i)),
-            )
-        else:
-            dy = jnp.broadcast_to(u_i - r, (w2, SUB, LANE))
-            dx = jnp.broadcast_to(v_i - r, (w2, SUB, LANE))
-        cx = ax[i][None] + dx
-        cy = ay[i][None] + dy
-        valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
-        cid = jnp.where(valid, cy * W + cx, -1)  # (W2, SUB, LANE)
+        d = ad[i][None]  # (1, SUB, LANE), broadcasts over the entity axis
+        a_rel, a_valid = _rot_window_rel(
+            ays - ay[i][None], axs - ax[i][None], d, directional, r, side
+        )
+        a_oh = _window_onehot(a_rel, a_valid, n_words)
+        s_rel, s_valid = _rot_window_rel(
+            sy - ay[i][None], sx - ax[i][None], d, directional, r, side
+        )
+        s_oh = _window_onehot(s_rel, s_valid, n_words)
 
-        here = agent_cid[:, None] == cid[None]  # (N, W2, SUB, LANE)
-        agent_hit = jnp.any(here, axis=0)
-        layer_vals = {}
+        a_bits = None
+        if (
+            ImageLayer.AGENTS in layers
+            or ImageLayer.AGENT_DIRECTION in layers
+            or need_acc
+        ):
+            a_bits = _window_bits(_bitmap(a_oh), w2)
+
+        if need_acc:
+            if directional:
+                dy = jnp.where(
+                    d == 0, u_i - r,
+                    jnp.where(
+                        d == 1, r - u_i,
+                        jnp.where(d == 2, r - v_i, v_i - r),
+                    ),
+                )
+                dx = jnp.where(
+                    d == 0, v_i - r,
+                    jnp.where(
+                        d == 1, r - v_i,
+                        jnp.where(d == 2, u_i - r, r - u_i),
+                    ),
+                )
+            else:
+                dy = u_i - r
+                dx = v_i - r
+            cx = ax[i][None] + dx
+            cy = ay[i][None] + dy
+            in_grid = (
+                (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+            ).astype(jnp.int32)
+
+        layer_rows = []
         for layer_type in layers:
             if layer_type == ImageLayer.SHELVES:
-                val = jnp.any(
-                    shelf_cid[:, None] == cid[None], axis=0
-                ).astype(jnp.float32)
+                val = _window_bits(_bitmap(s_oh), w2)
             elif layer_type == ImageLayer.REQUESTS:
-                val = jnp.any(
-                    req_cid[:, None] == cid[None], axis=0
-                ).astype(jnp.float32)
+                val = _window_bits(_bitmap(s_oh, in_queue), w2)
             elif layer_type == ImageLayer.AGENTS:
-                val = agent_hit.astype(jnp.float32)
+                val = a_bits
             elif layer_type == ImageLayer.AGENT_DIRECTION:
-                # positions are unique, so the sum selects the one agent
-                val = jnp.sum(
-                    jnp.where(
-                        here, (agent_dir[:, None] + 1).astype(jnp.float32), 0.0
-                    ),
-                    axis=0,
+                # dir + 1 via two bitplanes: 1 + (dir & 1) + 2 * (dir >= 2)
+                val = (
+                    a_bits
+                    + _window_bits(_bitmap(a_oh, (ads & 1) != 0), w2)
+                    + 2 * _window_bits(_bitmap(a_oh, ads >= 2), w2)
                 )
             elif layer_type == ImageLayer.AGENT_LOAD:
-                val = jnp.sum(
-                    jnp.where(here, agent_loaded[:, None], 0.0), axis=0
-                )
+                val = _window_bits(_bitmap(a_oh, carry_s >= 0), w2)
             elif layer_type == ImageLayer.GOALS:
-                hit = jnp.zeros((w2, SUB, LANE), dtype=jnp.bool_)
-                for gcid in goal_cids:
-                    hit |= cid == gcid
-                val = hit.astype(jnp.float32)
+                if goals:
+                    g_oy = jnp.stack([gy - ay[i] for _, gy in goals])
+                    g_ox = jnp.stack([gx - ax[i] for gx, _ in goals])
+                    g_rel, g_valid = _rot_window_rel(
+                        g_oy, g_ox, d, directional, r, side
+                    )
+                    val = _window_bits(
+                        _bitmap(_window_onehot(g_rel, g_valid, n_words)), w2
+                    )
+                else:
+                    val = jnp.zeros((w2, SUB, LANE), jnp.int32)
             elif layer_type == ImageLayer.ACCESSIBLE:
-                val = (valid & ~agent_hit).astype(jnp.float32)
+                # agents are always in-grid, so a_bits is a subset of the
+                # in-grid mask and plain subtraction is exact
+                val = in_grid - a_bits
             else:
                 raise ValueError(f"unknown layer {layer_type}")
-            layer_vals[layer_type] = val
+            layer_rows.append(val)
 
-        rows = []
-        for layer_type in layers:
-            for c in range(w2):
-                rows.append(layer_vals[layer_type][c])
-        rows_per_agent.append(rows)
-    return rows_per_agent
+        block = jnp.stack(layer_rows, axis=0).reshape(-1, SUB, LANE)
+        rows = block.astype(jnp.bfloat16)
+        if self_feats:
+            on_rack = jnp.any(slot_cid == (ay[i] * W + ax[i])[None], axis=0)
+            extra = jnp.stack(
+                [
+                    (ad[i] == 0).astype(jnp.float32),
+                    (ad[i] == 1).astype(jnp.float32),
+                    (ad[i] == 2).astype(jnp.float32),
+                    (ad[i] == 3).astype(jnp.float32),
+                    (~on_rack).astype(jnp.float32),
+                    (carrying[i] >= 0).astype(jnp.float32),
+                ],
+                axis=0,
+            ).astype(jnp.bfloat16)
+            rows = jnp.concatenate([rows, extra], axis=0)
+        feats.append(rows)
+    return feats
 
 
-def _policy_forward(params, feats_rows):
+def _policy_forward(params, feats):
     """Shared-parameter MLP actor-critic on env-tiled features via the MXU.
 
-    ``feats_rows``: N-list of L-lists of (SUB, LANE) f32 — stacked into an
-    (L, N*SUB*LANE) bf16 matrix so one dot serves all agents of the block.
-    Returns (logits (A, M) f32, value (1, M) f32) with M = N*SUB*LANE —
-    the ACTION axis lives on sublanes (A rows), which keeps every
-    action-wise op (gumbel, argmax, logsumexp) a cheap sublane reduction
-    and avoids 5-lane tiles.
+    ``feats``: the stacked (L, N, SUB, LANE) bf16 feature block (the same
+    tensor streamed to the trajectory) — one dot serves all agents of the
+    block.  Returns (logits (A, M) f32, value (1, M) f32) with
+    M = N*SUB*LANE (agent-major) — the ACTION axis lives on sublanes
+    (A rows), which keeps every action-wise op (gumbel, argmax, logsumexp)
+    a cheap sublane reduction and avoids 5-lane tiles.
     """
     w0, b0, w1, b1, wp, bp, wv, bv = params
-    n = len(feats_rows)
-    L = len(feats_rows[0])
-    feats = jnp.stack(
-        [jnp.stack(rows, axis=0) for rows in feats_rows], axis=1
-    )
-    feats = feats.reshape(L, n * SUB * LANE).astype(jnp.bfloat16)
+    L, n = feats.shape[0], feats.shape[1]
+    feats = feats.reshape(L, n * SUB * LANE)
     dn = (((0,), (0,)), ((), ()))
     x = jax.lax.dot_general(
         feats, w0, dn, preferred_element_type=jnp.float32
@@ -981,24 +1106,23 @@ def _policy_forward(params, feats_rows):
     return logits, value
 
 
-def _policy_forward_per_agent(params, feats_rows):
+def _policy_forward_per_agent(params, feats_list):
     """Per-agent-parameter MLP actor-critic (SEAC-style learners).
 
     Like _policy_forward but every weight carries a leading agent axis
     (the stacked per-agent param pytree of models.seac.init_seac): agent
     i's features go through agent i's network — N small matmuls of
-    M = SUB*LANE instead of one shared matmul.  Returns (logits (A, M),
-    value (1, M)) with the same agent-major M ordering as the shared path.
+    M = SUB*LANE instead of one shared matmul.  ``feats_list``: N-list of
+    (L, SUB, LANE) bf16 blocks.  Returns (logits (A, M), value (1, M))
+    with the same agent-major M ordering as the shared path.
     """
     w0, b0, w1, b1, wp, bp, wv, bv = params
-    n = len(feats_rows)
-    L = len(feats_rows[0])
+    n = len(feats_list)
     dn = (((0,), (0,)), ((), ()))
     logits_parts, value_parts = [], []
     for i in range(n):
-        feats = jnp.stack(feats_rows[i], axis=0).reshape(
-            L, SUB * LANE
-        ).astype(jnp.bfloat16)
+        L = feats_list[i].shape[0]
+        feats = feats_list[i].reshape(L, SUB * LANE)
         x = jax.lax.dot_general(
             w0[i], feats, dn, preferred_element_type=jnp.float32
         )
@@ -1028,22 +1152,20 @@ def _policy_forward_per_agent(params, feats_rows):
     )
 
 
-def _gru_forward(params, feats_rows, h):
+def _gru_forward(params, feats, h):
     """Recurrent actor-critic forward on env-tiled features.
 
     Matches models.networks.RecurrentActorCritic (embed Dense + flax
     GRUCell + f32 heads; bf16 hidden compute): gate layout ir/iz/in with
-    bias, hr/hz without, hn with (flax.linen.GRUCell defaults).  ``h`` is
-    the (Hg, N*SUB*LANE) carry (feature-major, like the activations);
+    bias, hr/hz without, hn with (flax.linen.GRUCell defaults).  ``feats``
+    is the stacked (L, N, SUB, LANE) bf16 feature block; ``h`` is the
+    (Hg, N*SUB*LANE) carry (feature-major, like the activations);
     returns (logits (A, M), value (1, M), new_h (Hg, M) f32).
     """
     (we, be, wir, bir, wiz, biz, win, bin_,
      whr, whz, whn, bhn, wp, bp, wv, bv) = params
-    n = len(feats_rows)
-    L = len(feats_rows[0])
-    feats = jnp.stack(
-        [jnp.stack(rows, axis=0) for rows in feats_rows], axis=1
-    ).reshape(L, n * SUB * LANE).astype(jnp.bfloat16)
+    L, n = feats.shape[0], feats.shape[1]
+    feats = feats.reshape(L, n * SUB * LANE)
     dn = (((0,), (0,)), ((), ()))
 
     def dot(w, x):
@@ -1107,6 +1229,39 @@ def _sample_gumbel(logits, n, deterministic=False):
     )
 
 
+def _log_sigmoid(x):
+    """Numerically stable log sigmoid(x) = min(x, 0) - log(1 + exp(-|x|))."""
+    return jnp.minimum(x, 0.0) - jnp.log(1.0 + jnp.exp(-jnp.abs(x)))
+
+
+def _sample_bernoulli(msg_logits, n, mb, deterministic=False):
+    """Message-bit sample + joint log-prob from (Mb, M) logits
+    (M = N*SUB*LANE, agent-major like _sample_gumbel).
+
+    Returns (bits (N*Mb, SUB, LANE) int32 — agent-major rows i*Mb + m, the
+    kernel's message-state layout — and logp (N, SUB, LANE) f32 summed
+    over each agent's bits).  ``deterministic`` takes the mode (logit > 0),
+    keeping validation RNG-free like the argmax move.
+    """
+    a, m = msg_logits.shape
+    if deterministic:
+        bit = msg_logits > 0.0
+    else:
+        u = (_u32((a, m)) & np.uint32(0x7FFFFF)).astype(jnp.float32) * (
+            1.0 / 8388608.0
+        )
+        bit = u < jax.nn.sigmoid(msg_logits)
+    bitf = bit.astype(jnp.float32)
+    logp = bitf * _log_sigmoid(msg_logits) + (1.0 - bitf) * _log_sigmoid(
+        -msg_logits
+    )
+    bits_n = jnp.swapaxes(
+        bit.astype(jnp.int32).reshape(mb, n, SUB, LANE), 0, 1
+    ).reshape(n * mb, SUB, LANE)
+    logp_n = jnp.sum(logp.reshape(mb, n, SUB, LANE), axis=0)
+    return bits_n, logp_n
+
+
 def _make_collect_kernel(
     st, goals, sensor_range, normalised, tc_len, deterministic=False,
     obs_mode="flattened", image_layers=(), image_directional=True,
@@ -1122,14 +1277,16 @@ def _make_collect_kernel(
     N, S, R = st.n, st.s, st.r
     n_policy_params = 16 if policy == "gru" else 8
 
-    def build_rows(acts_state, slots_x, slots_y):
-        if obs_mode == "image":
-            return _build_image_rows(
+    def build_rows(acts_state, slots_x, slots_y, msg=None):
+        if obs_mode in ("image", "image_dict"):
+            return _build_image_feats(
                 st, sensor_range, image_layers, image_directional,
-                acts_state, goals,
+                acts_state, goals, slots_x, slots_y,
+                self_feats=obs_mode == "image_dict",
             )
-        return _build_obs_rows(
-            st, sensor_range, normalised, acts_state, slots_x, slots_y
+        return _build_obs_feats(
+            st, sensor_range, normalised, acts_state, slots_x, slots_y,
+            msg=msg,
         )
 
     def kernel(*refs):
@@ -1207,25 +1364,25 @@ def _make_collect_kernel(
                 ax, ay, ad, carrying, hd_i, sx, sy, q, inact, steps = carry
             hd = [h != 0 for h in hd_i]
 
-            feats = build_rows(
+            feats_list = build_rows(
                 (ax, ay, ad, carrying, sx, sy, q), slots_x, slots_y
             )
+            # (L, N, SUB, LANE) bf16 — feature-major: feeds the policy
+            # matmul AND streams to the trajectory without any transpose
+            feats = jnp.stack(feats_list, axis=1)
             if policy == "gru":
                 logits, value, new_h = _gru_forward(
                     params, feats, h_t.reshape(hg, N * SUB * LANE)
                 )
             elif policy == "mlp_per_agent":
-                logits, value = _policy_forward_per_agent(params, feats)
+                logits, value = _policy_forward_per_agent(params, feats_list)
             else:
                 logits, value = _policy_forward(params, feats)
             action_t, logp_t = _sample_gumbel(logits, N, deterministic)
             acts = [action_t[i] for i in range(N)]
 
             # write pre-step trajectory tensors at index tt
-            obs_mat = jnp.stack(
-                [jnp.stack(rows, axis=0) for rows in feats], axis=0
-            ).astype(jnp.bfloat16)  # (N, L, SUB, LANE)
-            obs_out[pl.ds(tt, 1)] = obs_mat[None]
+            obs_out[pl.ds(tt, 1)] = feats[None]
             act_out[pl.ds(tt, 1)] = action_t[None]
             logp_out[pl.ds(tt, 1)] = logp_t[None]
             val_out[pl.ds(tt, 1)] = value[0].reshape(N, SUB, LANE)[None]
@@ -1313,11 +1470,13 @@ def build_pallas_collect(
     sizes ``hidden`` (bf16 compute, f32 heads, tanh — models/networks.py).
 
     ``native_traj=True`` returns the trajectory in the kernel-native tiled
-    layout instead — obs (T, N, L, RB, LANE) bf16, action/logp/value/reward
-    (T, N, RB, LANE), done (T, 1, RB, LANE) with RB = B // LANE and env
-    ``e`` at ``(e // LANE, e % LANE)`` — skipping the (T, B, N, L) relayout
-    entirely; models.ippo_pallas consumes this directly (the only transpose
-    left fuses into the first update matmul).
+    layout instead — obs (T, L, N, RB, LANE) bf16 (feature-major: exactly
+    the stacked block the in-kernel policy matmul consumes, so emission is
+    a single store), action/logp/value/reward (T, N, RB, LANE), done
+    (T, 1, RB, LANE) with RB = B // LANE and env ``e`` at
+    ``(e // LANE, e % LANE)`` — skipping the (T, B, N, L) relayout
+    entirely; models.ippo_pallas consumes this directly (the L contraction
+    in the first update matmul needs no transpose at all).
 
     ``policy="gru"`` fuses the RecurrentActorCritic (embed + GRU cell +
     heads; ``hidden`` = (embed, gru_hidden)) into the kernel; the signature
@@ -1333,18 +1492,15 @@ def build_pallas_collect(
     H1, H2 = hidden
     from rware_tpu.types import ObservationType
 
-    obs_mode = (
-        "image"
-        if config.observation_type
-        in (ObservationType.IMAGE, ObservationType.IMAGE_DICT)
-        else "flattened"
-    )
-    if obs_mode == "image":
-        # flattened (C, w2, w2) stack fed to the MLP; IMAGE_DICT's 6 extra
-        # self-features are not modelled in-kernel
-        L = len(config.image_observation_layers) * config.window_size**2
+    if config.observation_type == ObservationType.IMAGE:
+        obs_mode = "image"
+    elif config.observation_type == ObservationType.IMAGE_DICT:
+        # flattened (C, w2, w2) stack + the 6 self features [dir-onehot,
+        # on_highway, carrying] (reference rware/warehouse.py:725-742)
+        obs_mode = "image_dict"
     else:
-        L = config.flattened_obs_length
+        obs_mode = "flattened"
+    L = config.policy_obs_length
     if config.msg_bits:
         # no learner models the message channel (the policy head is
         # Discrete(5)); route msg-bit configs through the XLA collector
@@ -1431,7 +1587,7 @@ def build_pallas_collect(
         )
 
     obs_spec = pl.BlockSpec(
-        (tc_len, N, L, SUB, LANE),
+        (tc_len, L, N, SUB, LANE),
         lambda i, tc: (tc, 0, 0, i, 0),
         memory_space=pltpu.VMEM,
     )
@@ -1450,7 +1606,7 @@ def build_pallas_collect(
     def out_shape(b):
         rows = b // LANE
         shapes = [
-            jax.ShapeDtypeStruct((n_steps, N, L, rows, LANE), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_steps, L, N, rows, LANE), jnp.bfloat16),
             jax.ShapeDtypeStruct((n_steps, N, rows, LANE), jnp.int32),
             jax.ShapeDtypeStruct((n_steps, N, rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, N, rows, LANE), jnp.float32),
@@ -1593,8 +1749,10 @@ def build_pallas_collect(
             }
         else:
             traj = {
-                # (T, N, L, rows, LANE) -> (T, B, N, L)
-                "obs": jnp.moveaxis(obs.reshape(n_steps, N, L, b), 3, 1),
+                # (T, L, N, rows, LANE) -> (T, B, N, L)
+                "obs": jnp.transpose(
+                    obs.reshape(n_steps, L, N, b), (0, 3, 2, 1)
+                ),
                 "action": to_traj(act),
                 "logp": to_traj(logp),
                 "value": to_traj(val),

@@ -84,7 +84,7 @@ def _make_update_kernel(st: _UpdStatic):
         adv_inv_std = stats_ref[1]
 
         # ---- forward (feature-major: activations are (features, M)) ----
-        x = obs_ref[0, 0].reshape(L, M)  # bf16
+        x = obs_ref[0, :, 0].reshape(L, M)  # bf16
         dn00 = (((0,), (0,)), ((), ()))
         z1 = jax.lax.dot_general(
             w0_ref[:], x, dn00, preferred_element_type=jnp.float32
@@ -230,7 +230,7 @@ def build_fused_ppo_grads(
 ):
     """Returns ``grads(params, batch) -> (grads_pytree, metrics_dict)``.
 
-    ``batch`` is a native-layout minibatch tuple (obs (T, N, L, mb_rows,
+    ``batch`` is a native-layout minibatch tuple (obs (T, L, N, mb_rows,
     LANE) bf16, action/old_logp/old_value/adv/target (T, N, mb_rows, LANE));
     ``params`` the flax ActorCritic params pytree.  Gradients are exact for
     the clipped-PPO loss of models.ippo_pallas.ppo_loss_native (bf16 hidden
@@ -264,8 +264,8 @@ def build_fused_ppo_grads(
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # adv stats (2,)
     in_specs += [
         pl.BlockSpec(
-            (1, 1, L, rb_chunk, LANE),
-            lambda t, n, c: (t, n, 0, c, 0),
+            (1, L, 1, rb_chunk, LANE),
+            lambda t, n, c: (t, 0, n, c, 0),
             memory_space=pltpu.VMEM,
         )
     ]

@@ -137,10 +137,10 @@ def test_native_forward_matches_flax(setup):
     )
     _, ntraj = collect(states, params, 3)
     logits_n, value_n = jax.jit(_native_forward)(params, ntraj["obs"])
-    # rearrange native (T, N, L, RB, LANE) -> (T, B, N, L) reference layout
-    t, n, L, rb, lane = ntraj["obs"].shape
-    obs_flat = jnp.moveaxis(
-        ntraj["obs"].reshape(t, n, L, rb * lane), 3, 1
+    # rearrange native (T, L, N, RB, LANE) -> (T, B, N, L) reference layout
+    t, L, n, rb, lane = ntraj["obs"].shape
+    obs_flat = jnp.transpose(
+        ntraj["obs"].reshape(t, L, n, rb * lane), (0, 3, 2, 1)
     ).astype(jnp.float32)
     logits_f, value_f = model.apply(params, obs_flat)
     # native logits (T, N, RB, LANE, A) -> (T, B, N, A)

@@ -21,7 +21,7 @@ def case():
     params = model.init(key, jnp.zeros((1, N, L)))
     ks = jax.random.split(key, 6)
     batch = (
-        jax.random.normal(ks[0], (T, N, L, RB, LANE)).astype(jnp.bfloat16),
+        jax.random.normal(ks[0], (T, L, N, RB, LANE)).astype(jnp.bfloat16),
         jax.random.randint(ks[1], (T, N, RB, LANE), 0, 5, dtype=jnp.int32),
         jax.random.normal(ks[2], (T, N, RB, LANE)) * 0.1 - 1.6,
         jax.random.normal(ks[3], (T, N, RB, LANE)),
@@ -33,7 +33,7 @@ def case():
 
 def test_fused_grads_match_autodiff(case):
     cfg, model, params, batch = case
-    T, N, L, RB, _ = batch[0].shape
+    T, L, N, RB, _ = batch[0].shape
 
     grads_fn = build_fused_ppo_grads(
         obs_len=L, hidden=(128, 128), n_actions=5, rollout_len=T,

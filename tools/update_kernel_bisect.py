@@ -30,7 +30,7 @@ def main():
     params = model.init(jax.random.key(0), jnp.zeros((1, 2, 71)))
     ks = jax.random.split(jax.random.key(1), 6)
     batch = (
-        jax.random.normal(ks[0], (T_mb, 2, 71, rb, LANE)).astype(jnp.bfloat16),
+        jax.random.normal(ks[0], (T_mb, 71, 2, rb, LANE)).astype(jnp.bfloat16),
         jax.random.randint(ks[1], (T_mb, 2, rb, LANE), 0, 5, dtype=jnp.int32),
         jax.random.normal(ks[2], (T_mb, 2, rb, LANE)) * 0.1 - 1.6,
         jax.random.normal(ks[3], (T_mb, 2, rb, LANE)),
