@@ -88,25 +88,24 @@ def _native_forward(params, obs):
         x = jnp.tanh((x + d["bias"]).astype(jnp.bfloat16))
         i += 1
     xf = x.astype(jnp.float32)
-    logits = (
-        jax.lax.dot_general(
-            xf,
-            p["policy"]["kernel"].astype(jnp.float32),
-            (((xf.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+
+    def head(name):
+        return (
+            jax.lax.dot_general(
+                xf,
+                p[name]["kernel"].astype(jnp.float32),
+                (((xf.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + p[name]["bias"]
         )
-        + p["policy"]["bias"]
-    )
-    value = (
-        jax.lax.dot_general(
-            xf,
-            p["value"]["kernel"].astype(jnp.float32),
-            (((xf.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + p["value"]["bias"]
-    )
-    return logits, jnp.squeeze(value, axis=-1)
+
+    logits = head("policy")
+    value = jnp.squeeze(head("value"), axis=-1)
+    if "message" in p:
+        # mirror model.apply's msg convention: ((move, msg), value)
+        return (logits, head("message")), value
+    return logits, value
 
 
 def compute_gae_native(cfg: IPPOConfig, reward, value, done, last_value):
@@ -131,15 +130,43 @@ def compute_gae_native(cfg: IPPOConfig, reward, value, done, last_value):
 
 
 def ppo_loss_native(cfg: IPPOConfig, params, batch):
-    """Clipped-PPO loss on a native-layout minibatch."""
-    obs, action, old_logp, old_value, adv, target = batch
-    logits, value = _native_forward(params, obs)
+    """Clipped-PPO loss on a native-layout minibatch.
+
+    A 7th batch entry (message bits, (T, N*M, RB, LANE) agent-major rows
+    i*M + m) switches to the joint move+Bernoulli policy: joint ratio and
+    joint entropy, matching the msg collect kernel's stored logp."""
+    bits = None
+    if len(batch) == 7:
+        obs, action, old_logp, old_value, adv, target, bits = batch
+    else:
+        obs, action, old_logp, old_value, adv, target = batch
+    heads, value = _native_forward(params, obs)
+    msg_entropy = 0.0
+    if bits is not None:
+        from rware_tpu.models.networks import bernoulli_logp
+
+        logits, msg_logits = heads  # msg_logits (T, N, RB, LANE, M)
+        t, nm, rb, lane = bits.shape
+        n = action.shape[1]
+        bitsf = jnp.moveaxis(
+            bits.reshape(t, n, nm // n, rb, lane), 2, -1
+        ).astype(jnp.float32)  # (T, N, RB, LANE, M)
+        logp_msg = bernoulli_logp(msg_logits, bitsf).sum(-1)
+        p_msg = jax.nn.sigmoid(msg_logits)
+        msg_entropy = -(
+            p_msg * jax.nn.log_sigmoid(msg_logits)
+            + (1.0 - p_msg) * jax.nn.log_sigmoid(-msg_logits)
+        ).sum(-1)
+    else:
+        logits = heads
     logp_all = jax.nn.log_softmax(logits)
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
         == action[..., None]
     )
     logp = jnp.sum(jnp.where(onehot, logp_all, 0.0), axis=-1)
+    if bits is not None:
+        logp = logp + logp_msg
     ratio = jnp.exp(logp - old_logp)
     adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
     pg1 = ratio * adv_norm
@@ -153,7 +180,7 @@ def ppo_loss_native(cfg: IPPOConfig, params, batch):
         (value - target) ** 2, (v_clipped - target) ** 2
     ).mean()
 
-    entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+    entropy = (-(jnp.exp(logp_all) * logp_all).sum(-1) + msg_entropy).mean()
     total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
     return total, {
         "pg_loss": pg_loss,
@@ -186,6 +213,7 @@ def ppo_update_epochs_native(
     jax.value_and_grad of ppo_loss_native.  Its ``rollout_len``/``mb_rows``
     must match the minibatch shape this function produces.
     """
+    rb_axes = _RB_AXES + (2,) * (len(dataset) - len(_RB_AXES))
     if mb_axis == "time":
         t_len = dataset[1].shape[0]
         if t_len % cfg.minibatches:
@@ -195,7 +223,7 @@ def ppo_update_epochs_native(
             )
         mb = t_len // cfg.minibatches
         roll_extent = t_len
-        axes = (0,) * len(_RB_AXES)
+        axes = (0,) * len(dataset)
     else:
         rb = dataset[1].shape[2]
         if rb % cfg.minibatches:
@@ -206,7 +234,7 @@ def ppo_update_epochs_native(
             )
         mb = rb // cfg.minibatches
         roll_extent = rb
-        axes = _RB_AXES
+        axes = rb_axes
 
     if grads_fn is None:
 
@@ -329,6 +357,7 @@ def build_pallas_train_step(
             vf_coef=cfg.vf_coef,
             ent_coef=cfg.ent_coef,
             interpret=interpret,
+            msg_bits=env.config.msg_bits,
         )
 
     def train_step_native(runner: RunnerState) -> Tuple[RunnerState, dict]:
@@ -360,6 +389,8 @@ def build_pallas_train_step(
             advantages,
             targets,
         )
+        if "bits" in traj:
+            dataset = dataset + (traj["bits"],)
         (params, opt_state), metrics = ppo_update_epochs_native(
             cfg, tx, runner.params, runner.opt_state, dataset, k_perm,
             axis_name=axis_name, grads_fn=grads_fn,
@@ -401,9 +432,16 @@ def build_pallas_train_step(
         def flat(x):
             return x.reshape((cfg.rollout_len * cfg.n_envs,) + x.shape[2:])
 
+        action = traj["action"]
+        if "bits" in traj:
+            # joint (move, bits) action: ppo_loss keys msg mode off the
+            # trailing action axis (models/ippo.py)
+            action = jnp.concatenate(
+                [action[..., None], traj["bits"]], axis=-1
+            )
         dataset = (
             flat(traj["obs"].astype(jnp.float32)),
-            flat(traj["action"]),
+            flat(action),
             flat(traj["logp"]),
             flat(traj["value"]),
             flat(advantages),

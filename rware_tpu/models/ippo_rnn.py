@@ -245,6 +245,92 @@ def build_rnn_train_step(
     return train_step
 
 
+def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
+    """Replay the GRU over a kernel-native trajectory with BATCHED gate
+    matmuls: the embed and the three input gates contract over every
+    (t, agent, env) sample in single MXU dots; only the (Hg, Hg) hidden
+    recurrence runs in the time scan.  This is the recurrent analogue of
+    the MLP path's relayout deletion — no env gathers, no f32 obs copy,
+    no per-step embed matmuls.
+
+    obs (T, L, N, RB, LANE) bf16, done (T, 1, RB, LANE) int32, h0
+    (N, RB, LANE, Hg).  Returns (logits (T, N, RB, LANE, A), value
+    (T, N, RB, LANE)) — the per-step GRU outputs BEFORE the episode-
+    boundary reset, matching the collect kernel and build_rnn_train_step's
+    replay ordering.
+    """
+    p = params["params"]
+    g = p["gru"]
+
+    def big(x, w):
+        return jax.lax.dot_general(
+            x, w.astype(jnp.bfloat16),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # embed contracts the feature axis (axis 1 of the native layout)
+    e = jax.lax.dot_general(
+        obs.astype(jnp.bfloat16),
+        p["embed"]["kernel"].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, N, RB, LANE, E)
+    e = jnp.tanh((e + p["embed"]["bias"]).astype(jnp.bfloat16))
+    ir = big(e, g["ir"]["kernel"]) + g["ir"]["bias"]
+    iz = big(e, g["iz"]["kernel"]) + g["iz"]["bias"]
+    inn = big(e, g["in"]["kernel"]) + g["in"]["bias"]
+    whr = g["hr"]["kernel"].astype(jnp.bfloat16)
+    whz = g["hz"]["kernel"].astype(jnp.bfloat16)
+    whn = g["hn"]["kernel"].astype(jnp.bfloat16)
+    bhn = g["hn"]["bias"]
+    one = jnp.bfloat16(1.0)
+
+    def cell(h, xs):
+        ir_t, iz_t, inn_t, d = xs  # gates (N, RB, LANE, Hg), d (1, RB, LANE)
+
+        def hdot(w):
+            return jax.lax.dot_general(
+                h, w, (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        r = jax.nn.sigmoid(ir_t + hdot(whr)).astype(jnp.bfloat16)
+        z = jax.nn.sigmoid(iz_t + hdot(whz)).astype(jnp.bfloat16)
+        n = jnp.tanh(
+            inn_t.astype(jnp.bfloat16)
+            + r * (hdot(whn) + bhn).astype(jnp.bfloat16)
+        )
+        new_h = (one - z) * n + z * h
+        # heads read new_h; the NEXT step's carry is reset at episode ends
+        carry = jnp.where(
+            (d != 0)[..., None], jnp.bfloat16(0.0), new_h
+        )
+        return carry, new_h
+
+    _, hseq = jax.lax.scan(
+        cell, h0.astype(jnp.bfloat16), (ir, iz, inn, done)
+    )  # (T, N, RB, LANE, Hg)
+    hf = hseq.astype(jnp.float32)
+    logits = (
+        jax.lax.dot_general(
+            hf, p["policy"]["kernel"].astype(jnp.float32),
+            (((hf.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + p["policy"]["bias"]
+    )
+    value = (
+        jax.lax.dot_general(
+            hf, p["value"]["kernel"].astype(jnp.float32),
+            (((hf.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + p["value"]["bias"]
+    )
+    return logits, jnp.squeeze(value, axis=-1)
+
+
 def build_rnn_pallas_train_step(
     env: Warehouse,
     model: RecurrentActorCritic,
@@ -252,21 +338,28 @@ def build_rnn_pallas_train_step(
     cfg: IPPOConfig,
     interpret: bool = False,
     deterministic_collect: bool = False,
+    native: bool = True,
 ) -> Callable[[RNNRunnerState], Tuple[RNNRunnerState, dict]]:
     """Recurrent IPPO with the GRU fused INTO the collect kernel.
 
     The rollout — observations, embed+GRU forward, sampling, env step and
     the episode-boundary carry reset — runs inside the Pallas kernel
-    (ops/pallas_rollout.build_pallas_collect(policy="gru")); the PPO update
-    replays the GRU over the stored trajectory in XLA exactly like
-    build_rnn_train_step (sequence-parallel over the env minibatch).
+    (ops/pallas_rollout.build_pallas_collect(policy="gru")).
+
+    ``native=True`` (default) runs GAE + the PPO update directly on the
+    kernel-native tiled trajectory: batched embed/gate matmuls via
+    _gru_native_replay, contiguous env-band minibatches (no index
+    gathers), bf16 obs end-to-end.  ``native=False`` keeps the round-2
+    friendly-layout path (env-gather minibatches + per-step model.apply
+    replay), retained for comparison.
     """
     from rware_tpu.ops.pallas_rollout import ENV_BLOCK, build_pallas_collect
 
     if env.config.msg_bits > 0:
         raise NotImplementedError(
-            "the GRU collect kernel samples moves only; msg_bits configs "
-            "use build_rnn_train_step (XLA collect, message head)"
+            "the GRU collect kernel's message head is not wired into this "
+            "update path; msg_bits configs use build_rnn_train_step (XLA "
+            "collect, message head)"
         )
 
     def _pick_tc_len_gru(t: int) -> int:
@@ -288,12 +381,134 @@ def build_rnn_pallas_train_step(
         interpret=interpret,
         deterministic=deterministic_collect,
         policy="gru",
+        native_traj=native,
     )
     from rware_tpu.models.ippo import policy_obs_fn
 
     obs_fn = jax.vmap(policy_obs_fn(env))
     n_tc = max(1, cfg.rollout_len // _pick_tc_len_gru(cfg.rollout_len))
     streams_per_update = (cfg.n_envs // ENV_BLOCK) * n_tc
+    from rware_tpu.ops.pallas_rollout import LANE
+
+    n_agents = env.n_agents
+    hg = int(model.hidden)
+
+    def loss_fn_native(params, batch):
+        obs, done, action, logp_old, value_old, adv, target, h0n = batch
+        logits, value = _gru_native_replay(model, params, obs, done, h0n)
+        logp_all = jax.nn.log_softmax(logits)
+        onehot = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, logits.ndim - 1
+            )
+            == action[..., None]
+        )
+        logp = jnp.sum(jnp.where(onehot, logp_all, 0.0), axis=-1)
+        ratio = jnp.exp(logp - logp_old)
+        adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv_norm
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_clipped = value_old + jnp.clip(
+            value - value_old, -cfg.clip_eps, cfg.clip_eps
+        )
+        v_loss = 0.5 * jnp.maximum(
+            (value - target) ** 2, (v_clipped - target) ** 2
+        ).mean()
+        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        return total, {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
+        }
+
+    # rb-axis position per native dataset entry:
+    # (obs, done, action, logp, value, adv, target, h0n)
+    _NATIVE_RB_AXES = (3, 2, 2, 2, 2, 2, 2, 1)
+
+    def train_step_native(runner: RNNRunnerState):
+        key, k_perm = jax.random.split(runner.key, 2)
+        seed = runner.update_idx * jnp.int32(streams_per_update)
+        h0 = runner.carry  # (B, N, Hg) — carry at rollout start
+        env_states, new_carry, traj = collect(
+            runner.env_states, runner.params, seed, h0=h0
+        )
+        obs = obs_fn(env_states)
+        _, (_, last_value) = model.apply(
+            runner.params, new_carry.astype(runner.carry.dtype), obs
+        )  # (B, N)
+        rb = cfg.n_envs // LANE
+        last_value_native = jnp.swapaxes(last_value, 0, 1).reshape(
+            n_agents, rb, LANE
+        )
+        from rware_tpu.models.ippo_pallas import compute_gae_native
+
+        advantages, targets = compute_gae_native(
+            cfg, traj["reward"], traj["value"], traj["done"],
+            last_value_native,
+        )
+        # carry at rollout start in the replay layout (N, RB, LANE, Hg)
+        h0n = jnp.transpose(h0, (1, 0, 2)).reshape(n_agents, rb, LANE, hg)
+        dataset = (
+            traj["obs"], traj["done"], traj["action"], traj["logp"],
+            traj["value"], advantages, targets, h0n,
+        )
+        if rb % cfg.minibatches:
+            raise ValueError(
+                f"minibatches={cfg.minibatches} must divide the {rb} env "
+                f"rows (n_envs / {LANE})"
+            )
+        mb = rb // cfg.minibatches
+
+        def epoch(carry_es, k):
+            params, opt_state = carry_es
+            off = jax.random.randint(k, (), 0, rb)
+            rolled = tuple(
+                jnp.roll(x, off, axis=ax)
+                for x, ax in zip(dataset, _NATIVE_RB_AXES)
+            )
+
+            def minibatch(carry_es, i):
+                params, opt_state = carry_es
+                batch = tuple(
+                    jax.lax.dynamic_slice_in_dim(x, i * mb, mb, ax)
+                    for x, ax in zip(rolled, _NATIVE_RB_AXES)
+                )
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn_native, has_aux=True
+                )(params, batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            return jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(cfg.minibatches)
+            )
+
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch,
+            (runner.params, runner.opt_state),
+            jax.random.split(k_perm, cfg.epochs),
+        )
+        out_metrics = {
+            "reward_per_env": traj["reward"].sum() / cfg.n_envs,
+            "episodes_done": traj["done"].sum(),
+            **jax.tree.map(lambda x: x.mean(), metrics),
+        }
+        return (
+            RNNRunnerState(
+                params=params,
+                opt_state=opt_state,
+                env_states=env_states,
+                obs=obs,
+                carry=new_carry.astype(runner.carry.dtype),
+                key=key,
+                update_idx=runner.update_idx + 1,
+            ),
+            out_metrics,
+        )
 
     def loss_fn(params, batch):
         obs, done, action, logp_old, value_old, adv, target, h0 = batch
@@ -400,4 +615,4 @@ def build_rnn_pallas_train_step(
             out_metrics,
         )
 
-    return train_step
+    return train_step_native if native else train_step

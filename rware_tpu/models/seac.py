@@ -52,7 +52,7 @@ class SEACRunner(struct.PyTreeNode):
 
 class SEACTransition(NamedTuple):
     obs: jax.Array  # (B, N, L)
-    action: jax.Array  # (B, N)
+    action: jax.Array  # (B, N), or (B, N, 1 + msg_bits) for msg configs
     logp: jax.Array  # (B, N) log pi_j(a_j|o_j) of the acting agent
     reward: jax.Array  # (B, N)
     done: jax.Array  # (B,)
@@ -65,7 +65,9 @@ def init_seac(
     model: Optional[ActorCritic] = None,
 ) -> Tuple[SEACRunner, ActorCritic, optax.GradientTransformation]:
     if model is None:
-        model = ActorCritic(n_actions=env.n_actions)
+        model = ActorCritic(
+            n_actions=env.n_actions, msg_bits=env.config.msg_bits
+        )
     n = env.n_agents
     obs_dim = env.config.policy_obs_length
     k_par, k_env, k_run = jax.random.split(key, 3)
@@ -102,17 +104,14 @@ def build_seac_train_step(
     tx: optax.GradientTransformation,
     cfg: SEACConfig,
 ) -> Callable[[SEACRunner], Tuple[SEACRunner, dict]]:
-    if env.config.msg_bits > 0:
-        raise NotImplementedError(
-            "SEAC learners sample moves only; msg_bits configs train via "
-            "models.ippo / models.ippo_rnn (message head, ROADMAP #5)"
-        )
     step_fn = jax.vmap(env._step_fn)
     reset_fn = env._reset_fn
     from rware_tpu.models.ippo import policy_obs_fn
+    from rware_tpu.models.networks import bernoulli_logp, sample_action_msg
 
     obs_fn = policy_obs_fn(env)
     n = env.n_agents
+    msg_mode = getattr(model, "msg_bits", 0) > 0
 
     def apply_own(params, obs):
         # params: stacked (N, ...); obs: (B, N, L) -> per-agent forward.
@@ -124,8 +123,11 @@ def build_seac_train_step(
     def collect(carry, key):
         params, env_states, obs = carry
         k_act, _ = jax.random.split(key)
-        logits, _ = apply_own(params, obs)  # (B, N, A)
-        action, logp = sample_action(k_act, logits)
+        heads, _ = apply_own(params, obs)  # (B, N, A)
+        if msg_mode:
+            action, logp = sample_action_msg(k_act, *heads)
+        else:
+            action, logp = sample_action(k_act, heads)
         res = step_fn(env_states, action)
         from rware_tpu.parallel.rollout import autoreset_select
 
@@ -137,15 +139,44 @@ def build_seac_train_step(
             obs, action, logp, res.rewards, res.done
         )
 
+    def cross_joint_logp(heads_cross, action):
+        """log pi_i(a_j | o_j) with the (move, bits) composite action when
+        the model carries a message head; returns (logp_cross, entropy_map)
+        both (N_i, T, B, N_j)."""
+        if msg_mode:
+            logits_cross, msg_cross = heads_cross
+            move = action[..., 0]
+            bits = action[..., 1:]
+        else:
+            logits_cross = heads_cross
+            move = action
+        logp_all = jax.nn.log_softmax(logits_cross)
+        logp_cross = jnp.take_along_axis(
+            logp_all, move[None, ..., None], axis=-1
+        ).squeeze(-1)
+        probs = jnp.exp(logp_all)
+        ent_map = -(probs * logp_all).sum(-1)
+        if msg_mode:
+            logp_cross = logp_cross + bernoulli_logp(
+                msg_cross, bits[None]
+            ).sum(-1)
+            p_msg = jax.nn.sigmoid(msg_cross)
+            ent_map = ent_map - (
+                p_msg * jax.nn.log_sigmoid(msg_cross)
+                + (1.0 - p_msg) * jax.nn.log_sigmoid(-msg_cross)
+            ).sum(-1)
+        return logp_cross, ent_map
+
     def loss_fn(params, traj: SEACTransition, last_obs):
         T, B = traj.reward.shape[0], traj.reward.shape[1]
 
         # cross forwards: agent i's network on agent j's observations.
-        # obs (T, B, N, L) -> logits (N_i, T, B, N_j, A), values (N_i, T, B, N_j)
+        # obs (T, B, N, L) -> heads (N_i, T, B, N_j, ...), values
+        # (N_i, T, B, N_j)
         def apply_i(p):
             return model.apply(p, traj.obs)
 
-        logits_cross, values_cross = jax.vmap(apply_i)(params)
+        heads_cross, values_cross = jax.vmap(apply_i)(params)
         _, last_values_cross = jax.vmap(lambda p: model.apply(p, last_obs))(
             params
         )  # (N_i, B, N_j)
@@ -172,11 +203,8 @@ def build_seac_train_step(
         adv_cross = jax.vmap(gae_for_i)(values_cross, last_values_cross)
         target_cross = adv_cross + values_cross  # (N_i, T, B, N_j)
 
-        # log pi_i(a_j | o_j): (N_i, T, B, N_j)
-        logp_all = jax.nn.log_softmax(logits_cross)
-        logp_cross = jnp.take_along_axis(
-            logp_all, traj.action[None, ..., None], axis=-1
-        ).squeeze(-1)
+        # log pi_i(a_j | o_j): (N_i, T, B, N_j) — joint over move + bits
+        logp_cross, ent_map = cross_joint_logp(heads_cross, traj.action)
 
         # importance weights w_ij = pi_i / pi_j (stop-grad), w_ii = 1
         w = jnp.exp(jax.lax.stop_gradient(logp_cross) - traj.logp[None])
@@ -192,8 +220,6 @@ def build_seac_train_step(
         )
 
         # entropy of each agent's OWN policy only: the (i == j) diagonal
-        probs = jnp.exp(logp_all)
-        ent_map = -(probs * logp_all).sum(-1)  # (N_i, T, B, N_j)
         entropy = jnp.diagonal(ent_map, axis1=0, axis2=3).mean()
 
         total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
@@ -289,23 +315,46 @@ def build_seac_ppo_train_step(
     collect_mode: str = "xla",
     interpret: bool = False,
     deterministic_collect: bool = False,
+    update_mode: str = "auto",
 ) -> Callable[[SEACRunner], Tuple[SEACRunner, dict]]:
     """``collect_mode="pallas"`` runs the rollout through the fused collect
     kernel with PER-AGENT weights (ops/pallas_rollout
-    build_pallas_collect(policy="mlp_per_agent")); the shared-experience
-    PPO update (cross-agent forwards) stays in XLA."""
-    if env.config.msg_bits > 0:
-        raise NotImplementedError(
-            "SEAC learners sample moves only; msg_bits configs train via "
-            "models.ippo / models.ippo_rnn (message head, ROADMAP #5)"
-        )
+    build_pallas_collect(policy="mlp_per_agent")).  Message configs ride
+    both paths: the kernel's per-agent Bernoulli heads sample the bits
+    in-kernel, and every cross log-prob/ratio is joint over (move, bits).
+
+    ``update_mode``: "fused" computes the shared-experience PPO gradients
+    with the per-agent Pallas kernel (ops/pallas_update
+    .build_fused_seac_ppo_grads) on the kernel-native trajectory —
+    time-window minibatches, obs bf16, activations in VMEM; "xla" keeps
+    the flat cross-forward autodiff update.  "auto" picks "fused" when
+    the collect is pallas and the config has no message bits."""
     step_fn = jax.vmap(env._step_fn)
     reset_fn = env._reset_fn
     from rware_tpu.models.ippo import policy_obs_fn
+    from rware_tpu.models.networks import bernoulli_logp, sample_action_msg
 
     obs_fn = policy_obs_fn(env)
     n = env.n_agents
     eye = jnp.eye(n)  # (N_i, N_j)
+    msg_mode = getattr(model, "msg_bits", 0) > 0
+
+    if update_mode == "auto":
+        update_mode = (
+            "fused" if collect_mode == "pallas" and not msg_mode else "xla"
+        )
+    if update_mode == "fused":
+        if collect_mode != "pallas" or msg_mode:
+            raise ValueError(
+                "update_mode='fused' needs collect_mode='pallas' and no "
+                "message bits (the per-agent gradient kernel has no "
+                "Bernoulli head)"
+            )
+        if cfg.rollout_len % cfg.minibatches:
+            raise ValueError(
+                f"minibatches={cfg.minibatches} must divide "
+                f"rollout_len={cfg.rollout_len} (time-window minibatches)"
+            )
 
     pallas_collect = None
     if collect_mode == "pallas":
@@ -322,6 +371,7 @@ def build_seac_ppo_train_step(
             interpret=interpret,
             deterministic=deterministic_collect,
             policy="mlp_per_agent",
+            native_traj=update_mode == "fused",
         )
         n_tc = max(1, cfg.rollout_len // _pick_tc_len(cfg.rollout_len))
         streams_per_update = (cfg.n_envs // ENV_BLOCK) * n_tc
@@ -334,8 +384,11 @@ def build_seac_ppo_train_step(
     def collect(carry, key):
         params, env_states, obs = carry
         k_act, _ = jax.random.split(key)
-        logits, _ = apply_own(params, obs)
-        action, logp = sample_action(k_act, logits)
+        heads, _ = apply_own(params, obs)
+        if msg_mode:
+            action, logp = sample_action_msg(k_act, *heads)
+        else:
+            action, logp = sample_action(k_act, heads)
         res = step_fn(env_states, action)
         from rware_tpu.parallel.rollout import autoreset_select
 
@@ -347,20 +400,41 @@ def build_seac_ppo_train_step(
             obs, action, logp, res.rewards, res.done
         )
 
-    def cross_logp(logits_cross, action):
-        # logits (..., N_i, N_j, A), action (..., N_j) -> (..., N_i, N_j)
+    def cross_logp(heads_cross, action):
+        """Joint log pi_i(a_j | o_j) and per-pair entropy.
+
+        heads (..., N_i, N_j, A) (+ msg (..., N_i, N_j, Mb)), action
+        (..., N_j[, 1 + Mb]) -> (logp (..., N_i, N_j), ent_map same)."""
+        if msg_mode:
+            logits_cross, msg_cross = heads_cross
+            move = action[..., 0]
+            bits = action[..., 1:]
+        else:
+            logits_cross = heads_cross
+            move = action
         lsm = jax.nn.log_softmax(logits_cross)
-        return jnp.take_along_axis(
-            lsm, action[..., None, :, None], axis=-1
-        ).squeeze(-1), lsm
+        logp = jnp.take_along_axis(
+            lsm, move[..., None, :, None], axis=-1
+        ).squeeze(-1)
+        ent_map = -(jnp.exp(lsm) * lsm).sum(-1)
+        if msg_mode:
+            logp = logp + bernoulli_logp(
+                msg_cross, bits[..., None, :, :]
+            ).sum(-1)
+            p_msg = jax.nn.sigmoid(msg_cross)
+            ent_map = ent_map - (
+                p_msg * jax.nn.log_sigmoid(msg_cross)
+                + (1.0 - p_msg) * jax.nn.log_sigmoid(-msg_cross)
+            ).sum(-1)
+        return logp, ent_map
 
     def minibatch_loss(params, batch):
         obs, action, behav_logp, old_value, adv, target = batch
         # obs (M, N, L) -> cross forward (M, N_i, N_j, ...)
-        logits_cross, values_cross = jax.vmap(
+        heads_cross, values_cross = jax.vmap(
             lambda p: model.apply(p, obs), out_axes=1
         )(params)
-        logp_cross, lsm = cross_logp(logits_cross, action)
+        logp_cross, ent_map = cross_logp(heads_cross, action)
 
         # ratio of agent i's policy to the BEHAVIOUR policy that produced
         # the sample (agent j's old policy): the SEAC importance weight
@@ -382,8 +456,6 @@ def build_seac_ppo_train_step(
         v_loss = 0.5 * (v_err * weight).sum(-1).mean()
 
         # entropy of each agent's own policy (the i == j diagonal)
-        probs = jnp.exp(lsm)
-        ent_map = -(probs * lsm).sum(-1)  # (M, N_i, N_j)
         entropy = jnp.diagonal(ent_map, axis1=1, axis2=2).mean()
 
         total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
@@ -395,6 +467,121 @@ def build_seac_ppo_train_step(
             "approx_kl": ((own_ratio - 1) - jnp.log(own_ratio)).mean(),
         }
 
+    if update_mode == "fused":
+        from rware_tpu.models.ippo_pallas import _native_forward
+        from rware_tpu.ops.pallas_rollout import LANE
+        from rware_tpu.ops.pallas_update import build_fused_seac_ppo_grads
+
+        rb = cfg.n_envs // LANE
+        t_mb = cfg.rollout_len // cfg.minibatches
+        grads_fn = build_fused_seac_ppo_grads(
+            obs_len=env.config.policy_obs_length,
+            hidden=tuple(model.hidden),
+            n_actions=env.n_actions,
+            rollout_len=t_mb,
+            n_agents=n,
+            mb_rows=rb,
+            clip_eps=cfg.clip_eps,
+            vf_coef=cfg.vf_coef,
+            ent_coef=cfg.ent_coef,
+            seac_lambda=cfg.seac_lambda,
+            interpret=interpret,
+        )
+
+        def train_step_fused(runner: SEACRunner) -> Tuple[SEACRunner, dict]:
+            key, k_perm = jax.random.split(runner.key, 2)
+            seed = runner.update_idx * jnp.int32(streams_per_update)
+            env_states, traj = pallas_collect(
+                runner.env_states, runner.params, seed
+            )
+            obs = jax.vmap(obs_fn)(env_states)
+
+            # old-policy cross values on the native trajectory: agent i's
+            # critic over agent j's observations, (T, N_i, N_j, RB, LANE)
+            _, values_cross = jax.vmap(
+                lambda p: _native_forward(p, traj["obs"]), out_axes=1
+            )(runner.params)
+            _, last_vc = jax.vmap(
+                lambda p: model.apply(p, obs), out_axes=1
+            )(runner.params)  # (B, N_i, N_j)
+            last_vc_n = jnp.transpose(last_vc, (1, 2, 0)).reshape(
+                n, n, rb, LANE
+            )
+
+            not_done = 1.0 - traj["done"].astype(jnp.float32)  # (T,1,RB,L)
+
+            def gae_body(carry, xs):
+                g, next_v = carry
+                v, r, nd = xs
+                delta = r[None] + cfg.gamma * next_v * nd[None] - v
+                g = delta + cfg.gamma * cfg.gae_lambda * nd[None] * g
+                return (g, v), g
+
+            (_, _), adv_cross = jax.lax.scan(
+                gae_body,
+                (jnp.zeros_like(last_vc_n), last_vc_n),
+                (values_cross, traj["reward"], not_done),
+                reverse=True,
+            )
+            target_cross = adv_cross + values_cross
+
+            dataset = (
+                traj["obs"], traj["action"], traj["logp"],
+                values_cross, adv_cross, target_cross,
+            )
+
+            def sgd_step(params, opt_state, batch):
+                grads, metrics = grads_fn(params, batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (
+                    optax.apply_updates(params, updates), opt_state, metrics
+                )
+
+            def epoch(carry, k):
+                params, opt_state = carry
+                off = jax.random.randint(k, (), 0, cfg.rollout_len)
+                rolled = tuple(jnp.roll(x, off, axis=0) for x in dataset)
+
+                def minibatch(carry, idx):
+                    params, opt_state = carry
+                    batch = tuple(
+                        jax.lax.dynamic_slice_in_dim(x, idx * t_mb, t_mb, 0)
+                        for x in rolled
+                    )
+                    params, opt_state, metrics = sgd_step(
+                        params, opt_state, batch
+                    )
+                    return (params, opt_state), metrics
+
+                return jax.lax.scan(
+                    minibatch, (params, opt_state),
+                    jnp.arange(cfg.minibatches),
+                )
+
+            (params, opt_state), metrics = jax.lax.scan(
+                epoch,
+                (runner.params, runner.opt_state),
+                jax.random.split(k_perm, cfg.epochs),
+            )
+            out_metrics = {
+                "reward_per_env": traj["reward"].sum() / cfg.n_envs,
+                "episodes_done": traj["done"].sum(),
+                **jax.tree.map(lambda x: x.mean(), metrics),
+            }
+            return (
+                SEACRunner(
+                    params=params,
+                    opt_state=opt_state,
+                    env_states=env_states,
+                    obs=obs,
+                    key=key,
+                    update_idx=runner.update_idx + 1,
+                ),
+                out_metrics,
+            )
+
+        return train_step_fused
+
     def train_step(runner: SEACRunner) -> Tuple[SEACRunner, dict]:
         key, k_roll, k_perm = jax.random.split(runner.key, 3)
         params = runner.params
@@ -404,9 +591,14 @@ def build_seac_ppo_train_step(
                 runner.env_states, params, seed
             )
             obs = jax.vmap(obs_fn)(env_states)
+            action = ktraj["action"]
+            if msg_mode:
+                action = jnp.concatenate(
+                    [action[..., None], ktraj["bits"]], axis=-1
+                )
             traj = SEACTransition(
                 obs=ktraj["obs"].astype(jnp.float32),
-                action=ktraj["action"],
+                action=action,
                 logp=ktraj["logp"],
                 reward=ktraj["reward"],
                 done=ktraj["done"].astype(jnp.bool_),
@@ -420,9 +612,9 @@ def build_seac_ppo_train_step(
             )
 
         # old-policy cross evaluation for advantages/targets/old values
-        logits_cross, values_cross = jax.vmap(
+        _, values_cross = jax.vmap(
             lambda p: model.apply(p, traj.obs), out_axes=2
-        )(params)  # (T, B, N_i, N_j, ...)
+        )(params)  # (T, B, N_i, N_j)
         _, last_values_cross = jax.vmap(
             lambda p: model.apply(p, obs), out_axes=1
         )(params)  # (B, N_i, N_j)

@@ -1076,7 +1076,14 @@ def _policy_forward(params, feats):
     M = N*SUB*LANE (agent-major) — the ACTION axis lives on sublanes
     (A rows), which keeps every action-wise op (gumbel, argmax, logsumexp)
     a cheap sublane reduction and avoids 5-lane tiles.
+
+    With a message head (10 params: wm, bm appended) a third return value
+    carries the (msg_bits, M) Bernoulli logits (models/networks.py
+    ActorCritic(msg_bits > 0)).
     """
+    msg_head = None
+    if len(params) == 10:
+        params, msg_head = params[:8], params[8:]
     w0, b0, w1, b1, wp, bp, wv, bv = params
     L, n = feats.shape[0], feats.shape[1]
     feats = feats.reshape(L, n * SUB * LANE)
@@ -1103,7 +1110,16 @@ def _policy_forward(params, feats):
         )
         + bv.T
     )
-    return logits, value
+    if msg_head is None:
+        return logits, value, None
+    wm, bm = msg_head
+    msg_logits = (
+        jax.lax.dot_general(
+            wm, x, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        + bm.T
+    )
+    return logits, value, msg_logits
 
 
 def _policy_forward_per_agent(params, feats_list):
@@ -1113,13 +1129,17 @@ def _policy_forward_per_agent(params, feats_list):
     (the stacked per-agent param pytree of models.seac.init_seac): agent
     i's features go through agent i's network — N small matmuls of
     M = SUB*LANE instead of one shared matmul.  ``feats_list``: N-list of
-    (L, SUB, LANE) bf16 blocks.  Returns (logits (A, M), value (1, M))
-    with the same agent-major M ordering as the shared path.
+    (L, SUB, LANE) bf16 blocks.  Returns (logits (A, M), value (1, M),
+    msg_logits (Mb, M) | None) with the same agent-major M ordering as the
+    shared path (message head = 10 stacked params, like _policy_forward).
     """
+    msg_head = None
+    if len(params) == 10:
+        params, msg_head = params[:8], params[8:]
     w0, b0, w1, b1, wp, bp, wv, bv = params
     n = len(feats_list)
     dn = (((0,), (0,)), ((), ()))
-    logits_parts, value_parts = [], []
+    logits_parts, value_parts, msg_parts = [], [], []
     for i in range(n):
         L = feats_list[i].shape[0]
         feats = feats_list[i].reshape(L, SUB * LANE)
@@ -1146,9 +1166,19 @@ def _policy_forward_per_agent(params, feats_list):
             )
             + bv[i].reshape(-1, 1)
         )
+        if msg_head is not None:
+            wm, bm = msg_head
+            msg_parts.append(
+                jax.lax.dot_general(
+                    wm[i].astype(jnp.float32), xf, dn,
+                    preferred_element_type=jnp.float32,
+                )
+                + bm[i].reshape(-1, 1)
+            )
     return (
         jnp.concatenate(logits_parts, axis=1),
         jnp.concatenate(value_parts, axis=1),
+        jnp.concatenate(msg_parts, axis=1) if msg_head is not None else None,
     )
 
 
@@ -1160,8 +1190,13 @@ def _gru_forward(params, feats, h):
     bias, hr/hz without, hn with (flax.linen.GRUCell defaults).  ``feats``
     is the stacked (L, N, SUB, LANE) bf16 feature block; ``h`` is the
     (Hg, N*SUB*LANE) carry (feature-major, like the activations);
-    returns (logits (A, M), value (1, M), new_h (Hg, M) f32).
+    returns (logits (A, M), value (1, M), msg_logits (Mb, M) | None,
+    new_h (Hg, M)).  A message head (18 params: wm, bm appended) follows
+    RecurrentActorCritic(msg_bits > 0).
     """
+    msg_head = None
+    if len(params) == 18:
+        params, msg_head = params[:16], params[16:]
     (we, be, wir, bir, wiz, biz, win, bin_,
      whr, whz, whn, bhn, wp, bp, wv, bv) = params
     L, n = feats.shape[0], feats.shape[1]
@@ -1188,7 +1223,11 @@ def _gru_forward(params, feats, h):
     hf = new_h.astype(jnp.float32)
     logits = dot(wp.astype(jnp.float32), hf) + bp.T
     value = dot(wv.astype(jnp.float32), hf) + bv.T
-    return logits, value, new_h
+    msg_logits = None
+    if msg_head is not None:
+        wm, bm = msg_head
+        msg_logits = dot(wm.astype(jnp.float32), hf) + bm.T
+    return logits, value, msg_logits, new_h
 
 
 def _sample_gumbel(logits, n, deterministic=False):
@@ -1273,9 +1312,15 @@ def _make_collect_kernel(
     ``policy="gru"`` uses the recurrent actor-critic (_gru_forward); the
     GRU carry rides in a bf16 VMEM scratch across time-chunks and resets to
     zero at episode boundaries, mirroring models.ippo_rnn.
+
+    Message bits (st.m > 0) ride as N*M extra state rows: observations
+    read the pre-step message state, the policy's Bernoulli head samples
+    fresh bits each step (joint move+bits log-prob, networks.py
+    sample_action_msg), and autoreset clears them — the same semantics as
+    the XLA engine (reference rware/warehouse.py:809-814).
     """
-    N, S, R = st.n, st.s, st.r
-    n_policy_params = 16 if policy == "gru" else 8
+    N, S, R, M = st.n, st.s, st.r, st.m
+    n_policy_params = (16 if policy == "gru" else 8) + (2 if M else 0)
 
     def build_rows(acts_state, slots_x, slots_y, msg=None):
         if obs_mode in ("image", "image_dict"):
@@ -1293,13 +1338,22 @@ def _make_collect_kernel(
         refs = list(refs)
         seed_ref = refs.pop(0)
         param_refs = [refs.pop(0) for _ in range(n_policy_params)]
-        (ax_ref, ay_ref, ad_ref, carry_ref, hd_ref, sx_ref, sy_ref, q_ref,
-         inact_ref, steps_ref, slotx_ref, sloty_ref) = refs[:12]
-        refs = refs[12:]
+        (ax_ref, ay_ref, ad_ref, carry_ref, hd_ref) = refs[:5]
+        refs = refs[5:]
+        msg_ref = refs.pop(0) if M else None
+        (sx_ref, sy_ref, q_ref, inact_ref, steps_ref,
+         slotx_ref, sloty_ref) = refs[:7]
+        refs = refs[7:]
         h0_ref = refs.pop(0) if policy == "gru" else None
-        (obs_out, act_out, logp_out, val_out, rew_out, done_out,
-         oax, oay, oad, ocarry, ohd, osx, osy, oq, oinact, osteps) = refs[:16]
-        refs = refs[16:]
+        (obs_out, act_out) = refs[:2]
+        refs = refs[2:]
+        bits_out = refs.pop(0) if M else None
+        (logp_out, val_out, rew_out, done_out,
+         oax, oay, oad, ocarry, ohd) = refs[:9]
+        refs = refs[9:]
+        omsg = refs.pop(0) if M else None
+        (osx, osy, oq, oinact, osteps) = refs[:5]
+        refs = refs[5:]
         oh = refs.pop(0) if policy == "gru" else None
         st_scratch = refs.pop(0)
         h_scratch = refs.pop(0) if policy == "gru" else None
@@ -1314,11 +1368,12 @@ def _make_collect_kernel(
         params = tuple(r[:] for r in param_refs)
 
         # state scratch layout (rows): N each of ax, ay, ad, carrying, hd,
-        # then S sx, S sy, R q, 1 inact, 1 steps
+        # then N*M msg, S sx, S sy, R q, 1 inact, 1 steps
         offs = {}
         o = 0
         for name, rows in [
             ("ax", N), ("ay", N), ("ad", N), ("carry", N), ("hd", N),
+            ("msg", N * M),
             ("sx", S), ("sy", S), ("q", max(R, 1)), ("inact", 1), ("steps", 1),
         ]:
             offs[name] = o
@@ -1331,6 +1386,8 @@ def _make_collect_kernel(
             st_scratch[offs["ad"] : offs["ad"] + N] = ad_ref[:]
             st_scratch[offs["carry"] : offs["carry"] + N] = carry_ref[:]
             st_scratch[offs["hd"] : offs["hd"] + N] = hd_ref[:]
+            if M:
+                st_scratch[offs["msg"] : offs["msg"] + N * M] = msg_ref[:]
             st_scratch[offs["sx"] : offs["sx"] + S] = sx_ref[:]
             st_scratch[offs["sy"] : offs["sy"] + S] = sy_ref[:]
             st_scratch[offs["q"] : offs["q"] + max(R, 1)] = q_ref[:]
@@ -1346,6 +1403,9 @@ def _make_collect_kernel(
         init = (
             load("ax", N), load("ay", N), load("ad", N), load("carry", N),
             load("hd", N),
+            st_scratch[offs["msg"] : offs["msg"] + N * M]
+            if M
+            else jnp.zeros((1, SUB, LANE), jnp.int32),
             st_scratch[offs["sx"] : offs["sx"] + S],
             st_scratch[offs["sy"] : offs["sy"] + S],
             st_scratch[offs["q"] : offs["q"] + max(R, 1)],
@@ -1358,32 +1418,43 @@ def _make_collect_kernel(
 
         def one_step(tt, carry):
             if policy == "gru":
-                (ax, ay, ad, carrying, hd_i, sx, sy, q, inact, steps,
+                (ax, ay, ad, carrying, hd_i, msg, sx, sy, q, inact, steps,
                  h_t) = carry
             else:
-                ax, ay, ad, carrying, hd_i, sx, sy, q, inact, steps = carry
+                (ax, ay, ad, carrying, hd_i, msg, sx, sy, q, inact,
+                 steps) = carry
             hd = [h != 0 for h in hd_i]
 
             feats_list = build_rows(
-                (ax, ay, ad, carrying, sx, sy, q), slots_x, slots_y
+                (ax, ay, ad, carrying, sx, sy, q), slots_x, slots_y,
+                msg=msg if M else None,
             )
             # (L, N, SUB, LANE) bf16 — feature-major: feeds the policy
             # matmul AND streams to the trajectory without any transpose
             feats = jnp.stack(feats_list, axis=1)
             if policy == "gru":
-                logits, value, new_h = _gru_forward(
+                logits, value, msg_logits, new_h = _gru_forward(
                     params, feats, h_t.reshape(hg, N * SUB * LANE)
                 )
             elif policy == "mlp_per_agent":
-                logits, value = _policy_forward_per_agent(params, feats_list)
+                logits, value, msg_logits = _policy_forward_per_agent(
+                    params, feats_list
+                )
             else:
-                logits, value = _policy_forward(params, feats)
+                logits, value, msg_logits = _policy_forward(params, feats)
             action_t, logp_t = _sample_gumbel(logits, N, deterministic)
             acts = [action_t[i] for i in range(N)]
+            if M:
+                new_bits, logp_bits = _sample_bernoulli(
+                    msg_logits, N, M, deterministic
+                )
+                logp_t = logp_t + logp_bits
 
             # write pre-step trajectory tensors at index tt
             obs_out[pl.ds(tt, 1)] = feats[None]
             act_out[pl.ds(tt, 1)] = action_t[None]
+            if M:
+                bits_out[pl.ds(tt, 1)] = new_bits[None]
             logp_out[pl.ds(tt, 1)] = logp_t[None]
             val_out[pl.ds(tt, 1)] = value[0].reshape(N, SUB, LANE)[None]
 
@@ -1392,12 +1463,16 @@ def _make_collect_kernel(
                 st, goals, shelf_rows, slots_x, slots_y, acts, core_state
             )
             (nax, nay, nad, ncarry, nhd, sx, sy, q, inact, steps) = new_state
+            if M:
+                # messages set from the sampled bits each step, cleared by
+                # autoreset (rware/warehouse.py:809-814)
+                msg = jnp.where(done, 0, new_bits)
             rew_out[pl.ds(tt, 1)] = jnp.stack(rewards, axis=0)[None]
             done_out[pl.ds(tt, 1)] = done.astype(jnp.int32)[None, None]
             out = (
                 nax, nay, nad, ncarry,
                 [h.astype(jnp.int32) for h in nhd],
-                sx, sy, q, inact, steps,
+                msg, sx, sy, q, inact, steps,
             )
             if policy == "gru":
                 # reset hidden at episode boundaries (ippo_rnn:101-104)
@@ -1411,11 +1486,11 @@ def _make_collect_kernel(
 
         final = jax.lax.fori_loop(0, tc_len, one_step, init, unroll=False)
         if policy == "gru":
-            (ax, ay, ad, carrying, hd, sx, sy, q, inact, steps,
+            (ax, ay, ad, carrying, hd, msg, sx, sy, q, inact, steps,
              h_final) = final
             h_scratch[:] = h_final
         else:
-            ax, ay, ad, carrying, hd, sx, sy, q, inact, steps = final
+            ax, ay, ad, carrying, hd, msg, sx, sy, q, inact, steps = final
 
         def store(name, vals):
             base = offs[name]
@@ -1427,6 +1502,8 @@ def _make_collect_kernel(
         store("ad", ad)
         store("carry", carrying)
         store("hd", hd)
+        if M:
+            st_scratch[offs["msg"] : offs["msg"] + N * M] = msg
         st_scratch[offs["sx"] : offs["sx"] + S] = sx
         st_scratch[offs["sy"] : offs["sy"] + S] = sy
         st_scratch[offs["q"] : offs["q"] + max(R, 1)] = q
@@ -1440,6 +1517,8 @@ def _make_collect_kernel(
             oad[:] = jnp.stack(ad, axis=0)
             ocarry[:] = jnp.stack(carrying, axis=0)
             ohd[:] = jnp.stack(hd, axis=0)
+            if M:
+                omsg[:] = msg
             osx[:] = sx
             osy[:] = sy
             oq[:] = q
@@ -1468,6 +1547,12 @@ def build_pallas_collect(
     ``traj = dict(obs (T,B,N,L) bf16, action/logp/value/reward (T,B,N),
     done (T,B))``.  ``params`` is an ActorCritic params pytree with hidden
     sizes ``hidden`` (bf16 compute, f32 heads, tanh — models/networks.py).
+
+    Configs with message bits need a message-head params pytree
+    (ActorCritic(msg_bits=M)): the kernel samples the Bernoulli bits
+    in-kernel, ``logp`` becomes the joint move+bits log-prob, and the
+    trajectory gains ``bits`` ((T, B, N, M) int32, or native
+    (T, N*M, RB, LANE) agent-major rows i*M + m).
 
     ``native_traj=True`` returns the trajectory in the kernel-native tiled
     layout instead — obs (T, L, N, RB, LANE) bf16 (feature-major: exactly
@@ -1501,10 +1586,7 @@ def build_pallas_collect(
     else:
         obs_mode = "flattened"
     L = config.policy_obs_length
-    if config.msg_bits:
-        # no learner models the message channel (the policy head is
-        # Discrete(5)); route msg-bit configs through the XLA collector
-        raise NotImplementedError("pallas collect does not model message bits")
+    M = config.msg_bits
     if n_steps % tc_len:
         raise ValueError(f"n_steps={n_steps} must be a multiple of {tc_len}")
     st = _Static(
@@ -1515,6 +1597,7 @@ def build_pallas_collect(
         # deterministic mode reuses the scripted core paths (lowest-index
         # queue replacement, fixed respawn) so the kernel stays RNG-free
         scripted=deterministic,
+        m=M,
     )
     goals = tuple((int(x), int(y)) for x, y in layout.goals)
     kernel = _make_collect_kernel(
@@ -1529,6 +1612,7 @@ def build_pallas_collect(
 
     state_dims = {
         "ax": N, "ay": N, "ad": N, "carry": N, "hd": N,
+        **({"msg": N * M} if M else {}),
         "sx": S, "sy": S, "q": max(R, 1), "inact": 1, "steps": 1,
     }
     scratch_rows = sum(state_dims.values())
@@ -1574,6 +1658,13 @@ def build_pallas_collect(
             pblock((L, H1)), pblock((1, H1)), pblock((H1, H2)), pblock((1, H2)),
             pblock((H2, 5)), pblock((1, 5)), pblock((H2, 1)), pblock((1, 1)),
         ]
+    if M:
+        # message head: (hidden, M) kernel + bias, stacked for per-agent
+        hh = H2
+        if policy == "mlp_per_agent":
+            in_specs += [pblock((N, hh, M)), pblock((N, M))]
+        else:
+            in_specs += [pblock((hh, M)), pblock((1, M))]
     in_specs += [sblock(d) for d in state_dims.values()]
     in_specs += [sblock(S), sblock(S)]
     if policy == "gru":
@@ -1591,9 +1682,10 @@ def build_pallas_collect(
         lambda i, tc: (tc, 0, 0, i, 0),
         memory_space=pltpu.VMEM,
     )
-    out_specs = [
-        obs_spec,
-        tblock(N),  # actions
+    out_specs = [obs_spec, tblock(N)]  # obs, actions
+    if M:
+        out_specs.append(tblock(N * M))  # message bits
+    out_specs += [
         tblock(N),  # logp
         tblock(N),  # value
         tblock(N),  # reward
@@ -1608,6 +1700,12 @@ def build_pallas_collect(
         shapes = [
             jax.ShapeDtypeStruct((n_steps, L, N, rows, LANE), jnp.bfloat16),
             jax.ShapeDtypeStruct((n_steps, N, rows, LANE), jnp.int32),
+        ]
+        if M:
+            shapes.append(
+                jax.ShapeDtypeStruct((n_steps, N * M, rows, LANE), jnp.int32)
+            )
+        shapes += [
             jax.ShapeDtypeStruct((n_steps, N, rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, N, rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, N, rows, LANE), jnp.float32),
@@ -1630,7 +1728,7 @@ def build_pallas_collect(
         p = params["params"]
         if policy == "mlp_per_agent":
             # stacked per-agent leaves (leading N axis; models.seac)
-            return [
+            out = [
                 p["dense_0"]["kernel"].astype(jnp.bfloat16),
                 p["dense_0"]["bias"].astype(jnp.float32),
                 p["dense_1"]["kernel"].astype(jnp.bfloat16),
@@ -1640,9 +1738,15 @@ def build_pallas_collect(
                 p["value"]["kernel"].astype(jnp.float32),
                 p["value"]["bias"].astype(jnp.float32),
             ]
+            if M:
+                out += [
+                    p["message"]["kernel"].astype(jnp.float32),
+                    p["message"]["bias"].astype(jnp.float32),
+                ]
+            return out
         if policy == "gru":
             g = p["gru"]
-            return [
+            out = [
                 p["embed"]["kernel"].astype(jnp.bfloat16),
                 p["embed"]["bias"].astype(jnp.float32)[None, :],
                 g["ir"]["kernel"].astype(jnp.bfloat16),
@@ -1660,16 +1764,23 @@ def build_pallas_collect(
                 p["value"]["kernel"].astype(jnp.float32),
                 p["value"]["bias"].astype(jnp.float32)[None, :],
             ]
-        return [
-            p["dense_0"]["kernel"].astype(jnp.bfloat16),
-            p["dense_0"]["bias"].astype(jnp.float32)[None, :],
-            p["dense_1"]["kernel"].astype(jnp.bfloat16),
-            p["dense_1"]["bias"].astype(jnp.float32)[None, :],
-            p["policy"]["kernel"].astype(jnp.float32),
-            p["policy"]["bias"].astype(jnp.float32)[None, :],
-            p["value"]["kernel"].astype(jnp.float32),
-            p["value"]["bias"].astype(jnp.float32)[None, :],
-        ]
+        else:
+            out = [
+                p["dense_0"]["kernel"].astype(jnp.bfloat16),
+                p["dense_0"]["bias"].astype(jnp.float32)[None, :],
+                p["dense_1"]["kernel"].astype(jnp.bfloat16),
+                p["dense_1"]["bias"].astype(jnp.float32)[None, :],
+                p["policy"]["kernel"].astype(jnp.float32),
+                p["policy"]["bias"].astype(jnp.float32)[None, :],
+                p["value"]["kernel"].astype(jnp.float32),
+                p["value"]["bias"].astype(jnp.float32)[None, :],
+            ]
+        if M:
+            out += [
+                p["message"]["kernel"].astype(jnp.float32),
+                p["message"]["bias"].astype(jnp.float32)[None, :],
+            ]
+        return out
 
     def collect(state: WarehouseState, params, seed, h0=None):
         b = state.agent_x.shape[0]
@@ -1689,6 +1800,10 @@ def build_pallas_collect(
         inputs += [
             ti(state.agent_x), ti(state.agent_y), ti(state.agent_dir),
             ti(state.agent_carrying), ti(state.agent_has_delivered),
+        ]
+        if M:
+            inputs.append(ti(state.agent_message.reshape(b, N * M)))
+        inputs += [
             ti(state.shelf_x), ti(state.shelf_y),
             ti(state.request_queue) if R else jnp.zeros((1, b // LANE, LANE), jnp.int32),
             ti1(state.cur_inactive_steps), ti1(state.cur_steps),
@@ -1726,9 +1841,15 @@ def build_pallas_collect(
             interpret=interpret,
         )(*inputs)
         outs = list(outs)
-        (obs, act, logp, val, rew, done, ax, ay, ad, carry, hd,
-         sx, sy, q, inact, steps) = outs[:16]
-        new_h = outs[16] if policy == "gru" else None
+        (obs, act) = outs[:2]
+        outs = outs[2:]
+        bits = outs.pop(0) if M else None
+        (logp, val, rew, done, ax, ay, ad, carry, hd) = outs[:9]
+        outs = outs[9:]
+        msg = outs.pop(0) if M else None
+        (sx, sy, q, inact, steps) = outs[:5]
+        outs = outs[5:]
+        new_h = outs.pop(0) if policy == "gru" else None
 
         def to_state(x):
             return jnp.swapaxes(x.reshape(x.shape[0], b), 0, 1)
@@ -1747,6 +1868,8 @@ def build_pallas_collect(
                 "reward": rew,
                 "done": done,
             }
+            if M:
+                traj["bits"] = bits  # (T, N*M, RB, LANE), rows i*M + m
         else:
             traj = {
                 # (T, L, N, rows, LANE) -> (T, B, N, L)
@@ -1759,6 +1882,11 @@ def build_pallas_collect(
                 "reward": to_traj(rew),
                 "done": done.reshape(n_steps, b),
             }
+            if M:
+                # (T, N*M, rows, LANE) -> (T, B, N, M)
+                traj["bits"] = jnp.moveaxis(
+                    bits.reshape(n_steps, N, M, b), 3, 1
+                )
         new_state = state.replace(
             agent_x=to_state(ax), agent_y=to_state(ay), agent_dir=to_state(ad),
             agent_carrying=to_state(carry),
@@ -1767,6 +1895,15 @@ def build_pallas_collect(
             request_queue=to_state(q) if R else state.request_queue,
             cur_inactive_steps=inact.reshape(b),
             cur_steps=steps.reshape(b),
+            **(
+                {
+                    "agent_message": to_state(msg)
+                    .reshape(b, N, M)
+                    .astype(jnp.float32)
+                }
+                if M
+                else {}
+            ),
         )
         if policy == "gru":
             # (Hg, N, RB, LANE) -> (B, N, Hg)

@@ -48,20 +48,32 @@ class _UpdStatic:
     ent_coef: float
     # perf-bisect: 0=full, 1=no wgrad matmuls, 2=forward+loss only
     debug_level: int = 0
+    # message bits: Bernoulli head, joint move+bits log-prob (the policy
+    # the msg collect kernel samples from — ops/pallas_rollout)
+    m: int = 0
 
 
 def _make_update_kernel(st: _UpdStatic):
-    L, H1, H2, A = st.l, st.h1, st.h2, st.a
+    L, H1, H2, A, MB = st.l, st.h1, st.h2, st.a, st.m
     M = st.rb_chunk * LANE
     inv_n = 1.0 / (st.t * st.n * st.mb_rows * LANE)
     eps = st.clip_eps
 
-    def kernel(
-        stats_ref,
-        obs_ref, act_ref, logp_ref, oldv_ref, adv_ref, tgt_ref,
-        w0_ref, b0_ref, w1_ref, b1_ref, wp_ref, bp_ref, wv_ref, bv_ref,
-        dw0, db0, dw1, db1, dwp, dbp, dwv, dbv, mets,
-    ):
+    def kernel(*refs):
+        refs = list(refs)
+        stats_ref = refs.pop(0)
+        (obs_ref, act_ref, logp_ref, oldv_ref, adv_ref, tgt_ref) = refs[:6]
+        refs = refs[6:]
+        bits_ref = refs.pop(0) if MB else None
+        (w0_ref, b0_ref, w1_ref, b1_ref, wp_ref, bp_ref,
+         wv_ref, bv_ref) = refs[:8]
+        refs = refs[8:]
+        wm_ref, bm_ref = (refs.pop(0), refs.pop(0)) if MB else (None, None)
+        (dw0, db0, dw1, db1, dwp, dbp, dwv, dbv) = refs[:8]
+        refs = refs[8:]
+        dwm, dbm = (refs.pop(0), refs.pop(0)) if MB else (None, None)
+        mets = refs.pop(0)
+
         t = pl.program_id(0)
         n = pl.program_id(1)
         first = (t == 0) & (n == 0) & (pl.program_id(2) == 0)
@@ -76,6 +88,9 @@ def _make_update_kernel(st: _UpdStatic):
             dbp[:] = jnp.zeros_like(dbp)
             dwv[:] = jnp.zeros_like(dwv)
             dbv[:] = jnp.zeros_like(dbv)
+            if MB:
+                dwm[:] = jnp.zeros_like(dwm)
+                dbm[:] = jnp.zeros_like(dbm)
             # SMEM accepts only scalar stores on hardware
             for k in range(len(_METRICS)):
                 mets[k] = 0.0
@@ -127,6 +142,23 @@ def _make_update_kernel(st: _UpdStatic):
         )
         logp = jnp.sum(jnp.where(onehot, lsm, 0.0), axis=0, keepdims=True)
 
+        if MB:
+            msg_logits = (
+                jax.lax.dot_general(
+                    wm_ref[:], h2f, dn00,
+                    preferred_element_type=jnp.float32,
+                )
+                + bm_ref[:].T
+            )  # (MB, M)
+            bitf = bits_ref[0].reshape(MB, M).astype(jnp.float32)
+            # stable log sigmoid(+/-l) share one log1p(exp(-|l|)) term
+            log1pe = jnp.log(1.0 + jnp.exp(-jnp.abs(msg_logits)))
+            ls_p = jnp.minimum(msg_logits, 0.0) - log1pe
+            ls_n = jnp.minimum(-msg_logits, 0.0) - log1pe
+            logp = logp + jnp.sum(
+                bitf * ls_p + (1.0 - bitf) * ls_n, axis=0, keepdims=True
+            )
+
         ratio = jnp.exp(logp - old_logp)
         advn = (adv - adv_mean) * adv_inv_std
         ratio_c = jnp.clip(ratio, 1.0 - eps, 1.0 + eps)
@@ -144,6 +176,17 @@ def _make_update_kernel(st: _UpdStatic):
         dlogits = dlogp * (onehot.astype(jnp.float32) - p) + (
             st.ent_coef * inv_n
         ) * p * (lsm + ent)
+        if MB:
+            sig = jax.nn.sigmoid(msg_logits)
+            ent_msg = -jnp.sum(
+                sig * ls_p + (1.0 - sig) * ls_n, axis=0, keepdims=True
+            )
+            ent = ent + ent_msg  # joint entropy (metrics)
+            # d(pg)/dl = dlogp * (bit - sigma); d(-ent_coef*H)/dl =
+            # ent_coef * l * sigma * (1 - sigma)
+            dmsg = dlogp * (bitf - sig) + (
+                st.ent_coef * inv_n
+            ) * msg_logits * sig * (1.0 - sig)
 
         vdiff = value - old_value
         v_clip = old_value + jnp.clip(vdiff, -eps, eps)
@@ -166,6 +209,11 @@ def _make_update_kernel(st: _UpdStatic):
                 )
                 + wv_ref[:] * dvalue
             )  # (H2, M)
+            if MB:
+                dh2 = dh2 + jax.lax.dot_general(
+                    wm_ref[:], dmsg, dn10,
+                    preferred_element_type=jnp.float32,
+                )
             one = jnp.bfloat16(1.0)
             dz2b = dh2.astype(jnp.bfloat16) * (one - h2b * h2b)
             dh1 = jax.lax.dot_general(
@@ -193,6 +241,11 @@ def _make_update_kernel(st: _UpdStatic):
                 h2f, dvalue, dn11, preferred_element_type=jnp.float32
             )  # (H2, 1)
             dbv[:] += jnp.sum(dvalue, axis=1, keepdims=True).T
+            if MB:
+                dwm[:] += jax.lax.dot_general(
+                    h2f, dmsg, dn11, preferred_element_type=jnp.float32
+                )  # (H2, MB)
+                dbm[:] += jnp.sum(dmsg, axis=1, keepdims=True).T
         elif st.debug_level == 1:
             # dgrads computed but wgrad matmuls skipped; keep the dgrad
             # chain alive through the bias-grad sums
@@ -227,18 +280,23 @@ def build_fused_ppo_grads(
     ent_coef: float,
     interpret: bool = False,
     debug_level: int = 0,
+    msg_bits: int = 0,
 ):
     """Returns ``grads(params, batch) -> (grads_pytree, metrics_dict)``.
 
     ``batch`` is a native-layout minibatch tuple (obs (T, L, N, mb_rows,
-    LANE) bf16, action/old_logp/old_value/adv/target (T, N, mb_rows, LANE));
-    ``params`` the flax ActorCritic params pytree.  Gradients are exact for
-    the clipped-PPO loss of models.ippo_pallas.ppo_loss_native (bf16 hidden
-    matmuls, f32 accumulation/heads) and returned as an f32 pytree matching
-    ``params``; metrics are the standard PPO diagnostics.
+    LANE) bf16, action/old_logp/old_value/adv/target (T, N, mb_rows, LANE),
+    plus bits (T, N*msg_bits, mb_rows, LANE) int32 for message configs —
+    the log-prob/entropy/gradients then cover the joint move+Bernoulli
+    policy of the msg collect kernel); ``params`` the flax ActorCritic
+    params pytree.  Gradients are exact for the clipped-PPO loss of
+    models.ippo_pallas.ppo_loss_native (bf16 hidden matmuls, f32
+    accumulation/heads) and returned as an f32 pytree matching ``params``;
+    metrics are the standard PPO diagnostics.
     """
     L, (H1, H2), A = obs_len, hidden, n_actions
     T, N = rollout_len, n_agents
+    MB = msg_bits
     # chunk the env-rows axis so M = rb_chunk*LANE stays <= 4096 (VMEM cap)
     rb_chunk = mb_rows
     while rb_chunk > 32 or mb_rows % rb_chunk:
@@ -247,7 +305,7 @@ def build_fused_ppo_grads(
         l=L, h1=H1, h2=H2, a=A, t=T, n=N, mb_rows=mb_rows,
         rb_chunk=rb_chunk,
         clip_eps=clip_eps, vf_coef=vf_coef, ent_coef=ent_coef,
-        debug_level=debug_level,
+        debug_level=debug_level, m=MB,
     )
     kernel = _make_update_kernel(st)
     n_total = T * N * mb_rows * LANE
@@ -277,17 +335,24 @@ def build_fused_ppo_grads(
         )
         for _ in range(5)
     ]
+    if MB:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, MB, rb_chunk, LANE),
+                lambda t, n, c: (t, n, c, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
     in_specs += [
         cblock((L, H1)), cblock((1, H1)), cblock((H1, H2)), cblock((1, H2)),
         cblock((H2, A)), cblock((1, A)), cblock((H2, 1)), cblock((1, 1)),
     ]
+    if MB:
+        in_specs += [cblock((H2, MB)), cblock((1, MB))]
 
     out_specs = [
         cblock((L, H1)), cblock((1, H1)), cblock((H1, H2)), cblock((1, H2)),
         cblock((H2, A)), cblock((1, A)), cblock((H2, 1)), cblock((1, 1)),
-        pl.BlockSpec(
-            (len(_METRICS),), lambda t, n, c: (0,), memory_space=pltpu.SMEM
-        ),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((L, H1), jnp.float32),
@@ -298,11 +363,25 @@ def build_fused_ppo_grads(
         jax.ShapeDtypeStruct((1, A), jnp.float32),
         jax.ShapeDtypeStruct((H2, 1), jnp.float32),
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((len(_METRICS),), jnp.float32),
     ]
+    if MB:
+        out_specs += [cblock((H2, MB)), cblock((1, MB))]
+        out_shape += [
+            jax.ShapeDtypeStruct((H2, MB), jnp.float32),
+            jax.ShapeDtypeStruct((1, MB), jnp.float32),
+        ]
+    out_specs.append(
+        pl.BlockSpec(
+            (len(_METRICS),), lambda t, n, c: (0,), memory_space=pltpu.SMEM
+        )
+    )
+    out_shape.append(jax.ShapeDtypeStruct((len(_METRICS),), jnp.float32))
 
     def grads(params, batch):
-        obs, action, old_logp, old_value, adv, target = batch
+        if MB:
+            obs, action, old_logp, old_value, adv, target, bits = batch
+        else:
+            obs, action, old_logp, old_value, adv, target = batch
         p = params["params"]
         adv_mean = adv.mean()
         adv_inv_std = 1.0 / (adv.std() + 1e-8)
@@ -315,6 +394,10 @@ def build_fused_ppo_grads(
             old_value.astype(jnp.float32),
             adv.astype(jnp.float32),
             target.astype(jnp.float32),
+        ]
+        if MB:
+            inputs.append(bits.astype(jnp.int32))
+        inputs += [
             p["dense_0"]["kernel"].astype(jnp.bfloat16),
             p["dense_0"]["bias"].astype(jnp.float32)[None, :],
             p["dense_1"]["kernel"].astype(jnp.bfloat16),
@@ -323,6 +406,349 @@ def build_fused_ppo_grads(
             p["policy"]["bias"].astype(jnp.float32)[None, :],
             p["value"]["kernel"].astype(jnp.float32),
             p["value"]["bias"].astype(jnp.float32)[None, :],
+        ]
+        if MB:
+            inputs += [
+                p["message"]["kernel"].astype(jnp.float32),
+                p["message"]["bias"].astype(jnp.float32)[None, :],
+            ]
+        outs = list(
+            pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(*inputs)
+        )
+        (gw0, gb0, gw1, gb1, gwp, gbp, gwv, gbv) = outs[:8]
+        outs = outs[8:]
+        if MB:
+            gwm, gbm = outs[:2]
+            outs = outs[2:]
+        mets = outs[0]
+        grads_tree = {
+            "params": {
+                "dense_0": {"kernel": gw0, "bias": gb0[0]},
+                "dense_1": {"kernel": gw1, "bias": gb1[0]},
+                "policy": {"kernel": gwp, "bias": gbp[0]},
+                "value": {"kernel": gwv, "bias": gbv[0]},
+                **(
+                    {"message": {"kernel": gwm, "bias": gbm[0]}}
+                    if MB
+                    else {}
+                ),
+            }
+        }
+        metrics = {
+            "pg_loss": -mets[0] * inv_n,
+            "v_loss": mets[1] * inv_n,
+            "entropy": mets[2] * inv_n,
+            "approx_kl": mets[3] * inv_n,
+        }
+        return grads_tree, metrics
+
+    return grads
+
+
+# ---------------------------------------------------------------------------
+# SEAC-PPO: per-agent parameters, shared-experience cross terms.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _SeacStatic:
+    l: int
+    h1: int
+    h2: int
+    a: int
+    t: int
+    n: int
+    mb_rows: int
+    rb_chunk: int
+    clip_eps: float
+    vf_coef: float
+    ent_coef: float
+    seac_lambda: float
+
+
+def _make_seac_update_kernel(st: _SeacStatic):
+    L, H1, H2, A = st.l, st.h1, st.h2, st.a
+    M = st.rb_chunk * LANE
+    # pg/v: sum over j, mean over (samples, i)  ->  1 / (samples * N_i)
+    inv_n = 1.0 / (st.t * st.mb_rows * LANE * st.n)
+    eps = st.clip_eps
+
+    def kernel(
+        stats_ref,
+        obs_ref, act_ref, blogp_ref, oldv_ref, adv_ref, tgt_ref,
+        w0_ref, b0_ref, w1_ref, b1_ref, wp_ref, bp_ref, wv_ref, bv_ref,
+        dw0, db0, dw1, db1, dwp, dbp, dwv, dbv, mets,
+    ):
+        t = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        c = pl.program_id(3)
+        first = (t == 0) & (j == 0) & (c == 0)
+
+        @pl.when(first)
+        def _():
+            # zero agent i's gradient blocks on first visit
+            dw0[:] = jnp.zeros_like(dw0)
+            db0[:] = jnp.zeros_like(db0)
+            dw1[:] = jnp.zeros_like(dw1)
+            db1[:] = jnp.zeros_like(db1)
+            dwp[:] = jnp.zeros_like(dwp)
+            dbp[:] = jnp.zeros_like(dbp)
+            dwv[:] = jnp.zeros_like(dwv)
+            dbv[:] = jnp.zeros_like(dbv)
+
+        @pl.when(first & (i == 0))
+        def _():
+            for k in range(len(_METRICS)):
+                mets[k] = 0.0
+
+        adv_mean = stats_ref[0]
+        adv_inv_std = stats_ref[1]
+        diag = (i == j).astype(jnp.float32)
+        # w_ij = 1 on the diagonal, seac_lambda off it
+        w_pair = diag + st.seac_lambda * (1.0 - diag)
+
+        # ---- forward: agent i's MLP on agent j's observation slab ----
+        x = obs_ref[0, :, 0].reshape(L, M)  # bf16
+        dn00 = (((0,), (0,)), ((), ()))
+        z1 = jax.lax.dot_general(
+            w0_ref[0], x, dn00, preferred_element_type=jnp.float32
+        )
+        h1b = jnp.tanh((z1 + b0_ref[0].reshape(-1, 1)).astype(jnp.bfloat16))
+        z2 = jax.lax.dot_general(
+            w1_ref[0], h1b, dn00, preferred_element_type=jnp.float32
+        )
+        h2b = jnp.tanh((z2 + b1_ref[0].reshape(-1, 1)).astype(jnp.bfloat16))
+        h2f = h2b.astype(jnp.float32)
+        logits = (
+            jax.lax.dot_general(
+                wp_ref[0], h2f, dn00, preferred_element_type=jnp.float32
+            )
+            + bp_ref[0].reshape(-1, 1)
+        )  # (A, M)
+        value = (
+            jax.lax.dot_general(
+                wv_ref[0], h2f, dn00, preferred_element_type=jnp.float32
+            )
+            + bv_ref[0].reshape(-1, 1)
+        )  # (1, M)
+
+        # ---- SEAC-PPO loss pieces ----
+        action = act_ref[0, 0].reshape(1, M)
+        behav_logp = blogp_ref[0, 0].reshape(1, M)
+        old_value = oldv_ref[0, 0, 0].reshape(1, M)
+        adv = adv_ref[0, 0, 0].reshape(1, M)
+        target = tgt_ref[0, 0, 0].reshape(1, M)
+
+        mx = jnp.max(logits, axis=0, keepdims=True)
+        sm = jnp.exp(logits - mx)
+        z = jnp.sum(sm, axis=0, keepdims=True)
+        lsm = logits - mx - jnp.log(z)
+        p = sm / z
+        onehot = jax.lax.broadcasted_iota(jnp.int32, (A, M), 0) == action
+        logp = jnp.sum(jnp.where(onehot, lsm, 0.0), axis=0, keepdims=True)
+
+        # ratio of agent i's policy to the BEHAVIOUR policy (agent j's old
+        # policy): the SEAC importance weight on a PPO trust region
+        ratio = jnp.exp(logp - behav_logp)
+        advn = (adv - adv_mean) * adv_inv_std
+        ratio_c = jnp.clip(ratio, 1.0 - eps, 1.0 + eps)
+        pg1 = ratio * advn
+        pg2 = ratio_c * advn
+        obj = jnp.minimum(pg1, pg2)
+        use1 = pg1 <= pg2
+        inside = ((ratio > 1.0 - eps) & (ratio < 1.0 + eps)).astype(
+            jnp.float32
+        )
+        dobj_dratio = jnp.where(use1, advn, advn * inside)
+        dlogp = -(w_pair * inv_n) * dobj_dratio * ratio
+
+        ent = -jnp.sum(p * lsm, axis=0, keepdims=True)
+        # entropy bonus only on each agent's OWN policy (the diagonal)
+        dlogits = dlogp * (onehot.astype(jnp.float32) - p) + (
+            st.ent_coef * inv_n * diag
+        ) * p * (lsm + ent)
+
+        vdiff = value - old_value
+        v_clip = old_value + jnp.clip(vdiff, -eps, eps)
+        e1 = value - target
+        e2 = v_clip - target
+        use_e1 = (e1 * e1) >= (e2 * e2)
+        inside_v = ((vdiff > -eps) & (vdiff < eps)).astype(jnp.float32)
+        dvalue = (st.vf_coef * w_pair * inv_n) * jnp.where(
+            use_e1, e1, e2 * inside_v
+        )
+
+        # ---- backward ----
+        dn10 = (((1,), (0,)), ((), ()))
+        dn11 = (((1,), (1,)), ((), ()))
+        dh2 = (
+            jax.lax.dot_general(
+                wp_ref[0], dlogits, dn10, preferred_element_type=jnp.float32
+            )
+            + wv_ref[0].reshape(-1, 1) * dvalue
+        )
+        one = jnp.bfloat16(1.0)
+        dz2b = dh2.astype(jnp.bfloat16) * (one - h2b * h2b)
+        dh1 = jax.lax.dot_general(
+            w1_ref[0], dz2b, dn10, preferred_element_type=jnp.float32
+        )
+        dz1b = dh1.astype(jnp.bfloat16) * (one - h1b * h1b)
+        dw0[0] += jax.lax.dot_general(
+            x, dz1b, dn11, preferred_element_type=jnp.float32
+        )
+        db0[0] += jnp.sum(dz1b.astype(jnp.float32), axis=1)
+        dw1[0] += jax.lax.dot_general(
+            h1b, dz2b, dn11, preferred_element_type=jnp.float32
+        )
+        db1[0] += jnp.sum(dz2b.astype(jnp.float32), axis=1)
+        dwp[0] += jax.lax.dot_general(
+            h2f, dlogits, dn11, preferred_element_type=jnp.float32
+        )
+        dbp[0] += jnp.sum(dlogits, axis=1)
+        dwv[0] += jax.lax.dot_general(
+            h2f, dvalue, dn11, preferred_element_type=jnp.float32
+        )
+        dbv[0] += jnp.sum(dvalue, axis=1)
+
+        # ---- metric partial sums (loss-term weighted like the loss) ----
+        mets[0] += w_pair * jnp.sum(obj)
+        mets[1] += w_pair * jnp.sum(0.5 * jnp.maximum(e1 * e1, e2 * e2))
+        mets[2] += diag * jnp.sum(ent)
+        mets[3] += diag * jnp.sum((ratio - 1.0) - (logp - behav_logp))
+
+    return kernel
+
+
+def build_fused_seac_ppo_grads(
+    obs_len: int,
+    hidden: Tuple[int, int],
+    n_actions: int,
+    rollout_len: int,
+    n_agents: int,
+    mb_rows: int,
+    clip_eps: float,
+    vf_coef: float,
+    ent_coef: float,
+    seac_lambda: float,
+    interpret: bool = False,
+):
+    """Fused shared-experience PPO gradients for PER-AGENT parameters.
+
+    Returns ``grads(params, batch) -> (grads_pytree, metrics)``.
+    ``params`` is the stacked per-agent pytree of models.seac.init_seac
+    (leading N axis on every leaf); ``batch`` is the native-layout tuple
+    (obs (T, L, N, RB, LANE) bf16, action (T, N, RB, LANE) int32,
+    behav_logp (T, N, RB, LANE), old_value/adv/target
+    (T, N_i, N_j, RB, LANE)).  One grid cell = (t, i, j, env-chunk):
+    agent i's MLP forward + hand-derived backward on agent j's observation
+    slab, clipped at the SEAC importance weight
+    (models.seac.build_seac_ppo_train_step's minibatch_loss is the spec),
+    accumulated into agent i's VMEM-resident gradient blocks — the same
+    one-obs-read HBM floor as the IPPO kernel, times the N_j sharing axis.
+    """
+    L, (H1, H2), A = obs_len, hidden, n_actions
+    T, N = rollout_len, n_agents
+    rb_chunk = mb_rows
+    while rb_chunk > 32 or mb_rows % rb_chunk:
+        rb_chunk -= 1
+    st = _SeacStatic(
+        l=L, h1=H1, h2=H2, a=A, t=T, n=N, mb_rows=mb_rows,
+        rb_chunk=rb_chunk, clip_eps=clip_eps, vf_coef=vf_coef,
+        ent_coef=ent_coef, seac_lambda=seac_lambda,
+    )
+    kernel = _make_seac_update_kernel(st)
+    n_samples = T * mb_rows * LANE
+    inv_pg = 1.0 / (n_samples * N)
+    inv_ent = 1.0 / (n_samples * N)
+
+    grid = (T, N, N, mb_rows // rb_chunk)
+
+    def pb(shape):
+        # agent-i-indexed parameter block
+        return pl.BlockSpec(
+            (1,) + shape, lambda t, i, j, c: (i,) + tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [
+        pl.BlockSpec(
+            (1, L, 1, rb_chunk, LANE),
+            lambda t, i, j, c: (t, 0, j, c, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    in_specs += [
+        pl.BlockSpec(
+            (1, 1, rb_chunk, LANE),
+            lambda t, i, j, c: (t, j, c, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(2)
+    ]
+    in_specs += [
+        pl.BlockSpec(
+            (1, 1, 1, rb_chunk, LANE),
+            lambda t, i, j, c: (t, i, j, c, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(3)
+    ]
+    in_specs += [
+        pb((L, H1)), pb((H1,)), pb((H1, H2)), pb((H2,)),
+        pb((H2, A)), pb((A,)), pb((H2, 1)), pb((1,)),
+    ]
+
+    out_specs = [
+        pb((L, H1)), pb((H1,)), pb((H1, H2)), pb((H2,)),
+        pb((H2, A)), pb((A,)), pb((H2, 1)), pb((1,)),
+        pl.BlockSpec(
+            (len(_METRICS),), lambda t, i, j, c: (0,),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N, L, H1), jnp.float32),
+        jax.ShapeDtypeStruct((N, H1), jnp.float32),
+        jax.ShapeDtypeStruct((N, H1, H2), jnp.float32),
+        jax.ShapeDtypeStruct((N, H2), jnp.float32),
+        jax.ShapeDtypeStruct((N, H2, A), jnp.float32),
+        jax.ShapeDtypeStruct((N, A), jnp.float32),
+        jax.ShapeDtypeStruct((N, H2, 1), jnp.float32),
+        jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        jax.ShapeDtypeStruct((len(_METRICS),), jnp.float32),
+    ]
+
+    def grads(params, batch):
+        obs, action, behav_logp, old_value, adv, target = batch
+        p = params["params"]
+        adv_mean = adv.mean()
+        adv_inv_std = 1.0 / (adv.std() + 1e-8)
+        stats = jnp.stack([adv_mean, adv_inv_std]).astype(jnp.float32)
+        inputs = [
+            stats,
+            obs.astype(jnp.bfloat16),
+            action.astype(jnp.int32),
+            behav_logp.astype(jnp.float32),
+            old_value.astype(jnp.float32),
+            adv.astype(jnp.float32),
+            target.astype(jnp.float32),
+            p["dense_0"]["kernel"].astype(jnp.bfloat16),
+            p["dense_0"]["bias"].astype(jnp.float32),
+            p["dense_1"]["kernel"].astype(jnp.bfloat16),
+            p["dense_1"]["bias"].astype(jnp.float32),
+            p["policy"]["kernel"].astype(jnp.float32),
+            p["policy"]["bias"].astype(jnp.float32),
+            p["value"]["kernel"].astype(jnp.float32),
+            p["value"]["bias"].astype(jnp.float32),
         ]
         outs = pl.pallas_call(
             kernel,
@@ -335,17 +761,17 @@ def build_fused_ppo_grads(
         (gw0, gb0, gw1, gb1, gwp, gbp, gwv, gbv, mets) = outs
         grads_tree = {
             "params": {
-                "dense_0": {"kernel": gw0, "bias": gb0[0]},
-                "dense_1": {"kernel": gw1, "bias": gb1[0]},
-                "policy": {"kernel": gwp, "bias": gbp[0]},
-                "value": {"kernel": gwv, "bias": gbv[0]},
+                "dense_0": {"kernel": gw0, "bias": gb0},
+                "dense_1": {"kernel": gw1, "bias": gb1},
+                "policy": {"kernel": gwp, "bias": gbp},
+                "value": {"kernel": gwv, "bias": gbv},
             }
         }
         metrics = {
-            "pg_loss": -mets[0] * inv_n,
-            "v_loss": mets[1] * inv_n,
-            "entropy": mets[2] * inv_n,
-            "approx_kl": mets[3] * inv_n,
+            "pg_loss": -mets[0] * inv_pg,
+            "v_loss": mets[1] * inv_pg,
+            "entropy": mets[2] * inv_ent,
+            "approx_kl": mets[3] * inv_ent,
         }
         return grads_tree, metrics
 

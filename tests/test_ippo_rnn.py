@@ -51,3 +51,55 @@ def test_rnn_is_stateful_across_steps():
     c1, (logits1, _) = model.apply(runner.params, zero, obs)
     c2, (logits2, _) = model.apply(runner.params, c1, obs)
     assert not np.allclose(np.asarray(logits1), np.asarray(logits2))
+
+
+def test_gru_native_replay_matches_flat_replay():
+    """_gru_native_replay (batched gate matmuls + recurrence-only scan) ==
+    the per-step model.apply replay on the same trajectory."""
+    import numpy as np
+
+    from rware_tpu.models.ippo_rnn import _gru_native_replay
+    from rware_tpu.models.networks import RecurrentActorCritic
+
+    T, L, N, RB, LANE = 6, 31, 2, 2, 8
+    B = RB * LANE
+    model = RecurrentActorCritic(n_actions=5, hidden=16, embed=12)
+    key = jax.random.key(0)
+    params = model.init(
+        key, model.initialize_carry((1, N)), jnp.zeros((1, N, L))
+    )
+    k1, k2 = jax.random.split(key)
+    obs_n = jax.random.normal(k1, (T, L, N, RB, LANE)).astype(jnp.bfloat16)
+    done_n = (
+        jax.random.uniform(k2, (T, 1, RB, LANE)) < 0.2
+    ).astype(jnp.int32)
+    h0 = model.initialize_carry((B, N))  # zeros
+
+    h0n = jnp.transpose(h0, (1, 0, 2)).reshape(N, RB, LANE, 16)
+    logits_n, value_n = jax.jit(
+        lambda p: _gru_native_replay(model, p, obs_n, done_n, h0n)
+    )(params)
+
+    # flat replay in (T, B, N, ...) layout
+    obs_f = jnp.transpose(
+        obs_n.reshape(T, L, N, B), (0, 3, 2, 1)
+    ).astype(jnp.float32)
+    done_f = done_n.reshape(T, B)
+
+    def replay(carry, xs):
+        o, d = xs
+        nc, (lg, v) = model.apply(params, carry, o)
+        nc = jnp.where(d[:, None, None] != 0, jnp.zeros_like(nc), nc)
+        return nc, (lg, v)
+
+    _, (logits_f, value_f) = jax.lax.scan(replay, h0, (obs_f, done_f))
+
+    # native (T, N, RB, LANE, A) -> (T, B, N, A)
+    ln = jnp.moveaxis(logits_n.reshape(T, N, B, 5), 2, 1)
+    vn = jnp.moveaxis(value_n.reshape(T, N, B), 2, 1)
+    np.testing.assert_allclose(
+        np.asarray(ln), np.asarray(logits_f), atol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(vn), np.asarray(value_f), atol=5e-2
+    )

@@ -157,13 +157,15 @@ def test_scripted_msg_bits_roundtrip():
         )
 
 
-def test_collect_rejects_msg_bits():
+def test_collect_accepts_msg_bits():
+    # msg configs build (the message head rides in-kernel since round 3;
+    # full behavior covered by tests/test_pallas_collect.py)
     from rware_tpu.ops.pallas_rollout import build_pallas_collect
 
-    with pytest.raises(NotImplementedError):
-        build_pallas_collect(
-            rware_tpu.WarehouseConfig(msg_bits=1, request_queue_size=2), 4
-        )
+    build_pallas_collect(
+        rware_tpu.WarehouseConfig(msg_bits=1, request_queue_size=2), 4,
+        tc_len=4,
+    )
 
 
 def test_shard_map_over_mesh_matches_single_device():

@@ -428,3 +428,86 @@ def test_rnn_pallas_train_step_runs():
         new_runner.params,
     )
     assert max(jax.tree.leaves(diffs)) > 0
+
+
+# --- message bits in-kernel ---------------------------------------------------
+
+
+def test_msg_collect_obs_logp_and_replay():
+    """msg_bits collect: obs bit-exact at t=0, joint move+bits logp matches
+    flax, and replaying the recorded (move, bits) actions through the XLA
+    engine reproduces the final state including the message channel."""
+    from rware_tpu.models.networks import bernoulli_logp
+
+    env = rware_tpu.make(rware_tpu.WarehouseConfig(msg_bits=2))
+    L = env.config.policy_obs_length
+    states, _ = batched_reset(env, jax.random.key(0), ENV_BLOCK)
+    model = ActorCritic(n_actions=5, msg_bits=2)
+    params = model.init(jax.random.key(1), jnp.zeros((1, 2, L)))
+    collect = build_pallas_collect(
+        env.config, 8, tc_len=4, interpret=True, deterministic=True
+    )
+    new_state, traj = collect(states, params, 3)
+    assert traj["bits"].shape == (8, ENV_BLOCK, 2, 2)
+
+    xla_obs = jax.vmap(env._obs_fn)(states)
+    np.testing.assert_array_equal(
+        np.asarray(traj["obs"][0], np.float32), np.asarray(xla_obs)
+    )
+    (mv_logits, msg_logits), value = model.apply(params, xla_obs)
+    lsm = jax.nn.log_softmax(mv_logits)
+    lp_mv = np.take_along_axis(
+        np.asarray(lsm), np.asarray(traj["action"][0])[..., None], -1
+    )[..., 0]
+    lp_b = np.asarray(bernoulli_logp(msg_logits, traj["bits"][0]).sum(-1))
+    np.testing.assert_allclose(
+        np.asarray(traj["logp"][0]), lp_mv + lp_b, atol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj["value"][0]), np.asarray(value), atol=3e-2
+    )
+
+    acts = jnp.concatenate(
+        [jnp.asarray(traj["action"])[..., None], jnp.asarray(traj["bits"])],
+        -1,
+    )
+
+    def replay(state, a):
+        def body(s, a1):
+            r = env._step_fn(s, a1)
+            return r.state, r.rewards
+
+        return jax.lax.scan(body, state, a)
+
+    final, rews = jax.jit(
+        jax.vmap(replay, in_axes=(0, 1), out_axes=(0, 1))
+    )(states, acts)
+    np.testing.assert_array_equal(
+        np.asarray(final.agent_x), np.asarray(new_state.agent_x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(final.agent_message), np.asarray(new_state.agent_message)
+    )
+    np.testing.assert_allclose(np.asarray(rews), np.asarray(traj["reward"]))
+
+
+def test_msg_pallas_train_step_runs():
+    env = rware_tpu.make(rware_tpu.WarehouseConfig(msg_bits=2))
+    cfg = IPPOConfig(n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2)
+    runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
+    assert model.msg_bits == 2
+    ts = jax.jit(
+        build_pallas_train_step(
+            env, model, tx, cfg, interpret=True, deterministic_collect=True,
+            fused_update=True,
+        )
+    )
+    new_runner, metrics = ts(runner)
+    assert int(new_runner.update_idx) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), runner.params,
+        new_runner.params,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0

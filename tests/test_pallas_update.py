@@ -91,3 +91,125 @@ def test_native_train_step_fused_update_runs():
         new_runner.params,
     )
     assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_fused_grads_match_autodiff_msg():
+    """Message-head variant: joint move+Bernoulli logp/entropy gradients."""
+    T, N, L, RB, MB = 4, 2, 79, 8, 2
+    cfg = IPPOConfig(minibatches=1)
+    model = ActorCritic(n_actions=5, msg_bits=MB)
+    params = model.init(jax.random.key(0), jnp.zeros((1, N, L)))
+    ks = jax.random.split(jax.random.key(0), 7)
+    batch = (
+        jax.random.normal(ks[0], (T, L, N, RB, LANE)).astype(jnp.bfloat16),
+        jax.random.randint(ks[1], (T, N, RB, LANE), 0, 5, dtype=jnp.int32),
+        jax.random.normal(ks[2], (T, N, RB, LANE)) * 0.1 - 2.8,
+        jax.random.normal(ks[3], (T, N, RB, LANE)),
+        jax.random.normal(ks[4], (T, N, RB, LANE)),
+        jax.random.normal(ks[5], (T, N, RB, LANE)),
+        jax.random.randint(ks[6], (T, N * MB, RB, LANE), 0, 2, dtype=jnp.int32),
+    )
+    grads_fn = build_fused_ppo_grads(
+        obs_len=L, hidden=(128, 128), n_actions=5, rollout_len=T,
+        n_agents=N, mb_rows=RB, clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=True, msg_bits=MB,
+    )
+    fused_grads, fused_metrics = jax.jit(grads_fn)(params, batch)
+    (loss, ref_metrics), ref_grads = jax.jit(
+        lambda p, b: jax.value_and_grad(
+            ppo_loss_native, argnums=1, has_aux=True
+        )(cfg, p, b)
+    )(params, batch)
+    for k in ("pg_loss", "v_loss", "entropy", "approx_kl"):
+        np.testing.assert_allclose(
+            float(fused_metrics[k]), float(ref_metrics[k]),
+            rtol=3e-2, atol=3e-3, err_msg=k,
+        )
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(ref_grads)[0])
+    for path, g in jax.tree_util.tree_flatten_with_path(fused_grads)[0]:
+        r = np.asarray(flat_r[path])
+        g = np.asarray(g)
+        assert g.shape == r.shape, path
+        scale = max(np.abs(r).max(), 1e-6)
+        np.testing.assert_allclose(g, r, atol=0.05 * scale, err_msg=str(path))
+
+
+def test_fused_seac_grads_match_autodiff():
+    """Per-agent SEAC-PPO gradient kernel vs jax.grad of an independent
+    native-layout re-derivation of models.seac's minibatch_loss."""
+    from rware_tpu.models.ippo_pallas import _native_forward
+    from rware_tpu.models.seac import SEACPPOConfig
+    from rware_tpu.ops.pallas_update import build_fused_seac_ppo_grads
+
+    T, N, L, RB = 4, 3, 23, 4
+    cfg = SEACPPOConfig(minibatches=1)
+    model = ActorCritic(n_actions=5, hidden=(32, 32))
+    params = jax.vmap(
+        lambda k: model.init(k, jnp.zeros((1, L)))
+    )(jax.random.split(jax.random.key(0), N))
+    ks = jax.random.split(jax.random.key(1), 6)
+    batch = (
+        jax.random.normal(ks[0], (T, L, N, RB, LANE)).astype(jnp.bfloat16),
+        jax.random.randint(ks[1], (T, N, RB, LANE), 0, 5, dtype=jnp.int32),
+        jax.random.normal(ks[2], (T, N, RB, LANE)) * 0.1 - 1.6,
+        jax.random.normal(ks[3], (T, N, N, RB, LANE)),
+        jax.random.normal(ks[4], (T, N, N, RB, LANE)),
+        jax.random.normal(ks[5], (T, N, N, RB, LANE)),
+    )
+    grads_fn = build_fused_seac_ppo_grads(
+        obs_len=L, hidden=(32, 32), n_actions=5, rollout_len=T,
+        n_agents=N, mb_rows=RB, clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, seac_lambda=cfg.seac_lambda, interpret=True,
+    )
+    fused_grads, fused_metrics = jax.jit(grads_fn)(params, batch)
+
+    eye = jnp.eye(N)
+
+    def ref_loss(params, batch):
+        obs, action, behav, oldv, adv, tgt = batch
+        logits, values = jax.vmap(
+            lambda p: _native_forward(p, obs), out_axes=1
+        )(params)  # (T, Ni, Nj, RB, LANE[, A])
+        lsm = jax.nn.log_softmax(logits)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, logits.shape, 5)
+            == action[:, None, ..., None]
+        )
+        logp = jnp.sum(jnp.where(onehot, lsm, 0.0), -1)
+        ratio = jnp.exp(logp - behav[:, None])
+        advn = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * advn
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * advn
+        surr = -jnp.minimum(pg1, pg2)
+        w = (eye + cfg.seac_lambda * (1.0 - eye))[None, :, :, None, None]
+        pg_loss = (surr * w).sum(2).mean()
+        v_clip = oldv + jnp.clip(values - oldv, -cfg.clip_eps, cfg.clip_eps)
+        v_err = jnp.maximum((values - tgt) ** 2, (v_clip - tgt) ** 2)
+        v_loss = 0.5 * (v_err * w).sum(2).mean()
+        ent = -(jnp.exp(lsm) * lsm).sum(-1)
+        entropy = jnp.diagonal(ent, axis1=1, axis2=2).mean()
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        own_ratio = jnp.diagonal(ratio, axis1=1, axis2=2)
+        return total, {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "approx_kl": ((own_ratio - 1) - jnp.log(own_ratio)).mean(),
+        }
+
+    (loss, ref_metrics), ref_grads = jax.jit(
+        jax.value_and_grad(ref_loss, has_aux=True)
+    )(params, batch)
+
+    for k in ("pg_loss", "v_loss", "entropy", "approx_kl"):
+        np.testing.assert_allclose(
+            float(fused_metrics[k]), float(ref_metrics[k]),
+            rtol=3e-2, atol=3e-3, err_msg=k,
+        )
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(ref_grads)[0])
+    for path, g in jax.tree_util.tree_flatten_with_path(fused_grads)[0]:
+        r = np.asarray(flat_r[path])
+        g = np.asarray(g)
+        assert g.shape == r.shape, path
+        scale = max(np.abs(r).max(), 1e-6)
+        np.testing.assert_allclose(g, r, atol=0.06 * scale, err_msg=str(path))

@@ -156,3 +156,88 @@ def test_seac_ppo_pallas_collect_train_step_runs():
         jax.tree.leaves(runner.params), jax.tree.leaves(new_runner.params)
     ):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+
+
+def test_seac_msg_train_step_runs():
+    """SEAC A2C on a msg_bits config: joint (move, bits) cross log-probs."""
+    from rware_tpu.models.seac import (
+        SEACConfig,
+        build_seac_train_step,
+        init_seac,
+    )
+
+    env = rware_tpu.make(rware_tpu.WarehouseConfig(msg_bits=2))
+    cfg = SEACConfig(n_envs=16, rollout_len=4)
+    runner, model, tx = init_seac(env, cfg, jax.random.key(0))
+    assert model.msg_bits == 2
+    ts = jax.jit(build_seac_train_step(env, model, tx, cfg))
+    new_runner, metrics = ts(runner)
+    assert new_runner.obs.shape == runner.obs.shape
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    for a, b in zip(
+        jax.tree.leaves(runner.params), jax.tree.leaves(new_runner.params)
+    ):
+        assert np.isfinite(np.asarray(b)).all()
+
+
+def test_seac_ppo_msg_pallas_collect_train_step_runs():
+    """SEAC-PPO on a msg_bits config THROUGH the per-agent collect kernel:
+    in-kernel Bernoulli heads, joint logp, XLA shared-experience update."""
+    from rware_tpu.models.seac import (
+        SEACPPOConfig,
+        build_seac_ppo_train_step,
+        init_seac_ppo,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make(rware_tpu.WarehouseConfig(msg_bits=2))
+    cfg = SEACPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, model, tx = init_seac_ppo(env, cfg, jax.random.key(0))
+    ts = jax.jit(
+        build_seac_ppo_train_step(
+            env, model, tx, cfg, collect_mode="pallas", interpret=True,
+            deterministic_collect=True,
+        )
+    )
+    new_runner, metrics = ts(runner)
+    assert int(new_runner.update_idx) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    for a, b in zip(
+        jax.tree.leaves(runner.params), jax.tree.leaves(new_runner.params)
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+
+
+def test_seac_ppo_fused_update_train_step_runs():
+    """Full native SEAC-PPO: per-agent collect kernel + fused per-agent
+    gradient kernel, time-window minibatches."""
+    from rware_tpu.models.seac import (
+        SEACPPOConfig,
+        build_seac_ppo_train_step,
+        init_seac_ppo,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = SEACPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, model, tx = init_seac_ppo(env, cfg, jax.random.key(0))
+    ts = jax.jit(
+        build_seac_ppo_train_step(
+            env, model, tx, cfg, collect_mode="pallas", interpret=True,
+            deterministic_collect=True, update_mode="fused",
+        )
+    )
+    new_runner, metrics = ts(runner)
+    assert int(new_runner.update_idx) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    for a, b in zip(
+        jax.tree.leaves(runner.params), jax.tree.leaves(new_runner.params)
+    ):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0

@@ -84,13 +84,16 @@ def main():
         flush=True,
     )
 
-    if env.config.msg_bits > 0 and (
-        args.collect == "pallas" or args.algo != "ippo"
+    if (
+        env.config.msg_bits > 0
+        and args.algo == "ippo"
+        and args.net == "gru"
+        and args.collect == "pallas"
     ):
         sys.exit(
-            "msg_bits configs train with --algo ippo --collect xla (mlp or "
-            "gru; the Bernoulli message head lives on the XLA path; see "
-            "ROADMAP #5)"
+            "msg_bits + gru trains with --collect xla (the recurrent "
+            "kernel's message head is not wired into its update path yet); "
+            "every other algo/net/collect combination supports msg_bits"
         )
 
     key = jax.random.key(args.seed)
