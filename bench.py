@@ -7,8 +7,11 @@ single-process CPU throughput on the same config (BASELINE.md: ~2,330
 env-steps/s for rware-tiny-2ag).
 
 Protocol: B parallel envs stepped in lockstep with uniform-random actions and
-auto-reset, T steps per compiled program, repeated R times with full output
-materialisation + device synchronisation, best-of-R wall time.
+auto-reset, T steps per rollout program.  Sustained cost is slope-timed: K
+rollouts chained on the env state inside ONE jit (serial data dependency),
+per-rollout time = (t(1+K) - t(1)) / K with a dependent-scalar host fetch —
+the fixed per-dispatch tunnel RTT of this backend cancels, matching a
+production loop that runs many steps between host syncs.
 
 Default engine is the fused Pallas rollout kernel (one dispatch per env
 block, all state in VMEM); --xla uses the vmap+scan XLA path instead, and
@@ -17,7 +20,7 @@ not support (n_agents > 8).
 """
 import argparse
 import json
-import time
+import os
 
 import jax
 import jax.numpy as jnp
@@ -83,40 +86,29 @@ def main():
             use_pallas = False
     if use_pallas:
 
-        def run(states, keys):
-            # seed folded from the key batch so repeats use fresh streams
-            seed = jax.random.randint(keys[0], (), 0, 2**31 - 1)
-            new_states, rew, epis = pallas_roll(states, seed)
-            # reduce to one scalar DEPENDENT ON ALL OUTPUTS: fetching it
-            # host-side forces completion even on backends whose
-            # block_until_ready resolves at enqueue time
-            checksum = (
-                rew.sum()
-                + new_states.agent_x.sum()
-                + new_states.shelf_x.sum()
-                + new_states.cur_steps.sum()
-                + epis.sum()
-            )
-            return checksum
+        def body(i, carry):
+            states, acc = carry
+            # per-iteration seed: fresh PRNG streams each chained rollout
+            new_states, rew, epis = pallas_roll(states, i * 7919 + 1)
+            return new_states, acc + rew.sum() + epis.sum()
 
     elif args.obs:
         single = build_rollout_fn(env, n_steps=T)
 
-        def run(states, keys):
-            final, traj = jax.vmap(single)(states, keys)
-            return (
-                traj.rewards.sum()
-                + final.agent_x.sum()
-                + traj.obs.sum()
-                + final.cur_steps.sum()
+        def body(i, carry):
+            states, acc = carry
+            keys = jax.vmap(jax.random.fold_in)(
+                jax.random.split(jax.random.key(1), B), jnp.full(B, i)
             )
+            final, traj = jax.vmap(single)(states, keys)
+            return final, acc + traj.rewards.sum() + traj.obs.sum()
 
     else:
         step_fn = env._step_fn
         reset_fn = env._reset_fn
 
         def one_env(state, key):
-            def body(carry, k):
+            def step_body(carry, k):
                 state, rew_sum = carry
                 res = step_fn(state, env.sample_actions(k))
                 reset_key, carry_key = jax.random.split(res.state.key)
@@ -127,46 +119,41 @@ def main():
                 return (next_state, rew_sum + res.rewards.sum()), None
 
             (final, rew), _ = jax.lax.scan(
-                body,
+                step_body,
                 (state, jnp.float32(0)),
                 jax.random.split(key, T),
                 unroll=args.unroll,
             )
             return final, rew
 
-        def run(states, keys):
-            final, rews = jax.vmap(one_env)(states, keys)
-            return (
-                rews.sum()
-                + final.agent_x.sum()
-                + final.shelf_x.sum()
-                + final.cur_steps.sum()
+        def body(i, carry):
+            states, acc = carry
+            keys = jax.vmap(jax.random.fold_in)(
+                jax.random.split(jax.random.key(1), B), jnp.full(B, i)
             )
-
-    run = jax.jit(run)
+            final, rews = jax.vmap(one_env)(states, keys)
+            return final, acc + rews.sum()
 
     key = jax.random.key(0)
     states, _ = batched_reset(env, key, B)
-    keys = jax.random.split(jax.random.key(1), B)
 
-    import numpy as np
+    import sys
 
-    def run_synced(states, keys):
-        # fetch the output-dependent scalar to host: completion proof
-        return float(np.asarray(run(states, keys)))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.timing import slope
 
-    # compile + warmup
-    checksum = run_synced(states, keys)
+    def extract(carry):
+        final, acc = carry
+        return (
+            acc
+            + final.agent_x.sum().astype(jnp.float32)
+            + final.cur_steps.sum().astype(jnp.float32)
+        )
 
-    best = float("inf")
-    for r in range(args.repeats):
-        keys = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, r))
-        jax.block_until_ready(keys)
-        t0 = time.perf_counter()
-        run_synced(states, keys)
-        best = min(best, time.perf_counter() - t0)
-
-    steps_per_sec = B * T / best
+    per_rollout, _base = slope(
+        body, extract, (states, jnp.float32(0)), iters=args.repeats
+    )
+    steps_per_sec = B * T / per_rollout
     ref = REF_STEPS_PER_SEC.get(args.env)
     print(
         json.dumps(

@@ -58,27 +58,27 @@ def main():
             )
         )
 
-    def sync(r, m):
-        # fetch an output-dependent scalar: completion proof on this backend
-        return float(np.asarray(m["reward_per_env"])) + float(
-            np.asarray(jax.tree.leaves(r.params)[0]).reshape(-1)[0]
+    # slope timing: K chained steps inside one jit so the fixed dispatch
+    # RTT cancels (tools/timing.py; single-dispatch numbers are RTT-bound)
+    from tools.timing import slope
+
+    def body(i, r):
+        return ts(r)[0]
+
+    def extract(r):
+        return (
+            jax.tree.leaves(r.params)[0].reshape(-1)[0].astype(jnp.float32)
+            + r.env_states.agent_x.sum().astype(jnp.float32)
         )
 
     t0 = time.perf_counter()
-    runner, metrics = ts(runner)
-    sync(runner, metrics)
-    print(f"compile+first step: {time.perf_counter()-t0:.1f}s", flush=True)
-
-    best = float("inf")
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        runner, metrics = ts(runner)
-        sync(runner, metrics)
-        best = min(best, time.perf_counter() - t0)
+    per_step, base = slope(body, extract, runner, iters=args.repeats)
+    print(f"measured in {time.perf_counter()-t0:.1f}s", flush=True)
     steps = cfg.n_envs * cfg.rollout_len
     print(
         f"path={args.path} env={args.env} B={cfg.n_envs} T={cfg.rollout_len} "
-        f"step={best*1e3:.1f}ms -> {steps/best/1e6:.2f}M env-steps/s",
+        f"step={per_step*1e3:.1f}ms -> {steps/per_step/1e6:.2f}M env-steps/s "
+        f"(dispatch floor {base*1e3:.1f}ms)",
         flush=True,
     )
 

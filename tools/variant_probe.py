@@ -1,6 +1,12 @@
 #!/usr/bin/env python
-"""Throughput of the collector variants on hardware: GRU-in-kernel
-recurrent IPPO and IMAGE-observation IPPO (both --collect pallas paths)."""
+"""Throughput of the training-path variants on hardware, slope-timed
+(tools/timing.py — K chained steps in one jit, dispatch RTT cancels):
+
+  gru    recurrent IPPO, GRU collect in-kernel + native-layout GRU update
+  image  IMAGE-observation IPPO, in-kernel image windows
+  seac   SEAC-PPO, per-agent-params collect + fused shared-experience update
+  msg    msg_bits=2 IPPO, Bernoulli bits sampled in-kernel + fused update
+"""
 import argparse
 import os
 import sys
@@ -9,29 +15,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import numpy as np
+import jax.numpy as jnp
+
+from tools.timing import slope
 
 
-def sync(r, m):
-    return float(np.asarray(m["reward_per_env"])) + float(
-        np.asarray(jax.tree.leaves(r.params)[0]).reshape(-1)[0]
-    )
+def probe(name, ts, runner, n_envs, rollout, iters=6):
+    def body(i, r):
+        return ts(r)[0]
 
+    def extract(r):
+        return (
+            jax.tree.leaves(r.params)[0].reshape(-1)[0].astype(jnp.float32)
+            + r.env_states.agent_x.sum().astype(jnp.float32)
+        )
 
-def time_steps(ts, runner, n_envs, rollout, repeats=3):
     t0 = time.perf_counter()
-    runner, m = ts(runner)
-    sync(runner, m)
-    print(f"  compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        runner, m = ts(runner)
-        sync(runner, m)
-        best = min(best, time.perf_counter() - t0)
+    per_step, base = slope(body, extract, runner, iters=iters)
     print(
-        f"  step={best*1e3:.1f}ms -> {n_envs*rollout/best/1e6:.2f}M "
-        "env-steps/s",
+        f"{name}: step={per_step*1e3:.1f}ms -> "
+        f"{n_envs*rollout/per_step/1e6:.2f}M env-steps/s "
+        f"(dispatch floor {base*1e3:.1f}ms; measured in "
+        f"{time.perf_counter()-t0:.1f}s)",
         flush=True,
     )
 
@@ -40,15 +45,23 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-envs", type=int, default=4096)
     p.add_argument("--rollout-len", type=int, default=128)
-    p.add_argument("--variant", choices=["gru", "image", "both"], default="both")
+    p.add_argument(
+        "--variant", choices=["gru", "image", "seac", "msg", "all"],
+        default="all",
+    )
     args = p.parse_args()
+    want = (
+        ["gru", "image", "seac", "msg"]
+        if args.variant == "all"
+        else [args.variant]
+    )
 
     import rware_tpu
     from rware_tpu.models import IPPOConfig
 
     cfg = IPPOConfig(n_envs=args.n_envs, rollout_len=args.rollout_len)
 
-    if args.variant in ("gru", "both"):
+    if "gru" in want:
         from rware_tpu.models.ippo_rnn import (
             build_rnn_pallas_train_step,
             init_rnn_runner,
@@ -57,10 +70,10 @@ def main():
         env = rware_tpu.make("rware-tiny-2ag-v2")
         runner, model, tx = init_rnn_runner(env, cfg, jax.random.key(0))
         ts = jax.jit(build_rnn_pallas_train_step(env, model, tx, cfg))
-        print("gru-in-kernel recurrent IPPO (tiny-2ag):", flush=True)
-        time_steps(ts, runner, cfg.n_envs, cfg.rollout_len)
+        probe("gru-in-kernel recurrent IPPO (tiny-2ag)", ts, runner,
+              cfg.n_envs, cfg.rollout_len)
 
-    if args.variant in ("image", "both"):
+    if "image" in want:
         from rware_tpu.models.ippo_pallas import (
             build_pallas_train_step,
             init_pallas_runner,
@@ -68,15 +81,42 @@ def main():
         from rware_tpu.types import ObservationType
 
         env = rware_tpu.make(
-            rware_tpu.WarehouseConfig(
-                observation_type=ObservationType.IMAGE
-            )
+            rware_tpu.WarehouseConfig(observation_type=ObservationType.IMAGE)
         )
         runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
         ts = jax.jit(build_pallas_train_step(env, model, tx, cfg))
-        print("IMAGE-obs IPPO, in-kernel image windows (tiny-2ag-img):",
-              flush=True)
-        time_steps(ts, runner, cfg.n_envs, cfg.rollout_len)
+        probe("IMAGE-obs IPPO, in-kernel windows (tiny-2ag-img)", ts, runner,
+              cfg.n_envs, cfg.rollout_len)
+
+    if "seac" in want:
+        from rware_tpu.models.seac import (
+            SEACPPOConfig,
+            build_seac_ppo_train_step,
+            init_seac_ppo,
+        )
+
+        env = rware_tpu.make("rware-tiny-2ag-v2")
+        scfg = SEACPPOConfig(n_envs=args.n_envs, rollout_len=args.rollout_len)
+        runner, model, tx = init_seac_ppo(env, scfg, jax.random.key(0))
+        ts = jax.jit(
+            build_seac_ppo_train_step(
+                env, model, tx, scfg, collect_mode="pallas"
+            )
+        )
+        probe("SEAC-PPO fused per-agent update (tiny-2ag)", ts, runner,
+              cfg.n_envs, cfg.rollout_len)
+
+    if "msg" in want:
+        from rware_tpu.models.ippo_pallas import (
+            build_pallas_train_step,
+            init_pallas_runner,
+        )
+
+        env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=2)
+        runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
+        ts = jax.jit(build_pallas_train_step(env, model, tx, cfg))
+        probe("msg_bits=2 IPPO, bits in-kernel (tiny-2ag)", ts, runner,
+              cfg.n_envs, cfg.rollout_len)
 
 
 if __name__ == "__main__":
