@@ -244,29 +244,53 @@ def ppo_update_epochs_native(
             )(cfg, params, batch)
             return grads, metrics
 
-    def sgd_step(params, opt_state, batch):
-        grads, metrics = grads_fn(params, batch)
+    def sgd_step(params, opt_state, batch, start=None):
+        if start is None:
+            grads, metrics = grads_fn(params, batch)
+        else:
+            grads, metrics = grads_fn(params, batch, start)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, metrics
 
+    # fused kernels built with dataset_len consume the FULL dataset plus a
+    # scalar window start — the per-epoch rotation + minibatch slice happen
+    # in the kernel's index map (zero copies; ops/pallas_update)
+    zero_copy = (
+        mb_axis == "time"
+        and getattr(grads_fn, "dataset_len", 0) == roll_extent
+    )
+
     def epoch(carry, k):
         params, opt_state = carry
         off = jax.random.randint(k, (), 0, roll_extent)
-        rolled = tuple(
-            jnp.roll(x, off, axis=ax) for x, ax in zip(dataset, axes)
-        )
 
-        def minibatch(carry, i):
-            params, opt_state = carry
-            batch = tuple(
-                jax.lax.dynamic_slice_in_dim(x, i * mb, mb, ax)
-                for x, ax in zip(rolled, axes)
+        if zero_copy:
+            def minibatch(carry, i):
+                params, opt_state = carry
+                # same window as roll(off)+slice: rolled[j] = x[(j - off)]
+                start = (i * mb - off) % roll_extent
+                params, opt_state, metrics = sgd_step(
+                    params, opt_state, dataset, start
+                )
+                return (params, opt_state), metrics
+        else:
+            rolled = tuple(
+                jnp.roll(x, off, axis=ax) for x, ax in zip(dataset, axes)
             )
-            params, opt_state, metrics = sgd_step(params, opt_state, batch)
-            return (params, opt_state), metrics
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                batch = tuple(
+                    jax.lax.dynamic_slice_in_dim(x, i * mb, mb, ax)
+                    for x, ax in zip(rolled, axes)
+                )
+                params, opt_state, metrics = sgd_step(
+                    params, opt_state, batch
+                )
+                return (params, opt_state), metrics
 
         return jax.lax.scan(
             minibatch, (params, opt_state), jnp.arange(cfg.minibatches)
@@ -358,6 +382,7 @@ def build_pallas_train_step(
             ent_coef=cfg.ent_coef,
             interpret=interpret,
             msg_bits=env.config.msg_bits,
+            dataset_len=cfg.rollout_len,
         )
 
     def train_step_native(runner: RunnerState) -> Tuple[RunnerState, dict]:

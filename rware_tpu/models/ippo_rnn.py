@@ -280,26 +280,31 @@ def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
     ir = big(e, g["ir"]["kernel"]) + g["ir"]["bias"]
     iz = big(e, g["iz"]["kernel"]) + g["iz"]["bias"]
     inn = big(e, g["in"]["kernel"]) + g["in"]["bias"]
-    whr = g["hr"]["kernel"].astype(jnp.bfloat16)
-    whz = g["hz"]["kernel"].astype(jnp.bfloat16)
-    whn = g["hn"]["kernel"].astype(jnp.bfloat16)
+    hg = int(model.hidden)
+    # one fused (Hg, 3Hg) hidden contraction per step instead of three:
+    # the T-sequential recurrence is launch-latency bound, not FLOP bound
+    wh = jnp.concatenate(
+        [
+            g["hr"]["kernel"].astype(jnp.bfloat16),
+            g["hz"]["kernel"].astype(jnp.bfloat16),
+            g["hn"]["kernel"].astype(jnp.bfloat16),
+        ],
+        axis=1,
+    )  # (Hg, 3Hg)
     bhn = g["hn"]["bias"]
     one = jnp.bfloat16(1.0)
 
     def cell(h, xs):
         ir_t, iz_t, inn_t, d = xs  # gates (N, RB, LANE, Hg), d (1, RB, LANE)
-
-        def hdot(w):
-            return jax.lax.dot_general(
-                h, w, (((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        r = jax.nn.sigmoid(ir_t + hdot(whr)).astype(jnp.bfloat16)
-        z = jax.nn.sigmoid(iz_t + hdot(whz)).astype(jnp.bfloat16)
+        hh = jax.lax.dot_general(
+            h, wh, (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, RB, LANE, 3Hg)
+        r = jax.nn.sigmoid(ir_t + hh[..., :hg]).astype(jnp.bfloat16)
+        z = jax.nn.sigmoid(iz_t + hh[..., hg:2 * hg]).astype(jnp.bfloat16)
         n = jnp.tanh(
             inn_t.astype(jnp.bfloat16)
-            + r * (hdot(whn) + bhn).astype(jnp.bfloat16)
+            + r * (hh[..., 2 * hg:] + bhn).astype(jnp.bfloat16)
         )
         new_h = (one - z) * n + z * h
         # heads read new_h; the NEXT step's carry is reset at episode ends
@@ -309,7 +314,7 @@ def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
         return carry, new_h
 
     _, hseq = jax.lax.scan(
-        cell, h0.astype(jnp.bfloat16), (ir, iz, inn, done)
+        cell, h0.astype(jnp.bfloat16), (ir, iz, inn, done), unroll=8
     )  # (T, N, RB, LANE, Hg)
     hf = hseq.astype(jnp.float32)
     logits = (

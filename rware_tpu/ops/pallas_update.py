@@ -281,6 +281,7 @@ def build_fused_ppo_grads(
     interpret: bool = False,
     debug_level: int = 0,
     msg_bits: int = 0,
+    dataset_len: int = 0,
 ):
     """Returns ``grads(params, batch) -> (grads_pytree, metrics_dict)``.
 
@@ -293,10 +294,21 @@ def build_fused_ppo_grads(
     models.ippo_pallas.ppo_loss_native (bf16 hidden matmuls, f32
     accumulation/heads) and returned as an f32 pytree matching ``params``;
     metrics are the standard PPO diagnostics.
+
+    ``dataset_len=T_full`` switches to zero-copy minibatching: ``batch``
+    tensors keep the FULL trajectory time extent and the returned function
+    becomes ``grads(params, batch, start)`` where ``start`` is the traced
+    first time row of the minibatch window.  The per-epoch random rotation
+    + contiguous slice of models.ippo_pallas.ppo_update_epochs_native is
+    then realised by the kernel's index map reading rows
+    ``(start + t) % T_full`` straight from the trajectory buffer — no
+    jnp.roll of the dataset, no dynamic-slice copy per minibatch (the two
+    dominated the update phase's HBM traffic; tools/native_bisect.py).
     """
     L, (H1, H2), A = obs_len, hidden, n_actions
     T, N = rollout_len, n_agents
     MB = msg_bits
+    T_full = dataset_len or T
     # chunk the env-rows axis so M = rb_chunk*LANE stays <= 4096 (VMEM cap)
     rb_chunk = mb_rows
     while rb_chunk > 32 or mb_rows % rb_chunk:
@@ -313,34 +325,47 @@ def build_fused_ppo_grads(
 
     grid = (T, N, mb_rows // rb_chunk)
 
+    if dataset_len:
+        # scalar-prefetch minibatching: sel[0] = first time row; the block
+        # index map wraps (start + t) around the full trajectory extent
+        def trow(t, sel):
+            return (sel[0] + t) % T_full
+
+        obs_map = lambda t, n, c, sel: (trow(t, sel), 0, n, c, 0)
+        vec_map = lambda t, n, c, sel: (trow(t, sel), n, c, 0)
+
+        def cmap(shape):
+            return lambda t, n, c, sel: tuple(0 for _ in shape)
+
+        met_map = lambda t, n, c, sel: (0,)
+    else:
+        obs_map = lambda t, n, c: (t, 0, n, c, 0)
+        vec_map = lambda t, n, c: (t, n, c, 0)
+
+        def cmap(shape):
+            return lambda t, n, c: tuple(0 for _ in shape)
+
+        met_map = lambda t, n, c: (0,)
+
     def cblock(shape):
-        return pl.BlockSpec(
-            shape, lambda t, n, c: tuple(0 for _ in shape),
-            memory_space=pltpu.VMEM,
-        )
+        return pl.BlockSpec(shape, cmap(shape), memory_space=pltpu.VMEM)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # adv stats (2,)
     in_specs += [
         pl.BlockSpec(
-            (1, L, 1, rb_chunk, LANE),
-            lambda t, n, c: (t, 0, n, c, 0),
-            memory_space=pltpu.VMEM,
+            (1, L, 1, rb_chunk, LANE), obs_map, memory_space=pltpu.VMEM
         )
     ]
     in_specs += [
         pl.BlockSpec(
-            (1, 1, rb_chunk, LANE),
-            lambda t, n, c: (t, n, c, 0),
-            memory_space=pltpu.VMEM,
+            (1, 1, rb_chunk, LANE), vec_map, memory_space=pltpu.VMEM
         )
         for _ in range(5)
     ]
     if MB:
         in_specs.append(
             pl.BlockSpec(
-                (1, MB, rb_chunk, LANE),
-                lambda t, n, c: (t, n, c, 0),
-                memory_space=pltpu.VMEM,
+                (1, MB, rb_chunk, LANE), vec_map, memory_space=pltpu.VMEM
             )
         )
     in_specs += [
@@ -371,20 +396,54 @@ def build_fused_ppo_grads(
             jax.ShapeDtypeStruct((1, MB), jnp.float32),
         ]
     out_specs.append(
-        pl.BlockSpec(
-            (len(_METRICS),), lambda t, n, c: (0,), memory_space=pltpu.SMEM
-        )
+        pl.BlockSpec((len(_METRICS),), met_map, memory_space=pltpu.SMEM)
     )
     out_shape.append(jax.ShapeDtypeStruct((len(_METRICS),), jnp.float32))
 
-    def grads(params, batch):
+    base_kernel = kernel
+    if dataset_len:
+        def kernel(sel_ref, *refs):  # noqa: F811 — scalar-prefetch wrapper
+            del sel_ref  # consumed by the index maps only
+            base_kernel(*refs)
+
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )
+    else:
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )
+
+    def grads(params, batch, start=None):
         if MB:
             obs, action, old_logp, old_value, adv, target, bits = batch
         else:
             obs, action, old_logp, old_value, adv, target = batch
         p = params["params"]
-        adv_mean = adv.mean()
-        adv_inv_std = 1.0 / (adv.std() + 1e-8)
+        if dataset_len:
+            # stats over the wrapped minibatch window only (adv is the
+            # full-trajectory tensor in this mode; it is small — the big
+            # obs tensor never moves)
+            adv_mb = jax.lax.dynamic_slice_in_dim(
+                jnp.roll(adv, -start, axis=0), 0, T, 0
+            )
+        else:
+            adv_mb = adv
+        adv_mean = adv_mb.mean()
+        adv_inv_std = 1.0 / (adv_mb.std() + 1e-8)
         stats = jnp.stack([adv_mean, adv_inv_std]).astype(jnp.float32)
         inputs = [
             stats,
@@ -412,16 +471,11 @@ def build_fused_ppo_grads(
                 p["message"]["kernel"].astype(jnp.float32),
                 p["message"]["bias"].astype(jnp.float32)[None, :],
             ]
-        outs = list(
-            pl.pallas_call(
-                kernel,
-                grid=grid,
-                in_specs=in_specs,
-                out_specs=out_specs,
-                out_shape=out_shape,
-                interpret=interpret,
-            )(*inputs)
-        )
+        if dataset_len:
+            sel = jnp.asarray([start], dtype=jnp.int32)
+            outs = list(call(sel, *inputs))
+        else:
+            outs = list(call(*inputs))
         (gw0, gb0, gw1, gb1, gwp, gbp, gwv, gbv) = outs[:8]
         outs = outs[8:]
         if MB:
@@ -449,6 +503,7 @@ def build_fused_ppo_grads(
         }
         return grads_tree, metrics
 
+    grads.dataset_len = dataset_len
     return grads
 
 
@@ -604,19 +659,19 @@ def _make_seac_update_kernel(st: _SeacStatic):
         dw0[0] += jax.lax.dot_general(
             x, dz1b, dn11, preferred_element_type=jnp.float32
         )
-        db0[0] += jnp.sum(dz1b.astype(jnp.float32), axis=1)
+        db0[0] += jnp.sum(dz1b.astype(jnp.float32), axis=1, keepdims=True).T
         dw1[0] += jax.lax.dot_general(
             h1b, dz2b, dn11, preferred_element_type=jnp.float32
         )
-        db1[0] += jnp.sum(dz2b.astype(jnp.float32), axis=1)
+        db1[0] += jnp.sum(dz2b.astype(jnp.float32), axis=1, keepdims=True).T
         dwp[0] += jax.lax.dot_general(
             h2f, dlogits, dn11, preferred_element_type=jnp.float32
         )
-        dbp[0] += jnp.sum(dlogits, axis=1)
+        dbp[0] += jnp.sum(dlogits, axis=1, keepdims=True).T
         dwv[0] += jax.lax.dot_general(
             h2f, dvalue, dn11, preferred_element_type=jnp.float32
         )
-        dbv[0] += jnp.sum(dvalue, axis=1)
+        dbv[0] += jnp.sum(dvalue, axis=1, keepdims=True).T
 
         # ---- metric partial sums (loss-term weighted like the loss) ----
         mets[0] += w_pair * jnp.sum(obj)
@@ -702,14 +757,18 @@ def build_fused_seac_ppo_grads(
         )
         for _ in range(3)
     ]
+    # biases carry an explicit singleton row axis (N, 1, X): Mosaic
+    # requires a block's last two dims be (8k, 128m)-divisible OR equal to
+    # the array dims — a (1, X) block over (N, X) violates that on
+    # hardware (interpret mode tolerated it)
     in_specs += [
-        pb((L, H1)), pb((H1,)), pb((H1, H2)), pb((H2,)),
-        pb((H2, A)), pb((A,)), pb((H2, 1)), pb((1,)),
+        pb((L, H1)), pb((1, H1)), pb((H1, H2)), pb((1, H2)),
+        pb((H2, A)), pb((1, A)), pb((H2, 1)), pb((1, 1)),
     ]
 
     out_specs = [
-        pb((L, H1)), pb((H1,)), pb((H1, H2)), pb((H2,)),
-        pb((H2, A)), pb((A,)), pb((H2, 1)), pb((1,)),
+        pb((L, H1)), pb((1, H1)), pb((H1, H2)), pb((1, H2)),
+        pb((H2, A)), pb((1, A)), pb((H2, 1)), pb((1, 1)),
         pl.BlockSpec(
             (len(_METRICS),), lambda t, i, j, c: (0,),
             memory_space=pltpu.SMEM,
@@ -717,13 +776,13 @@ def build_fused_seac_ppo_grads(
     ]
     out_shape = [
         jax.ShapeDtypeStruct((N, L, H1), jnp.float32),
-        jax.ShapeDtypeStruct((N, H1), jnp.float32),
+        jax.ShapeDtypeStruct((N, 1, H1), jnp.float32),
         jax.ShapeDtypeStruct((N, H1, H2), jnp.float32),
-        jax.ShapeDtypeStruct((N, H2), jnp.float32),
+        jax.ShapeDtypeStruct((N, 1, H2), jnp.float32),
         jax.ShapeDtypeStruct((N, H2, A), jnp.float32),
-        jax.ShapeDtypeStruct((N, A), jnp.float32),
+        jax.ShapeDtypeStruct((N, 1, A), jnp.float32),
         jax.ShapeDtypeStruct((N, H2, 1), jnp.float32),
-        jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        jax.ShapeDtypeStruct((N, 1, 1), jnp.float32),
         jax.ShapeDtypeStruct((len(_METRICS),), jnp.float32),
     ]
 
@@ -742,13 +801,13 @@ def build_fused_seac_ppo_grads(
             adv.astype(jnp.float32),
             target.astype(jnp.float32),
             p["dense_0"]["kernel"].astype(jnp.bfloat16),
-            p["dense_0"]["bias"].astype(jnp.float32),
+            p["dense_0"]["bias"].astype(jnp.float32)[:, None, :],
             p["dense_1"]["kernel"].astype(jnp.bfloat16),
-            p["dense_1"]["bias"].astype(jnp.float32),
+            p["dense_1"]["bias"].astype(jnp.float32)[:, None, :],
             p["policy"]["kernel"].astype(jnp.float32),
-            p["policy"]["bias"].astype(jnp.float32),
+            p["policy"]["bias"].astype(jnp.float32)[:, None, :],
             p["value"]["kernel"].astype(jnp.float32),
-            p["value"]["bias"].astype(jnp.float32),
+            p["value"]["bias"].astype(jnp.float32)[:, None, :],
         ]
         outs = pl.pallas_call(
             kernel,
@@ -761,10 +820,10 @@ def build_fused_seac_ppo_grads(
         (gw0, gb0, gw1, gb1, gwp, gbp, gwv, gbv, mets) = outs
         grads_tree = {
             "params": {
-                "dense_0": {"kernel": gw0, "bias": gb0},
-                "dense_1": {"kernel": gw1, "bias": gb1},
-                "policy": {"kernel": gwp, "bias": gbp},
-                "value": {"kernel": gwv, "bias": gbv},
+                "dense_0": {"kernel": gw0, "bias": gb0[:, 0]},
+                "dense_1": {"kernel": gw1, "bias": gb1[:, 0]},
+                "policy": {"kernel": gwp, "bias": gbp[:, 0]},
+                "value": {"kernel": gwv, "bias": gbv[:, 0]},
             }
         }
         metrics = {

@@ -302,6 +302,35 @@ def test_in_kernel_image_obs_bit_exact(directional):
     )
 
 
+@pytest.mark.parametrize("directional", [True, False])
+def test_in_kernel_image_dict_obs_bit_exact(directional):
+    """IMAGE_DICT in-kernel obs = flattened window stack + the 6 self
+    features [dir-onehot(4), on_highway, carrying] — bit-exact vs the XLA
+    learner input (models.ippo.policy_obs_fn over build_image_dict
+    features; reference rware/warehouse.py:725-742)."""
+    from rware_tpu.models.ippo import policy_obs_fn
+    from rware_tpu.types import ObservationType
+
+    env = rware_tpu.make(
+        rware_tpu.WarehouseConfig(
+            observation_type=ObservationType.IMAGE_DICT,
+            image_observation_directional=directional,
+        )
+    )
+    L = env.config.policy_obs_length  # C * w2 * w2 + 6
+    states, _ = batched_reset(env, jax.random.key(2), ENV_BLOCK)
+    model = ActorCritic(n_actions=5)
+    params = model.init(jax.random.key(1), jnp.zeros((1, 2, L)))
+    collect = build_pallas_collect(
+        env.config, 4, tc_len=4, interpret=True, deterministic=True
+    )
+    _, traj = collect(states, params, 0)
+    xla_flat = jax.vmap(policy_obs_fn(env))(states)  # (B, N, L)
+    np.testing.assert_array_equal(
+        np.asarray(traj["obs"][0], dtype=np.float32), np.asarray(xla_flat)
+    )
+
+
 def test_image_env_pallas_train_step_runs():
     from rware_tpu.types import ObservationType
 

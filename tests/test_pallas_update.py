@@ -66,6 +66,40 @@ def test_fused_grads_match_autodiff(case):
         )
 
 
+def test_fused_grads_zero_copy_window_matches_sliced(case):
+    """dataset_len mode (scalar-prefetch index-map minibatching) produces
+    the same gradients as slicing the wrapped window out host-side —
+    including a start that wraps around the trajectory end."""
+    cfg, model, params, batch = case
+    T, L, N, RB, _ = batch[0].shape
+    mbt = T // 2
+    kw = dict(
+        obs_len=L, hidden=(128, 128), n_actions=5, rollout_len=mbt,
+        n_agents=N, mb_rows=RB, clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=True,
+    )
+    zc = build_fused_ppo_grads(dataset_len=T, **kw)
+    sliced = build_fused_ppo_grads(**kw)
+    for start in (0, 1, T - 1):  # T-1 wraps around the end
+        idx = [(start + t) % T for t in range(mbt)]
+        window = tuple(jnp.take(x, jnp.asarray(idx), axis=0) for x in batch)
+        g1, m1 = jax.jit(zc)(params, batch, jnp.int32(start))
+        g2, m2 = jax.jit(sliced)(params, window)
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g2)[0],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
+                err_msg=f"start={start} {p1}",
+            )
+        for k in m1:
+            np.testing.assert_allclose(
+                float(m1[k]), float(m2[k]), rtol=1e-6, atol=1e-6,
+                err_msg=f"start={start} {k}",
+            )
+
+
 def test_native_train_step_fused_update_runs():
     from rware_tpu.models.ippo_pallas import (
         build_pallas_train_step,

@@ -80,12 +80,14 @@ def main():
         return st, acc + ds[4].sum() + ds[5].sum()
 
     mb_t = cfg.rollout_len // cfg.minibatches
-    grads_fused = build_fused_ppo_grads(
+    kern_kw = dict(
         obs_len=env.config.policy_obs_length, hidden=tuple(model.hidden),
         n_actions=env.n_actions, rollout_len=mb_t, n_agents=n,
         mb_rows=rb, clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
         ent_coef=cfg.ent_coef, msg_bits=env.config.msg_bits,
     )
+    grads_fused = build_fused_ppo_grads(**kern_kw)
+    grads_zc = build_fused_ppo_grads(dataset_len=cfg.rollout_len, **kern_kw)
 
     def grads_xla(params, batch):
         (loss, metrics), grads = jax.value_and_grad(
@@ -93,7 +95,7 @@ def main():
         )(cfg, params, batch)
         return grads, metrics
 
-    def sgd_fixed_body(grads_fn):
+    def sgd_fixed_body(grads_fn, zero_copy=False):
         # one iteration = the full E x M update phase on static time slices
         def body(i, carry):
             params, opt_state, ds = carry
@@ -103,11 +105,14 @@ def main():
 
                 def minibatch(carry_mb, m):
                     params, opt_state = carry_mb
-                    batch = tuple(
-                        jax.lax.dynamic_slice_in_dim(x, m * mb_t, mb_t, 0)
-                        for x in ds
-                    )
-                    grads, _ = grads_fn(params, batch)
+                    if zero_copy:
+                        grads, _ = grads_fn(params, ds, m * mb_t)
+                    else:
+                        batch = tuple(
+                            jax.lax.dynamic_slice_in_dim(x, m * mb_t, mb_t, 0)
+                            for x in ds
+                        )
+                        grads, _ = grads_fn(params, batch)
                     updates, opt_state = tx.update(grads, opt_state, params)
                     return (optax.apply_updates(params, updates), opt_state), None
 
@@ -146,6 +151,9 @@ def main():
               lambda c: leaf0(c[0]),
               (runner.params, runner.opt_state, ds0)),
         "F": ("sgd-fused-fixed", sgd_fixed_body(grads_fused),
+              lambda c: leaf0(c[0]),
+              (runner.params, runner.opt_state, ds0)),
+        "Z": ("sgd-zero-copy", sgd_fixed_body(grads_zc, zero_copy=True),
               lambda c: leaf0(c[0]),
               (runner.params, runner.opt_state, ds0)),
         "E": ("full", e_body,
