@@ -16,6 +16,8 @@ Quick start::
     result = env.step(state, env.sample_actions(jax.random.key(1)))
 """
 
+import os
+
 from rware_tpu.config import WarehouseConfig
 from rware_tpu.core.env import Warehouse
 from rware_tpu.core.engine import StepResult
@@ -46,6 +48,18 @@ from rware_tpu.types import (
 )
 
 __version__ = "0.1.0"
+
+# Drop-in compatibility hook: the reference registers its env-id grid as an
+# import side effect (rware/__init__.py:22-39); this package keeps
+# registration an explicit opt-in (register_all) so both can coexist in one
+# process.  Code that only imports and calls gym.make can set
+# RWARE_TPU_AUTO_REGISTER=1 (=image for the -img/-imgdict variants too) to
+# get the reference's import-time behavior.
+_auto = os.environ.get("RWARE_TPU_AUTO_REGISTER", "")
+if _auto and _auto.lower() not in ("0", "false", ""):
+    from rware_tpu.gym_adapter import register_all as _register_all
+
+    _register_all(image=_auto.lower() == "image")
 
 __all__ = [
     "Action",

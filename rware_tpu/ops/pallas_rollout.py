@@ -860,8 +860,12 @@ def _build_obs_feats(
         ]
         # empty-cell quirk: no agent reads as dir UP -> onehot [1,0,0,0]
         d_bits[0] = d_bits[0] + 1 - a_bits
+        # static reshape+index, NOT msg[m::M]: a non-unit-stride slice on a
+        # 3D ref lowers to a gather, which Mosaic rejects on hardware
+        msg_by_bit = msg.reshape(st.n, M, SUB, LANE) if M else None
         msg_rows = [
-            _window_bits(_bitmap(a_oh, msg[m::M] != 0), w2) for m in range(M)
+            _window_bits(_bitmap(a_oh, msg_by_bit[:, m] != 0), w2)
+            for m in range(M)
         ]
         cell_block = jnp.stack(
             [a_bits] + d_bits + msg_rows

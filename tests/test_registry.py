@@ -69,3 +69,25 @@ def test_make_accepts_config_and_overrides():
     assert env.config.observation_type == ObservationType.IMAGE
     env2 = rware_tpu.make(env.config)
     assert env2.config == env.config
+
+
+def test_auto_register_env_var_hook():
+    """RWARE_TPU_AUTO_REGISTER=1 reproduces the reference's import-time
+    registration (rware/__init__.py:22-39) for drop-in gym.make use."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import rware_tpu, gymnasium as gym;"
+        "e = gym.make('rware-small-3ag-v2'); e.reset(seed=0);"
+        "print('ok', e.unwrapped.n_agents)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env={**os.environ, "RWARE_TPU_AUTO_REGISTER": "1"},
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ok 3" in out.stdout

@@ -3,7 +3,8 @@
 
 Sweeps the registered size grid x agent counts on the local accelerator and
 writes a JSON table (markdown-printable) for BASELINE.md.  Random-action
-rollouts with autoreset, best-of-R dependent-scalar-synced wall time.
+rollouts with autoreset, slope-timed (K chained rollouts in one jit — the
+fixed per-dispatch tunnel RTT cancels; tools/timing.py).
 """
 import argparse
 import json
@@ -16,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_CONFIGS = [
     ("rware-tiny-2ag-v2", 16384),
@@ -35,24 +38,26 @@ def sync_scalar(x):
 def bench_pallas(env, B, T, repeats):
     from rware_tpu.ops.pallas_rollout import build_pallas_rollout
     from rware_tpu.parallel import batched_reset
+    from tools.timing import slope
 
     roll = build_pallas_rollout(env.config, T)
 
-    def run(states, seed):
-        ns, rew, epis = roll(states, seed)
-        return rew.sum() + ns.agent_x.sum() + ns.cur_steps.sum() + epis.sum()
+    def body(i, carry):
+        states, acc = carry
+        ns, rew, epis = roll(states, i * 7919 + 1)
+        return ns, acc + rew.sum() + epis.sum()
 
-    run = jax.jit(run)
+    def extract(carry):
+        ns, acc = carry
+        return acc + ns.agent_x.sum().astype(jnp.float32)
+
     states, _ = batched_reset(env, jax.random.key(0), B)
     t0 = time.time()
-    sync_scalar(run(states, 0))
-    compile_s = time.time() - t0
-    best = float("inf")
-    for r in range(repeats):
-        t0 = time.perf_counter()
-        sync_scalar(run(states, r + 1))
-        best = min(best, time.perf_counter() - t0)
-    return B * T / best, compile_s
+    per_iter, _base = slope(
+        body, extract, (states, jnp.float32(0)), iters=repeats
+    )
+    compile_s = time.time() - t0  # both chain compiles + the runs
+    return B * T / per_iter, compile_s
 
 
 def bench_xla(env, B, T, repeats):
@@ -77,24 +82,27 @@ def bench_xla(env, B, T, repeats):
         )
         return final, rew
 
-    def run(states, keys):
-        final, rews = jax.vmap(one_env)(states, keys)
-        return rews.sum() + final.agent_x.sum() + final.cur_steps.sum()
+    from tools.timing import slope
 
-    run = jax.jit(run)
+    def body(i, carry):
+        states, acc = carry
+        keys = jax.vmap(jax.random.fold_in)(
+            jax.random.split(jax.random.key(1), B), jnp.full(B, i)
+        )
+        final, rews = jax.vmap(one_env)(states, keys)
+        return final, acc + rews.sum()
+
+    def extract(carry):
+        final, acc = carry
+        return acc + final.agent_x.sum().astype(jnp.float32)
+
     states, _ = batched_reset(env, jax.random.key(0), B)
-    keys = jax.random.split(jax.random.key(1), B)
     t0 = time.time()
-    sync_scalar(run(states, keys))
+    per_iter, _base = slope(
+        body, extract, (states, jnp.float32(0)), iters=repeats
+    )
     compile_s = time.time() - t0
-    best = float("inf")
-    for r in range(repeats):
-        keys = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, r))
-        jax.block_until_ready(keys)
-        t0 = time.perf_counter()
-        sync_scalar(run(states, keys))
-        best = min(best, time.perf_counter() - t0)
-    return B * T / best, compile_s
+    return B * T / per_iter, compile_s
 
 
 def main():
@@ -103,12 +111,16 @@ def main():
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--skip-xla", action="store_true")
+    p.add_argument("--only", default=None,
+                   help="substring filter on env ids (e.g. large-8ag)")
     args = p.parse_args()
 
     import rware_tpu
 
     rows = []
     for env_id, B in DEFAULT_CONFIGS:
+        if args.only and args.only not in env_id:
+            continue
         env = rware_tpu.make(env_id)
         row = {"env": env_id, "B": B, "T": args.steps}
         try:
