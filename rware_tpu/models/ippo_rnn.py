@@ -336,6 +336,54 @@ def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
     return logits, jnp.squeeze(value, axis=-1)
 
 
+def _pick_tc_len_gru_default(t: int) -> int:
+    # The GRU carry block (Hg, N, RB, LANE) costs ~2MB of scoped VMEM
+    # on top of the MLP collector's budget, which overflows the 16MB
+    # limit at tc=8 (measured: 17.74M at B=4096).  tc=4 halves the obs
+    # trajectory block and fits.
+    for tc in (4, 2, 1):
+        if t % tc == 0:
+            return tc
+    return 1
+
+
+def rnn_ppo_loss_native(cfg: IPPOConfig, model, params, batch):
+    """Clipped-PPO loss over a kernel-native recurrent minibatch.
+
+    ``batch`` = (obs (T, L, N, RB, LANE) bf16, done, action, logp_old,
+    value_old, adv, target ((T, N, RB, LANE)), h0n (N, RB, LANE, Hg)) —
+    an env-band slice of the collect kernel's trajectory.  The GRU is
+    replayed via _gru_native_replay (batched input gates, scan-only
+    recurrence)."""
+    obs, done, action, logp_old, value_old, adv, target, h0n = batch
+    logits, value = _gru_native_replay(model, params, obs, done, h0n)
+    logp_all = jax.nn.log_softmax(logits)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
+        == action[..., None]
+    )
+    logp = jnp.sum(jnp.where(onehot, logp_all, 0.0), axis=-1)
+    ratio = jnp.exp(logp - logp_old)
+    adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
+    pg1 = ratio * adv_norm
+    pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
+    pg_loss = -jnp.minimum(pg1, pg2).mean()
+    v_clipped = value_old + jnp.clip(
+        value - value_old, -cfg.clip_eps, cfg.clip_eps
+    )
+    v_loss = 0.5 * jnp.maximum(
+        (value - target) ** 2, (v_clipped - target) ** 2
+    ).mean()
+    entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+    total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+    return total, {
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": entropy,
+        "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
+    }
+
+
 def build_rnn_pallas_train_step(
     env: Warehouse,
     model: RecurrentActorCritic,
@@ -367,15 +415,7 @@ def build_rnn_pallas_train_step(
             "collect, message head)"
         )
 
-    def _pick_tc_len_gru(t: int) -> int:
-        # The GRU carry block (Hg, N, RB, LANE) costs ~2MB of scoped VMEM
-        # on top of the MLP collector's budget, which overflows the 16MB
-        # limit at tc=8 (measured: 17.74M at B=4096).  tc=4 halves the obs
-        # trajectory block and fits.
-        for tc in (4, 2, 1):
-            if t % tc == 0:
-                return tc
-        return 1
+    _pick_tc_len_gru = _pick_tc_len_gru_default
 
     hidden = (int(model.embed), int(model.hidden))
     collect = build_pallas_collect(
@@ -399,35 +439,7 @@ def build_rnn_pallas_train_step(
     hg = int(model.hidden)
 
     def loss_fn_native(params, batch):
-        obs, done, action, logp_old, value_old, adv, target, h0n = batch
-        logits, value = _gru_native_replay(model, params, obs, done, h0n)
-        logp_all = jax.nn.log_softmax(logits)
-        onehot = (
-            jax.lax.broadcasted_iota(
-                jnp.int32, logits.shape, logits.ndim - 1
-            )
-            == action[..., None]
-        )
-        logp = jnp.sum(jnp.where(onehot, logp_all, 0.0), axis=-1)
-        ratio = jnp.exp(logp - logp_old)
-        adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
-        pg1 = ratio * adv_norm
-        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
-        pg_loss = -jnp.minimum(pg1, pg2).mean()
-        v_clipped = value_old + jnp.clip(
-            value - value_old, -cfg.clip_eps, cfg.clip_eps
-        )
-        v_loss = 0.5 * jnp.maximum(
-            (value - target) ** 2, (v_clipped - target) ** 2
-        ).mean()
-        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
-        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
-        return total, {
-            "pg_loss": pg_loss,
-            "v_loss": v_loss,
-            "entropy": entropy,
-            "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
-        }
+        return rnn_ppo_loss_native(cfg, model, params, batch)
 
     # rb-axis position per native dataset entry:
     # (obs, done, action, logp, value, adv, target, h0n)
