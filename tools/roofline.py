@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""Roofline / utilization accounting for the three hot kernels (VERDICT #7).
+
+Counts the actual per-iteration work in each kernel's jaxpr — VPU
+element-ops (elementwise / compare / select / bitwise on (8,128) tiles)
+and MXU FLOPs (dot_general) — then divides by measured throughput to
+report achieved fraction of the relevant peak.  This replaces the
+"speed-of-light" *assertion* with an auditable number.
+
+Peaks (public TPU v5e figures, one chip):
+  MXU   197e12 bf16 FLOP/s
+  VPU   ~6.0e12 elem-op/s   (8x128 lanes x 4 ALUs x ~1.46 GHz clock
+                             implied by 197 TFLOPs / (4 MXUs x 128x128 x 2))
+  HBM   8.1e11 B/s
+
+The env kernels hold all state in VMEM/registers and touch HBM only for
+trajectory emission, so the binding resource is VPU issue rate (the env
+logic is integer/compare work — the MXU only sees the policy matmuls).
+
+Usage: python tools/roofline.py [--measured-rollout 1.11e9 ...]
+(runs entirely on CPU — only jaxprs are inspected, nothing executes).
+"""
+import argparse
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+MXU_PEAK = 197e12  # bf16 FLOP/s
+VPU_PEAK = 6.0e12  # elem-op/s
+HBM_PEAK = 8.1e11  # B/s
+
+# primitives that execute one VPU op per output element
+_ELEMWISE_HINTS = {
+    "add", "sub", "mul", "div", "rem", "max", "min", "and", "or", "xor",
+    "not", "neg", "sign", "floor", "ceil", "round", "abs", "exp", "log",
+    "tanh", "logistic", "rsqrt", "sqrt", "pow", "integer_pow",
+    "shift_left", "shift_right_logical", "shift_right_arithmetic",
+    "eq", "ne", "lt", "le", "gt", "ge", "select_n", "convert_element_type",
+    "iota", "clamp", "is_finite", "nextafter", "population_count", "clz",
+    "erf_inv",
+}
+
+
+def _size(aval):
+    try:
+        return int(np.prod(aval.shape)) if aval.shape else 1
+    except Exception:
+        return 1
+
+
+def count_jaxpr(jaxpr, mult=1.0, while_hint=1, counts=None):
+    """Recursively tally VPU element-ops and MXU FLOPs in ``jaxpr``.
+
+    ``while_hint`` multiplies work inside `while` bodies (fori_loop trip
+    counts are not recorded in the jaxpr); `scan` lengths are exact.
+    """
+    if counts is None:
+        counts = defaultdict(float)
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "scan":
+            length = eqn.params.get("length", 1)
+            count_jaxpr(
+                eqn.params["jaxpr"].jaxpr, mult * length, while_hint, counts
+            )
+        elif prim == "while":
+            count_jaxpr(
+                eqn.params["body_jaxpr"].jaxpr, mult * while_hint,
+                while_hint, counts,
+            )
+        elif prim in ("cond", "custom_vjp_call_jaxpr", "custom_jvp_call",
+                      "custom_vjp_call"):
+            branches = eqn.params.get("branches")
+            if branches:
+                count_jaxpr(branches[0].jaxpr, mult, while_hint, counts)
+            else:
+                inner = eqn.params.get("call_jaxpr") or eqn.params.get(
+                    "fun_jaxpr"
+                )
+                if inner is not None:
+                    count_jaxpr(getattr(inner, "jaxpr", inner), mult,
+                                while_hint, counts)
+        elif prim in ("pjit", "closed_call", "core_call", "xla_call",
+                      "remat", "checkpoint", "custom_partitioning"):
+            inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            if inner is not None:
+                count_jaxpr(getattr(inner, "jaxpr", inner), mult,
+                            while_hint, counts)
+        elif prim == "pallas_call":
+            inner = eqn.params["jaxpr"]
+            grid_mapping = eqn.params.get("grid_mapping")
+            grid = getattr(grid_mapping, "grid", ()) if grid_mapping else ()
+            gprod = float(np.prod([int(g) for g in grid])) if grid else 1.0
+            counts["_pallas_grid"] = gprod
+            count_jaxpr(inner, mult * gprod, while_hint, counts)
+        elif prim == "dot_general":
+            ((lc, rc), _batch) = eqn.params["dimension_numbers"]
+            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+            k = int(np.prod([lhs.shape[d] for d in lc])) or 1
+            out = _size(eqn.outvars[0].aval)
+            counts["mxu_flops"] += mult * 2.0 * out * k
+        else:
+            base = prim.split("[")[0]
+            if base in _ELEMWISE_HINTS:
+                counts["vpu_elems"] += mult * sum(
+                    _size(v.aval) for v in eqn.outvars
+                )
+    return counts
+
+
+def report(name, counts, per_env_steps, measured_steps_s, hbm_bytes=0.0,
+           measured_ms=None):
+    vpu = counts["vpu_elems"] / per_env_steps
+    mxu = counts["mxu_flops"] / per_env_steps
+    line = (
+        f"{name:28s} {vpu:10.0f} elem-ops/env-step  "
+        f"{mxu:8.0f} MXU-FLOPs/env-step"
+    )
+    if measured_steps_s:
+        vpu_frac = vpu * measured_steps_s / VPU_PEAK
+        mxu_frac = mxu * measured_steps_s / MXU_PEAK
+        hbm_frac = (
+            hbm_bytes * measured_steps_s / HBM_PEAK if hbm_bytes else 0.0
+        )
+        line += (
+            f"  @ {measured_steps_s/1e6:.0f}M steps/s -> "
+            f"VPU {vpu_frac*100:.0f}%  MXU {mxu_frac*100:.1f}%"
+        )
+        if hbm_bytes:
+            line += f"  HBM {hbm_frac*100:.0f}%"
+    print(line, flush=True)
+    return {
+        "name": name,
+        "vpu_elems_per_env_step": vpu,
+        "mxu_flops_per_env_step": mxu,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measured-rollout", type=float, default=None,
+                    help="measured rollout env-steps/s (hardware)")
+    ap.add_argument("--measured-collect", type=float, default=None)
+    ap.add_argument("--measured-update-ms", type=float, default=None,
+                    help="measured ms of the full epochs x minibatches "
+                    "update phase at (n_envs=16384, T=128)")
+    ap.add_argument("--env", default="rware-tiny-2ag-v2")
+    ap.add_argument("--batch", type=int, default=65536)
+    ap.add_argument("--rollout-len", type=int, default=256)
+    args = ap.parse_args()
+
+    import rware_tpu
+    from rware_tpu.models import IPPOConfig
+    from rware_tpu.models.ippo_pallas import _pick_tc_len
+    from rware_tpu.models.ippo import init_runner
+    from rware_tpu.ops.pallas_rollout import (
+        ENV_BLOCK,
+        build_pallas_collect,
+        build_pallas_rollout,
+    )
+    from rware_tpu.parallel import batched_reset
+
+    env = rware_tpu.make(args.env)
+    B, T = args.batch, args.rollout_len
+
+    # ---- rollout kernel ----
+    roll = build_pallas_rollout(env.config, T)
+    states, _ = batched_reset(env, jax.random.key(0), B)
+    jaxpr = jax.make_jaxpr(lambda s: roll(s, 7))(states)
+    # the rollout kernel runs ALL T steps inside one kernel call
+    # (fori_loop(0, T) — pallas_rollout.py:526); fori with a static trip
+    # count lowers to scan so lengths are exact, but pass T as the hint in
+    # case it lowers to while on this jax version
+    counts = count_jaxpr(jaxpr.jaxpr, while_hint=T)
+    per_env_steps = float(B) * T
+    r = report("rollout kernel", counts, per_env_steps,
+               args.measured_rollout)
+
+    # ---- collect kernel (obs + policy + sampling + env) ----
+    cfg = IPPOConfig(n_envs=min(B, 16384), rollout_len=128)
+    runner, model, tx = init_runner(env, cfg, jax.random.key(0))
+    coll = build_pallas_collect(
+        env.config, cfg.rollout_len, tc_len=_pick_tc_len(cfg.rollout_len),
+        native_traj=True,
+    )
+    jaxpr_c = jax.make_jaxpr(
+        lambda s, p: coll(s, p, 7)
+    )(runner.env_states, runner.params)
+    counts_c = count_jaxpr(jaxpr_c.jaxpr,
+                           while_hint=_pick_tc_len(cfg.rollout_len))
+    per_env_steps_c = float(cfg.n_envs) * cfg.rollout_len
+    # trajectory emission: obs (T, L, N, RB, LANE) bf16 + scalars
+    L = env.config.policy_obs_length
+    n = env.n_agents
+    traj_bytes = (
+        cfg.rollout_len * cfg.n_envs * n * (2 * L + 4 * 4 + 4)
+    )
+    report("collect kernel", counts_c, per_env_steps_c,
+           args.measured_collect, hbm_bytes=traj_bytes / per_env_steps_c)
+
+    # ---- fused PPO update kernel (one epochs x minibatches phase) ----
+    from rware_tpu.ops.pallas_update import build_fused_ppo_grads
+    from rware_tpu.ops.pallas_rollout import LANE
+
+    rb = cfg.n_envs // LANE
+    mb_t = cfg.rollout_len // cfg.minibatches
+    grads_fn = build_fused_ppo_grads(
+        obs_len=L, hidden=tuple(model.hidden), n_actions=env.n_actions,
+        rollout_len=mb_t, n_agents=n, mb_rows=rb, clip_eps=cfg.clip_eps,
+        vf_coef=cfg.vf_coef, ent_coef=cfg.ent_coef,
+        msg_bits=env.config.msg_bits, dataset_len=cfg.rollout_len,
+    )
+    ds_shapes = (
+        jnp.zeros((cfg.rollout_len, L, n, rb, LANE), jnp.bfloat16),
+        jnp.zeros((cfg.rollout_len, n, rb, LANE), jnp.int32),
+        jnp.zeros((cfg.rollout_len, n, rb, LANE), jnp.float32),
+        jnp.zeros((cfg.rollout_len, n, rb, LANE), jnp.float32),
+        jnp.zeros((cfg.rollout_len, n, rb, LANE), jnp.float32),
+        jnp.zeros((cfg.rollout_len, n, rb, LANE), jnp.float32),
+    )
+    jaxpr_u = jax.make_jaxpr(
+        lambda p, ds: grads_fn(p, ds, 0)
+    )(runner.params, ds_shapes)
+    counts_u = count_jaxpr(jaxpr_u.jaxpr, while_hint=1)
+    # per MINIBATCH env-step (mb_t x n_envs env-steps consumed per pass)
+    per_mb_steps = float(cfg.n_envs) * mb_t
+    # HBM per pass: the obs minibatch read once (activations stay in VMEM)
+    upd_bytes = (mb_t * L * n * rb * LANE * 2 + 5 * mb_t * n * rb * LANE * 4)
+    m_upd = None
+    if args.measured_update_ms:
+        # measured ms covers the FULL epochs x minibatches phase; counts
+        # are per single pass, so the rate basis is pass-steps/s
+        passes = cfg.epochs * cfg.minibatches
+        m_upd = per_mb_steps * passes / (args.measured_update_ms / 1e3)
+    report("fused update kernel (1 pass)", counts_u, per_mb_steps,
+           m_upd, hbm_bytes=upd_bytes / per_mb_steps)
+
+
+if __name__ == "__main__":
+    main()
