@@ -37,7 +37,47 @@ def _disc_mask(cell: int, radius_frac: float) -> np.ndarray:
     return (yy - c) ** 2 + (xx - c) ** 2 <= (radius_frac * cell / 2) ** 2
 
 
-_DISC = _disc_mask(CELL, 0.8)
+def _hex_mask(cell: int, radius_frac: float) -> np.ndarray:
+    """Convex-polygon mask of the reference's resolution-6 'circle'
+    (rendering.py:264-287 draws agents as hexagons: 6 vertices at angles
+    2*pi*i/6)."""
+    c = (cell - 1) / 2
+    r = radius_frac * cell / 2
+    angles = 2 * np.pi * np.arange(6) / 6
+    vx = r * np.cos(angles) + c
+    vy = r * np.sin(angles) + c
+    yy, xx = np.mgrid[0:cell, 0:cell]
+    mask = np.ones((cell, cell), bool)
+    for i in range(6):
+        j = (i + 1) % 6
+        # inside = left of every edge (counter-clockwise winding)
+        cross = (vx[j] - vx[i]) * (yy - vy[i]) - (vy[j] - vy[i]) * (xx - vx[i])
+        mask &= cross >= 0
+    return mask
+
+
+# 5x7 "G" glyph, scaled below — the reference labels goal cells with a
+# white "G" (rendering.py:239-255)
+_G_GLYPH = np.array(
+    [
+        [0, 1, 1, 1, 0],
+        [1, 0, 0, 0, 1],
+        [1, 0, 0, 0, 0],
+        [1, 0, 1, 1, 1],
+        [1, 0, 0, 0, 1],
+        [1, 0, 0, 0, 1],
+        [0, 1, 1, 1, 0],
+    ],
+    bool,
+)
+
+
+def _scaled_glyph(glyph: np.ndarray, scale: int) -> np.ndarray:
+    return np.kron(glyph, np.ones((scale, scale), bool))
+
+
+_DISC = _hex_mask(CELL, 0.8)
+_G = _scaled_glyph(_G_GLYPH, 2)  # 10x14 px in a 30 px cell
 
 
 class Viewer:
@@ -55,11 +95,19 @@ class Viewer:
 
     def _render_static(self, h: int, w: int) -> np.ndarray:
         img = np.tile(BACKGROUND, (h * CELL + 1, w * CELL + 1, 1))
+        gh, gw = _G.shape
+        oy, ox = (CELL - gh) // 2, (CELL - gw) // 2
         for gx, gy in self.layout.goals:
             img[
                 gy * CELL : (gy + 1) * CELL + 1,
                 gx * CELL : (gx + 1) * CELL + 1,
             ] = GOAL
+            # white "G" label (reference rendering.py:239-255)
+            cellview = img[
+                gy * CELL + oy : gy * CELL + oy + gh,
+                gx * CELL + ox : gx * CELL + ox + gw,
+            ]
+            cellview[_G] = BACKGROUND
         img[:: CELL, :, :] = GRID_LINE
         img[:, :: CELL, :] = GRID_LINE
         return img
