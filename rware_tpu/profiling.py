@@ -66,13 +66,16 @@ class StepTimer:
         self._durations: list = []
         self._last: Optional[float] = None
 
-    def tick(self) -> None:
+    def tick(self, n_steps: int = 1) -> None:
+        """Record the time since the previous tick as ``n_steps`` equal
+        steps (pass n_steps>1 when ticking only at host-sync boundaries
+        that cover several train steps)."""
         now = time.perf_counter()
         if self._last is not None:
             if self._skip > 0:
                 self._skip -= 1
             else:
-                self._durations.append(now - self._last)
+                self._durations.append((now - self._last) / max(n_steps, 1))
                 if len(self._durations) > self._window:
                     self._durations.pop(0)
         self._last = now

