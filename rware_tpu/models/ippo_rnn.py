@@ -245,6 +245,7 @@ def build_rnn_train_step(
     return train_step
 
 
+import functools
 from functools import partial
 
 
@@ -383,6 +384,74 @@ def _gru_scan_bwd(hg, res, dhseq):
 _gru_scan.defvjp(_gru_scan_fwd, _gru_scan_bwd)
 
 
+# Which implementation _gru_native_replay uses for the time recurrence:
+#   "auto"              pallas kernels on TPU, the XLA scan on CPU
+#   "xla"               always the XLA scan (custom VJP above)
+#   "pallas"            always the pallas sequence kernels (hardware)
+#   "pallas_interpret"  pallas kernels in interpret mode (CPU tests)
+GRU_SEQ_IMPL = "auto"
+
+
+@functools.lru_cache(maxsize=None)
+def _gru_seq_kernels(t, n, rb, hg, interpret):
+    from rware_tpu.ops.pallas_gru import (
+        build_gru_seq_bwd,
+        build_gru_seq_fwd,
+    )
+
+    return (
+        build_gru_seq_fwd(t, n, rb, hg, interpret=interpret),
+        build_gru_seq_bwd(t, n, rb, hg, interpret=interpret),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gru_scan_pallas(hg, interpret, wh, bhn, ir, iz, inn, done_mask, h0):
+    """_gru_scan with the recurrence in Pallas (ops/pallas_gru): same
+    inputs/outputs, T-loop and hidden carry inside the kernel."""
+    t, n, rb = ir.shape[0], ir.shape[1], ir.shape[2]
+    fwd, _ = _gru_seq_kernels(t, n, rb, hg, interpret)
+    return fwd(wh, bhn, ir, iz, inn, done_mask, h0)
+
+
+def _gru_scan_pallas_fwd(hg, interpret, wh, bhn, ir, iz, inn, done_mask,
+                         h0):
+    hseq = _gru_scan_pallas(
+        hg, interpret, wh, bhn, ir, iz, inn, done_mask, h0
+    )
+    return hseq, (wh, bhn, ir, iz, inn, done_mask, h0, hseq)
+
+
+def _gru_scan_pallas_bwd(hg, interpret, res, dhseq):
+    wh, bhn, ir, iz, inn, done_mask, h0, hseq = res
+    t, n, rb = ir.shape[0], ir.shape[1], ir.shape[2]
+    _, bwd = _gru_seq_kernels(t, n, rb, hg, interpret)
+    dwh, dbhn, d_ir, d_iz, d_inn, dh0 = bwd(
+        wh, bhn, ir, iz, inn, done_mask, h0, hseq, dhseq
+    )
+    return (
+        dwh.astype(wh.dtype), dbhn.astype(bhn.dtype),
+        d_ir.astype(ir.dtype), d_iz.astype(iz.dtype),
+        d_inn.astype(inn.dtype),
+        jnp.zeros_like(done_mask), dh0.astype(h0.dtype),
+    )
+
+
+_gru_scan_pallas.defvjp(_gru_scan_pallas_fwd, _gru_scan_pallas_bwd)
+
+
+def _run_gru_scan(hg, wh, bhn, ir, iz, inn, done_mask, h0):
+    impl = GRU_SEQ_IMPL
+    if impl == "auto":
+        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "xla":
+        return _gru_scan(hg, wh, bhn, ir, iz, inn, done_mask, h0)
+    return _gru_scan_pallas(
+        hg, impl == "pallas_interpret",
+        wh, bhn, ir, iz, inn, done_mask, h0,
+    )
+
+
 def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
     """Replay the GRU over a kernel-native trajectory with BATCHED gate
     matmuls: the embed and the three input gates contract over every
@@ -431,7 +500,7 @@ def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
     )  # (Hg, 3Hg)
     bhn = g["hn"]["bias"]
 
-    hseq = _gru_scan(
+    hseq = _run_gru_scan(
         hg, wh, bhn, ir, iz, inn,
         (done != 0).astype(jnp.bfloat16), h0.astype(jnp.bfloat16),
     )  # (T, N, RB, LANE, Hg)

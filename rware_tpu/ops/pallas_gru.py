@@ -1,0 +1,332 @@
+"""Pallas GRU sequence kernels: the time recurrence of the native-layout
+recurrent-PPO update with the T-loop INSIDE the kernel.
+
+Why: the recurrent update's cost is per-step launch overhead, not compute —
+the XLA scan issues one tiny (rows, Hg) x (Hg, 3Hg) matmul per step, and at
+T=128 x 3 scans (fwd, recompute, reverse) x 16 minibatch passes the
+sequential step count dominates the update (tools/gru_bisect.py: 115 ms of
+a 127 ms train step at B=4096 AFTER the custom-VJP rewrite removed XLA's
+scan-transpose).  Here each grid cell owns an (env-chunk, time-chunk) tile:
+the hidden state (forward) / hidden adjoint (backward) persists in VMEM
+scratch across the sequential time-chunk grid axis, every per-step matmul
+and gate algebra runs from VMEM, and the (Hg, 3Hg) hidden-weight gradient
+accumulates in a VMEM-resident output block — HBM traffic is one read of
+the precomputed input gates plus the hidden-sequence stream.
+
+Scope: exactly the ``_gru_scan`` recurrence of models/ippo_rnn.py (whose
+hand-derived backward these kernels implement step-for-step); the big
+input-gate / embed / head matmuls stay in XLA where the MXU already
+saturates.  Cell semantics match models.ippo_rnn._gru_cell_fwd bit-for-bit
+(bf16 hidden, f32 gate pre-activations, carry reset at episode
+boundaries); equivalence is tested against the XLA scan and jax.grad in
+interpret mode (tests/test_pallas_gru.py).
+
+Layout notes: ``done`` rides as (T, 1, RB, LANE, 1) so the env-chunk axis
+sits outside Mosaic's last-two-dims tiling constraint; gate cotangents and
+the head cotangent stream are bf16 (matching the XLA path's bf16 dgates)
+to keep the per-cell block footprint inside VMEM with double-buffering.
+
+Reference parity anchor: the recurrent policy itself is this framework's
+addition (the reference env is policy-agnostic); the episode-boundary
+reset semantics mirror rware's per-episode termination
+(/root/reference/rware/warehouse.py:920-931).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _pick_chunks(t: int, rb: int, n: int, hg: int,
+                 bytes_per_el_t: int) -> Tuple[int, int]:
+    """(tc, rbc): time-chunk / env-chunk sizes keeping the per-cell
+    CHANGING block bytes (``bytes_per_el_t`` per (n*rbc*LANE*hg) chunk
+    element per time row) under ~5 MB — double-buffering doubles it."""
+    budget = 5 * 1024 * 1024
+    el = n * LANE * hg
+    best = (1, 1)
+    for tc in (8, 4, 2, 1):
+        if t % tc:
+            continue
+        for rbc in (8, 4, 2, 1):
+            if rb % rbc:
+                continue
+            if bytes_per_el_t * tc * rbc * el <= budget:
+                if tc * rbc > best[0] * best[1]:
+                    best = (tc, rbc)
+    return best
+
+
+def build_gru_seq_fwd(t: int, n: int, rb: int, hg: int,
+                      interpret: bool = False):
+    """Forward recurrence: (wh, bhn, ir, iz, inn, done, h0) -> hseq.
+
+    wh (Hg, 3Hg), bhn (Hg,) f32, gates ir/iz/inn (T, N, RB, LANE, Hg)
+    f32, done (T, 1, RB, LANE) (mask applied to the carry AFTER each
+    step), h0 (N, RB, LANE, Hg).  Returns hseq bf16 — the per-step hidden
+    BEFORE the boundary reset, exactly models.ippo_rnn._gru_scan.
+    """
+    # changing blocks per time row: 3 f32 gates + bf16 hseq out = 14 B/el
+    tc, rbc = _pick_chunks(t, rb, n, hg, bytes_per_el_t=14)
+    n_tc = t // tc
+    rows = n * rbc * LANE
+
+    def kernel(wh_ref, bhn_ref, ir_ref, iz_ref, inn_ref, done_ref,
+               h0_ref, out_ref, h_s):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            h_s[:] = h0_ref[:]
+
+        wh = wh_ref[:]
+        bhn = bhn_ref[:]
+        for lt in range(tc):
+            h4 = h_s[:]  # (N, rbc, LANE, Hg) bf16
+            hh = jax.lax.dot_general(
+                h4.reshape(rows, hg), wh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(n, rbc, LANE, 3 * hg)
+            r = jax.nn.sigmoid(
+                ir_ref[lt] + hh[..., :hg]
+            ).astype(jnp.bfloat16)
+            z = jax.nn.sigmoid(
+                iz_ref[lt] + hh[..., hg:2 * hg]
+            ).astype(jnp.bfloat16)
+            nn = jnp.tanh(
+                inn_ref[lt].astype(jnp.bfloat16)
+                + r * (hh[..., 2 * hg:] + bhn).astype(jnp.bfloat16)
+            )
+            new_h = (jnp.bfloat16(1.0) - z) * nn + z * h4
+            out_ref[lt] = new_h
+            m = done_ref[lt, 0]  # (rbc, LANE, 1)
+            h_s[:] = jnp.where(m != 0, jnp.bfloat16(0.0), new_h)
+
+    grid = (rb // rbc, n_tc)
+    gate_spec = pl.BlockSpec(
+        (tc, n, rbc, LANE, hg), lambda c, k: (k, 0, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((hg, 3 * hg), lambda c, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg), lambda c, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            gate_spec, gate_spec, gate_spec,
+            pl.BlockSpec((tc, 1, rbc, LANE, 1),
+                         lambda c, k: (k, 0, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, rbc, LANE, hg), lambda c, k: (0, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tc, n, rbc, LANE, hg), lambda c, k: (k, 0, c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (t, n, rb, LANE, hg), jnp.bfloat16
+        ),
+        scratch_shapes=[pltpu.VMEM((n, rbc, LANE, hg), jnp.bfloat16)],
+        interpret=interpret,
+    )
+
+    def fwd(wh, bhn, ir, iz, inn, done, h0):
+        return call(
+            wh.astype(jnp.bfloat16),
+            bhn.reshape(1, hg).astype(jnp.float32),
+            ir, iz, inn,
+            done.reshape(t, 1, rb, LANE, 1).astype(jnp.bfloat16),
+            h0.astype(jnp.bfloat16),
+        )
+
+    return fwd
+
+
+def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
+                      interpret: bool = False):
+    """Reverse recurrence of the hand-derived GRU backward.
+
+    (wh, bhn, ir, iz, inn, done, h0, hseq, dhseq) ->
+    (dwh, dbhn, d_ir, d_iz, d_inn, dh0).
+
+    The reverse time-chunk sweep carries ONLY the (N, rbc, LANE, Hg)
+    hidden adjoint in scratch; each step recomputes the forward gates from
+    the saved inputs/outputs (no residual storage), emits bf16 gate
+    cotangents, and accumulates the (Hg, 3Hg) hidden-weight gradient and
+    the candidate-bias gradient into VMEM-resident output blocks.  The
+    step algebra matches models.ippo_rnn._gru_scan_bwd exactly.
+    """
+    # changing blocks per time row: 3 f32 gates + bf16 dhseq + 3 bf16
+    # cotangent outs + bf16 hseq = 22 B/el
+    tc, rbc = _pick_chunks(t, rb, n, hg, bytes_per_el_t=22)
+    n_tc = t // tc
+    rows = n * rbc * LANE
+
+    def kernel(wh_ref, bhn_ref, ir_ref, iz_ref, inn_ref, done_ref,
+               donep_ref, h0_ref, hseq_ref, hprev_last_ref, dh_ref,
+               dir_out, diz_out, dinn_out, dwh_out, dbhn_out, dh0_out,
+               dc_s):
+        k = pl.program_id(1)
+        kk = n_tc - 1 - k  # time chunk being processed (reverse sweep)
+        first = (pl.program_id(0) == 0) & (k == 0)
+
+        @pl.when(first)
+        def _():
+            dwh_out[:] = jnp.zeros_like(dwh_out)
+            dbhn_out[:] = jnp.zeros_like(dbhn_out)
+
+        @pl.when(k == 0)
+        def _():
+            dc_s[:] = jnp.zeros_like(dc_s)
+
+        wh = wh_ref[:]
+        bhn = bhn_ref[:]
+        zero_b = jnp.bfloat16(0.0)
+        for lt in range(tc - 1, -1, -1):
+            # hidden INPUT of step t = kk*tc + lt: h0 at global t=0, else
+            # the reset-masked previous output (select via arithmetic —
+            # scalar-bool jnp.where mis-lowers on Mosaic)
+            if lt == 0:
+                hp_prev = jnp.where(
+                    donep_ref[0, 0] != 0, zero_b, hprev_last_ref[0]
+                )
+                is0 = (kk == 0).astype(jnp.bfloat16)
+                hp_t = is0 * h0_ref[:] + (jnp.bfloat16(1.0) - is0) * hp_prev
+            else:
+                hp_t = jnp.where(
+                    done_ref[lt - 1, 0] != 0, zero_b, hseq_ref[lt - 1]
+                )
+            hp2 = hp_t.reshape(rows, hg)
+            hh = jax.lax.dot_general(
+                hp2, wh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(n, rbc, LANE, 3 * hg)
+            r = jax.nn.sigmoid(ir_ref[lt] + hh[..., :hg])
+            z = jax.nn.sigmoid(iz_ref[lt] + hh[..., hg:2 * hg])
+            hhn = (hh[..., 2 * hg:] + bhn).astype(jnp.bfloat16)
+            nn = jnp.tanh(
+                inn_ref[lt].astype(jnp.bfloat16)
+                + r.astype(jnp.bfloat16) * hhn
+            ).astype(jnp.float32)
+            m = done_ref[lt, 0] != 0  # carry reset AFTER this step
+            dnh = dh_ref[lt].astype(jnp.float32) + jnp.where(
+                m, 0.0, dc_s[:]
+            )
+            hpf = hp_t.astype(jnp.float32)
+            dz_pre = dnh * (hpf - nn) * z * (1.0 - z)
+            dn_pre = dnh * (1.0 - z) * (1.0 - nn * nn)
+            dhhn = dn_pre * r
+            dr_pre = dn_pre * hhn.astype(jnp.float32) * r * (1.0 - r)
+            dg3 = jnp.concatenate(
+                [dr_pre, dz_pre, dhhn], axis=-1
+            ).astype(jnp.bfloat16).reshape(rows, 3 * hg)
+            dh_prev = dnh * z + jax.lax.dot_general(
+                dg3, wh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(n, rbc, LANE, hg)
+            dwh_out[:] += jax.lax.dot_general(
+                hp2, dg3, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dbhn_out[:] += jnp.sum(
+                dhhn.reshape(rows, hg), axis=0, keepdims=True
+            )
+            dir_out[lt] = dr_pre.astype(jnp.bfloat16)
+            diz_out[lt] = dz_pre.astype(jnp.bfloat16)
+            dinn_out[lt] = dn_pre.astype(jnp.bfloat16)
+            dc_s[:] = dh_prev
+            if lt == 0:
+                dh0_val = dh_prev
+
+                @pl.when(kk == 0)
+                def _():
+                    dh0_out[:] = dh0_val
+
+    grid = (rb // rbc, n_tc)
+    rev_gate = lambda c, k: (n_tc - 1 - k, 0, c, 0, 0)
+
+    def prev_done(c, k):
+        # element row (kk*tc - 1) of done (block size 1 on T), clamped;
+        # the kk==0 read is discarded by the h0 select above
+        return (jnp.maximum((n_tc - 1 - k) * tc - 1, 0), 0, c, 0, 0)
+
+    def prev_h(c, k):
+        return (jnp.maximum((n_tc - 1 - k) * tc - 1, 0), 0, c, 0, 0)
+
+    gate_spec = pl.BlockSpec(
+        (tc, n, rbc, LANE, hg), rev_gate, memory_space=pltpu.VMEM
+    )
+    done_spec = pl.BlockSpec(
+        (tc, 1, rbc, LANE, 1), lambda c, k: (n_tc - 1 - k, 0, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    hblock = pl.BlockSpec(
+        (n, rbc, LANE, hg), lambda c, k: (0, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec((hg, 3 * hg), lambda c, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg), lambda c, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+        gate_spec, gate_spec, gate_spec,
+        done_spec,
+        pl.BlockSpec((1, 1, rbc, LANE, 1), prev_done,
+                     memory_space=pltpu.VMEM),
+        hblock,
+        gate_spec,  # hseq (bf16 blocks, same shape/map)
+        pl.BlockSpec((1, n, rbc, LANE, hg), prev_h,
+                     memory_space=pltpu.VMEM),
+        gate_spec,  # dhseq (bf16)
+    ]
+    out_specs = [
+        gate_spec, gate_spec, gate_spec,
+        pl.BlockSpec((hg, 3 * hg), lambda c, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg), lambda c, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+        hblock,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t, n, rb, LANE, hg), jnp.bfloat16),
+        jax.ShapeDtypeStruct((t, n, rb, LANE, hg), jnp.bfloat16),
+        jax.ShapeDtypeStruct((t, n, rb, LANE, hg), jnp.bfloat16),
+        jax.ShapeDtypeStruct((hg, 3 * hg), jnp.float32),
+        jax.ShapeDtypeStruct((1, hg), jnp.float32),
+        jax.ShapeDtypeStruct((n, rb, LANE, hg), jnp.float32),
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((n, rbc, LANE, hg), jnp.float32)],
+        interpret=interpret,
+    )
+
+    def bwd(wh, bhn, ir, iz, inn, done, h0, hseq, dhseq):
+        done5 = done.reshape(t, 1, rb, LANE, 1).astype(jnp.bfloat16)
+        d_ir, d_iz, d_inn, dwh, dbhn, dh0 = call(
+            wh.astype(jnp.bfloat16),
+            bhn.reshape(1, hg).astype(jnp.float32),
+            ir, iz, inn, done5, done5,
+            h0.astype(jnp.bfloat16), hseq, hseq,
+            dhseq.astype(jnp.bfloat16),
+        )
+        return (
+            dwh, dbhn.reshape(bhn.shape),
+            d_ir.astype(jnp.float32), d_iz.astype(jnp.float32),
+            d_inn.astype(jnp.float32), dh0,
+        )
+
+    return bwd

@@ -32,6 +32,9 @@ CELLS = [
     ("B=8192 T=128 fori", "rware-large-8ag-v2", 8192, 128, True),
     ("large-grid N=2", "rware-large-2ag-v2", 8192, 128, False),
     ("medium-grid N=8", "rware-medium-8ag-v2", 8192, 128, False),
+    # batch threshold on the large grid (B=1024 passes, B=8192 fails):
+    ("B=2048", "rware-large-8ag-v2", 2048, 128, False),
+    ("B=4096", "rware-large-8ag-v2", 4096, 128, False),
 ]
 
 

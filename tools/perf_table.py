@@ -28,6 +28,7 @@ DEFAULT_CONFIGS = [
     ("rware-large-8ag-v2", 8192),
     ("rware-tiny-12ag-v2", 4096),
     ("rware-tiny-16ag-v2", 4096),
+    ("rware-large-19ag-v2", 2048),
 ]
 
 
