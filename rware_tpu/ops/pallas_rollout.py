@@ -553,6 +553,7 @@ def build_pallas_rollout(
     scripted: bool = False,
     interpret: bool = False,
     debug_level: int = 0,
+    max_envs_per_call: Optional[int] = None,
 ):
     """Returns ``rollout(state_batch, seed[, actions]) -> (state_batch,
     rewards_sum (B, N), episodes (B,))``.
@@ -734,7 +735,58 @@ def build_pallas_rollout(
         )
         return new_state, to(rew), epis.reshape(b)
 
-    return rollout
+    # Fresh large-grid programs crash the remote compile helper above a
+    # batch threshold even though the Mosaic program is B-independent
+    # (tools/large8_compile_bisect.py; ROADMAP #1).  Above the cap, run
+    # the SAME known-good program over batch chunks inside one jit:
+    # lax.map compiles the kernel once, and the per-chunk seed offset
+    # keeps every env block's PRNG stream identical to the unchunked
+    # program (the kernel seeds with seed + program_id; TPU grid cells
+    # execute sequentially anyway, so chunking costs only the map glue).
+    if max_envs_per_call is None and H * W >= 400:
+        max_envs_per_call = 1024
+    cap = max_envs_per_call
+
+    def rollout_chunked(
+        state: WarehouseState, seed, actions: Optional[jax.Array] = None
+    ):
+        b = state.agent_x.shape[0]
+        if cap is None or b <= cap or b % cap:
+            return rollout(state, seed, actions)
+        n_chunks = b // cap
+
+        def split(x):
+            return x.reshape((n_chunks, cap) + x.shape[1:])
+
+        st_c = jax.tree.map(split, state)
+        seeds = (
+            jnp.asarray(seed, jnp.int32)
+            + jnp.arange(n_chunks, dtype=jnp.int32) * (cap // E)
+        )
+        if scripted:
+            if actions is None:
+                raise ValueError("scripted mode needs actions (T, B, N)")
+            acts_c = jnp.moveaxis(
+                actions.reshape(
+                    (n_steps, n_chunks, cap) + actions.shape[2:]
+                ),
+                1, 0,
+            )
+            ns, rew, epis = jax.lax.map(
+                lambda a: rollout(a[0], a[1], a[2]),
+                (st_c, seeds, acts_c),
+            )
+        else:
+            ns, rew, epis = jax.lax.map(
+                lambda a: rollout(a[0], a[1]), (st_c, seeds)
+            )
+
+        def join(x):
+            return x.reshape((b,) + x.shape[2:])
+
+        return jax.tree.map(join, ns), join(rew), join(epis)
+
+    return rollout_chunked
 
 
 # ---------------------------------------------------------------------------

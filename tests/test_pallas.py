@@ -208,3 +208,29 @@ def test_zero_request_queue_rollout():
     ns, rew, epis = roll(states, 0, actions)
     assert float(np.asarray(rew).sum()) == 0.0
     assert int(ns.cur_steps[0]) == 3
+
+
+def test_chunked_rollout_matches_unchunked():
+    """max_envs_per_call chunking (the large-grid compile mitigation) is
+    bit-identical to the single-call program, including episode counts."""
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    n = env.n_agents
+    B, T = 2 * ENV_BLOCK, 9
+    states, _ = batched_reset(env, jax.random.key(3), B)
+    rng = np.random.default_rng(7)
+    actions = jnp.asarray(rng.integers(0, 5, (T, B, n)), dtype=jnp.int32)
+
+    roll1 = build_pallas_rollout(env.config, T, scripted=True,
+                                 interpret=True)
+    roll2 = build_pallas_rollout(env.config, T, scripted=True,
+                                 interpret=True,
+                                 max_envs_per_call=ENV_BLOCK)
+    s1, r1, e1 = roll1(states, 0, actions)
+    s2, r2, e2 = roll2(states, 0, actions)
+    for f in DYNAMICS_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s1, f)), np.asarray(getattr(s2, f)),
+            err_msg=f,
+        )
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))

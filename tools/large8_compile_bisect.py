@@ -55,7 +55,9 @@ def main():
         env = rware_tpu.make(env_id)
         t0 = time.time()
         try:
-            roll = build_pallas_rollout(env.config, T)
+            # max_envs_per_call=B disables the auto-chunking mitigation —
+            # this tool measures the raw single-call compile threshold
+            roll = build_pallas_rollout(env.config, T, max_envs_per_call=B)
             states, _ = batched_reset(env, jax.random.key(0), B)
             if chained:
                 def body(i, carry):
