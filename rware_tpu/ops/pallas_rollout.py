@@ -1595,6 +1595,7 @@ def build_pallas_collect(
     deterministic: bool = False,
     native_traj: bool = False,
     policy: str = "mlp",
+    max_envs_per_call: Optional[int] = None,
 ):
     """Fused experience collector: obs + policy + sampling + env step in
     one kernel, trajectories streamed to HBM in time-chunks.
@@ -1967,4 +1968,59 @@ def build_pallas_collect(
             return new_state, h_out, traj
         return new_state, traj
 
-    return collect
+    # Large-grid batch chunking, mirroring build_pallas_rollout: above the
+    # cap the SAME known-good program runs over batch chunks via lax.map
+    # (one compile); the per-chunk seed offset keeps each env block's PRNG
+    # stream identical to the unchunked program (the kernel seeds with
+    # seed + program_id * n_tc + tc).
+    if max_envs_per_call is None and H * W >= 400:
+        max_envs_per_call = ENV_BLOCK
+    cap = max_envs_per_call
+
+    def collect_chunked(state: WarehouseState, params, seed, h0=None):
+        b = state.agent_x.shape[0]
+        if cap is None or b <= cap or b % cap:
+            return collect(state, params, seed, h0=h0)
+        n_chunks = b // cap
+
+        def split(x):
+            return x.reshape((n_chunks, cap) + x.shape[1:])
+
+        st_c = jax.tree.map(split, state)
+        seeds = (
+            jnp.asarray(seed, jnp.int32)
+            + jnp.arange(n_chunks, dtype=jnp.int32) * (cap // ENV_BLOCK)
+            * n_tc
+        )
+
+        def join_state(x):
+            return x.reshape((b,) + x.shape[2:])
+
+        def join_traj(x):
+            if native_traj:
+                # (C, T, ..., RBc, LANE): merge the chunk axis into RB
+                # (global rb = chunk * RBc + local rb, so C rides major)
+                y = jnp.moveaxis(x, 0, -3)
+                return y.reshape(y.shape[:-3] + (b // LANE, LANE))
+            # friendly layout: env axis is axis 1 of every leaf
+            y = jnp.moveaxis(x, 0, 1)
+            return y.reshape((y.shape[0], b) + y.shape[3:])
+
+        if policy == "gru":
+            if h0 is None:
+                raise ValueError("gru collect needs the (B, N, Hg) carry")
+            ns, nh, traj = jax.lax.map(
+                lambda a: collect(a[0], params, a[1], h0=a[2]),
+                (st_c, seeds, split(h0)),
+            )
+            return (
+                jax.tree.map(join_state, ns),
+                join_state(nh),
+                jax.tree.map(join_traj, traj),
+            )
+        ns, traj = jax.lax.map(
+            lambda a: collect(a[0], params, a[1]), (st_c, seeds)
+        )
+        return jax.tree.map(join_state, ns), jax.tree.map(join_traj, traj)
+
+    return collect_chunked

@@ -540,3 +540,61 @@ def test_msg_pallas_train_step_runs():
         new_runner.params,
     )
     assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_chunked_collect_matches_unchunked():
+    """max_envs_per_call chunking of the collect kernel (large-grid
+    compile mitigation) is bit-identical to the single-call program in
+    both trajectory layouts, including the GRU carry."""
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    B = 2 * ENV_BLOCK
+    states, _ = batched_reset(env, jax.random.key(5), B)
+    model = ActorCritic(n_actions=5)
+    params = model.init(jax.random.key(1), jnp.zeros((1, 2, 71)))
+    for native in (True, False):
+        c1 = build_pallas_collect(
+            env.config, 8, tc_len=4, interpret=True, deterministic=True,
+            native_traj=native,
+        )
+        c2 = build_pallas_collect(
+            env.config, 8, tc_len=4, interpret=True, deterministic=True,
+            native_traj=native, max_envs_per_call=ENV_BLOCK,
+        )
+        s1, t1 = c1(states, params, 3)
+        s2, t2 = c2(states, params, 3)
+        for k in t1:
+            np.testing.assert_array_equal(
+                np.asarray(t1[k], np.float32),
+                np.asarray(t2[k], np.float32), err_msg=f"{native} {k}",
+            )
+        np.testing.assert_array_equal(
+            np.asarray(s1.agent_x), np.asarray(s2.agent_x)
+        )
+    # GRU variant: carry plumbing through the chunked path
+    from rware_tpu.models.networks import RecurrentActorCritic
+
+    rmodel = RecurrentActorCritic(n_actions=5, hidden=16, embed=12)
+    rparams = rmodel.init(
+        jax.random.key(2), rmodel.initialize_carry((1, 2)),
+        jnp.zeros((1, 2, 71)),
+    )
+    h0 = jnp.zeros((B, 2, 16), jnp.bfloat16)
+    g1 = build_pallas_collect(
+        env.config, 8, hidden=(12, 16), tc_len=4, interpret=True,
+        deterministic=True, native_traj=True, policy="gru",
+    )
+    g2 = build_pallas_collect(
+        env.config, 8, hidden=(12, 16), tc_len=4, interpret=True,
+        deterministic=True, native_traj=True, policy="gru",
+        max_envs_per_call=ENV_BLOCK,
+    )
+    s1, h1, t1 = g1(states, rparams, 3, h0=h0)
+    s2, h2, t2 = g2(states, rparams, 3, h0=h0)
+    np.testing.assert_array_equal(
+        np.asarray(h1, np.float32), np.asarray(h2, np.float32)
+    )
+    for k in t1:
+        np.testing.assert_array_equal(
+            np.asarray(t1[k], np.float32), np.asarray(t2[k], np.float32),
+            err_msg=k,
+        )
