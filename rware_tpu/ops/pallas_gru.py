@@ -172,7 +172,7 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
     rows = n * rbc * LANE
 
     def kernel(wh_ref, bhn_ref, ir_ref, iz_ref, inn_ref, done_ref,
-               donep_ref, h0_ref, hseq_ref, hprev_last_ref, dh_ref,
+               hseq_ref, hboundary_ref, dh_ref,
                dir_out, diz_out, dinn_out, dwh_out, dbhn_out, dh0_out,
                dc_s):
         k = pl.program_id(1)
@@ -192,15 +192,12 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
         bhn = bhn_ref[:]
         zero_b = jnp.bfloat16(0.0)
         for lt in range(tc - 1, -1, -1):
-            # hidden INPUT of step t = kk*tc + lt: h0 at global t=0, else
-            # the reset-masked previous output (select via arithmetic —
-            # scalar-bool jnp.where mis-lowers on Mosaic)
+            # hidden INPUT of step t = kk*tc + lt: inside the chunk it is
+            # the reset-masked previous output; at the chunk boundary the
+            # precomputed hboundary row (h0 at kk=0, masked hseq[kk*tc-1]
+            # otherwise — assembled in XLA, one row per chunk)
             if lt == 0:
-                hp_prev = jnp.where(
-                    donep_ref[0, 0] != 0, zero_b, hprev_last_ref[0]
-                )
-                is0 = (kk == 0).astype(jnp.bfloat16)
-                hp_t = is0 * h0_ref[:] + (jnp.bfloat16(1.0) - is0) * hp_prev
+                hp_t = hboundary_ref[0]
             else:
                 hp_t = jnp.where(
                     done_ref[lt - 1, 0] != 0, zero_b, hseq_ref[lt - 1]
@@ -254,14 +251,6 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
     grid = (rb // rbc, n_tc)
     rev_gate = lambda c, k: (n_tc - 1 - k, 0, c, 0, 0)
 
-    def prev_done(c, k):
-        # element row (kk*tc - 1) of done (block size 1 on T), clamped;
-        # the kk==0 read is discarded by the h0 select above
-        return (jnp.maximum((n_tc - 1 - k) * tc - 1, 0), 0, c, 0, 0)
-
-    def prev_h(c, k):
-        return (jnp.maximum((n_tc - 1 - k) * tc - 1, 0), 0, c, 0, 0)
-
     gate_spec = pl.BlockSpec(
         (tc, n, rbc, LANE, hg), rev_gate, memory_space=pltpu.VMEM
     )
@@ -280,12 +269,12 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
                      memory_space=pltpu.VMEM),
         gate_spec, gate_spec, gate_spec,
         done_spec,
-        pl.BlockSpec((1, 1, rbc, LANE, 1), prev_done,
-                     memory_space=pltpu.VMEM),
-        hblock,
         gate_spec,  # hseq (bf16 blocks, same shape/map)
-        pl.BlockSpec((1, n, rbc, LANE, hg), prev_h,
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, n, rbc, LANE, hg),
+            lambda c, k: (n_tc - 1 - k, 0, c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),  # hboundary: one precomputed chunk-boundary hidden per chunk
         gate_spec,  # dhseq (bf16)
     ]
     out_specs = [
@@ -316,11 +305,24 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
 
     def bwd(wh, bhn, ir, iz, inn, done, h0, hseq, dhseq):
         done5 = done.reshape(t, 1, rb, LANE, 1).astype(jnp.bfloat16)
+        # chunk-boundary hidden inputs (one row per time chunk): h0 for
+        # chunk 0, the reset-masked hseq[kk*tc - 1] otherwise — n_tc rows
+        # assembled in XLA so the kernel needs no scalar select
+        hb = jnp.concatenate(
+            [
+                h0.astype(jnp.bfloat16)[None],
+                jnp.where(
+                    done5[tc - 1::tc][: n_tc - 1] != 0,
+                    jnp.bfloat16(0.0),
+                    hseq[tc - 1::tc][: n_tc - 1],
+                ),
+            ],
+            axis=0,
+        )  # (n_tc, N, RB, LANE, Hg)
         d_ir, d_iz, d_inn, dwh, dbhn, dh0 = call(
             wh.astype(jnp.bfloat16),
             bhn.reshape(1, hg).astype(jnp.float32),
-            ir, iz, inn, done5, done5,
-            h0.astype(jnp.bfloat16), hseq, hseq,
+            ir, iz, inn, done5, hseq, hb,
             dhseq.astype(jnp.bfloat16),
         )
         return (
