@@ -227,13 +227,19 @@ def ppo_update_epochs(model, cfg: IPPOConfig, tx, params, opt_state, dataset, ke
     )
 
 
-def make_optimizer(cfg: IPPOConfig) -> optax.GradientTransformation:
+def make_lr_schedule(cfg: IPPOConfig):
+    """The per-step learning rate as a callable of the optimizer count —
+    the schedule the in-kernel optimizer of
+    ops/pallas_update.build_fused_ppo_update_phase replays exactly."""
     if cfg.anneal_lr:
-        sched = optax.linear_schedule(
+        return optax.linear_schedule(
             cfg.lr, 0.0, cfg.total_updates * cfg.epochs * cfg.minibatches
         )
-    else:
-        sched = cfg.lr
+    return lambda count: jnp.full((), cfg.lr, jnp.float32)
+
+
+def make_optimizer(cfg: IPPOConfig) -> optax.GradientTransformation:
+    sched = make_lr_schedule(cfg) if cfg.anneal_lr else cfg.lr
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(sched, eps=1e-5),

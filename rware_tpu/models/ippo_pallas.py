@@ -301,6 +301,124 @@ def ppo_update_epochs_native(
     )
 
 
+def _params_to_arrays(params):
+    p = params["params"]
+    return [
+        p["dense_0"]["kernel"], p["dense_0"]["bias"][None, :],
+        p["dense_1"]["kernel"], p["dense_1"]["bias"][None, :],
+        p["policy"]["kernel"], p["policy"]["bias"][None, :],
+        p["value"]["kernel"], p["value"]["bias"][None, :],
+    ]
+
+
+def _arrays_to_params(arrays, like):
+    w0, b0, w1, b1, wp, bp, wv, bv = arrays
+    tpl = like["params"]
+
+    def leaf(new, old):
+        return new.astype(old.dtype)
+
+    return {
+        "params": {
+            "dense_0": {
+                "kernel": leaf(w0, tpl["dense_0"]["kernel"]),
+                "bias": leaf(b0[0], tpl["dense_0"]["bias"]),
+            },
+            "dense_1": {
+                "kernel": leaf(w1, tpl["dense_1"]["kernel"]),
+                "bias": leaf(b1[0], tpl["dense_1"]["bias"]),
+            },
+            "policy": {
+                "kernel": leaf(wp, tpl["policy"]["kernel"]),
+                "bias": leaf(bp[0], tpl["policy"]["bias"]),
+            },
+            "value": {
+                "kernel": leaf(wv, tpl["value"]["kernel"]),
+                "bias": leaf(bv[0], tpl["value"]["bias"]),
+            },
+        }
+    }
+
+
+def ppo_update_phase_fused(cfg, params, opt_state, dataset, key, update_fn):
+    """Run the whole-update-phase kernel
+    (ops/pallas_update.build_fused_ppo_update_phase) and rebuild the optax
+    state around it: per-pass window starts / advantage stats / Adam
+    hyper rows are computed here, the kernel owns everything else.
+
+    Matches ppo_update_epochs_native's semantics exactly: time-axis
+    zero-copy minibatch windows with a fresh random rotation per epoch,
+    clip_by_global_norm -> adam(lr schedule) per pass."""
+    from rware_tpu.models.ippo import make_lr_schedule
+
+    obs, action, logp_old, value_old, adv, target = dataset
+    t_full = action.shape[0]
+    mb_t = t_full // cfg.minibatches
+    P = cfg.epochs * cfg.minibatches
+
+    offs = jax.vmap(
+        lambda k: jax.random.randint(k, (), 0, t_full)
+    )(jax.random.split(key, cfg.epochs))  # (E,)
+    m_idx = jnp.arange(cfg.minibatches, dtype=jnp.int32)
+    starts = (
+        (m_idx[None, :] * mb_t - offs[:, None]) % t_full
+    ).reshape(P)
+
+    # per-pass advantage stats over each window (population std, as
+    # jnp.std of the sliced window computes)
+    t_mean = adv.astype(jnp.float32).mean(axis=(1, 2, 3))  # (T,)
+    t_sqmean = (adv.astype(jnp.float32) ** 2).mean(axis=(1, 2, 3))
+    widx = (starts[:, None] + jnp.arange(mb_t)[None, :]) % t_full
+    w_mean = t_mean[widx].mean(axis=1)
+    w_var = jnp.maximum(t_sqmean[widx].mean(axis=1) - w_mean**2, 0.0)
+    advstats = jnp.stack(
+        [w_mean, 1.0 / (jnp.sqrt(w_var) + 1e-8)], axis=1
+    )  # (P, 2)
+
+    adam = opt_state[1][0]
+    count = adam.count
+    sched = make_lr_schedule(cfg)
+    q = jnp.arange(P, dtype=jnp.int32)
+    t_adam = (count + q + 1).astype(jnp.float32)
+    hyper = jnp.stack(
+        [
+            jax.vmap(lambda c: jnp.asarray(sched(c), jnp.float32))(
+                count + q
+            ),
+            1.0 / (1.0 - jnp.power(0.9, t_adam)),
+            1.0 / (1.0 - jnp.power(0.999, t_adam)),
+        ],
+        axis=1,
+    )  # (P, 3)
+
+    new_w, new_mu, new_nu, mets = update_fn(
+        _params_to_arrays(params),
+        _params_to_arrays(adam.mu),
+        _params_to_arrays(adam.nu),
+        (obs, action, logp_old, value_old, adv, target),
+        starts, advstats, hyper,
+    )
+    new_params = _arrays_to_params(new_w, params)
+    new_adam = adam._replace(
+        count=count + P,
+        mu=_arrays_to_params(new_mu, params),
+        nu=_arrays_to_params(new_nu, params),
+    )
+    sched_state = opt_state[1][1]
+    if "count" in getattr(sched_state, "_fields", ()):
+        sched_state = sched_state._replace(count=sched_state.count + P)
+    new_opt_state = (opt_state[0], (new_adam, sched_state))
+
+    inv_n = 1.0 / (mb_t * action.shape[1] * action.shape[2] * action.shape[3])
+    metrics = {
+        "pg_loss": -(mets[:, 0] * inv_n),
+        "v_loss": mets[:, 1] * inv_n,
+        "entropy": mets[:, 2] * inv_n,
+        "approx_kl": mets[:, 3] * inv_n,
+    }
+    return (new_params, new_opt_state), metrics
+
+
 def init_pallas_runner(env, cfg, key, model=None):
     """Same runner as models.ippo.init_runner (shapes are compatible)."""
     from rware_tpu.models.ippo import init_runner
@@ -317,6 +435,7 @@ def build_pallas_train_step(
     deterministic_collect: bool = False,
     native: bool = True,
     fused_update: bool = True,
+    fused_update_phase: Optional[bool] = None,
     mesh=None,
     mesh_axis: str = "env",
 ) -> Callable[[RunnerState], Tuple[RunnerState, dict]]:
@@ -364,8 +483,36 @@ def build_pallas_train_step(
     streams_per_shard = (n_local // ENV_BLOCK) * n_tc
     axis_name = mesh_axis if mesh is not None else None
 
+    # Whole-phase kernel: optimizer runs in-kernel, so it is incompatible
+    # with the per-minibatch gradient pmean of the mesh path and with the
+    # message head; default on exactly when those don't apply.
+    if fused_update_phase is None:
+        fused_update_phase = (
+            native and fused_update and mesh is None
+            and env.config.msg_bits == 0
+        )
     grads_fn = None
-    if native and fused_update:
+    update_phase_fn = None
+    if native and fused_update_phase and mesh is None \
+            and env.config.msg_bits == 0:
+        from rware_tpu.ops.pallas_update import build_fused_ppo_update_phase
+
+        update_phase_fn = build_fused_ppo_update_phase(
+            obs_len=env.config.policy_obs_length,
+            hidden=hidden,
+            n_actions=env.n_actions,
+            dataset_len=cfg.rollout_len,
+            n_agents=env.n_agents,
+            mb_rows=n_local // LANE,
+            epochs=cfg.epochs,
+            minibatches=cfg.minibatches,
+            clip_eps=cfg.clip_eps,
+            vf_coef=cfg.vf_coef,
+            ent_coef=cfg.ent_coef,
+            max_grad_norm=cfg.max_grad_norm,
+            interpret=interpret,
+        )
+    elif native and fused_update:
         from rware_tpu.ops.pallas_update import build_fused_ppo_grads
 
         # time-axis minibatches: each is a T/M window over the FULL local
@@ -416,10 +563,16 @@ def build_pallas_train_step(
         )
         if "bits" in traj:
             dataset = dataset + (traj["bits"],)
-        (params, opt_state), metrics = ppo_update_epochs_native(
-            cfg, tx, runner.params, runner.opt_state, dataset, k_perm,
-            axis_name=axis_name, grads_fn=grads_fn,
-        )
+        if update_phase_fn is not None:
+            (params, opt_state), metrics = ppo_update_phase_fused(
+                cfg, runner.params, runner.opt_state, dataset, k_perm,
+                update_phase_fn,
+            )
+        else:
+            (params, opt_state), metrics = ppo_update_epochs_native(
+                cfg, tx, runner.params, runner.opt_state, dataset, k_perm,
+                axis_name=axis_name, grads_fn=grads_fn,
+            )
         reward_sum = traj["reward"].sum()
         episodes = traj["done"].sum()
         if axis_name is not None:

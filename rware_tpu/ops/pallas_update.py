@@ -835,3 +835,332 @@ def build_fused_seac_ppo_grads(
         return grads_tree, metrics
 
     return grads
+
+
+# ---------------------------------------------------------------------------
+# Whole-update-phase kernel: E epochs x M minibatches, optimizer included.
+# ---------------------------------------------------------------------------
+
+
+def build_fused_ppo_update_phase(
+    obs_len: int,
+    hidden: Tuple[int, int],
+    n_actions: int,
+    dataset_len: int,
+    n_agents: int,
+    mb_rows: int,
+    epochs: int,
+    minibatches: int,
+    clip_eps: float,
+    vf_coef: float,
+    ent_coef: float,
+    max_grad_norm: float,
+    interpret: bool = False,
+):
+    """The ENTIRE PPO update phase — every epoch x minibatch gradient pass
+    plus the optimizer (global-norm clip -> Adam) — as ONE Pallas program.
+
+    Why: with the per-minibatch fused kernel the update phase still pays
+    16 XLA segments of optimizer/adv-stat/scheduling glue between kernel
+    launches (~6 ms of the 42 ms train step at B=16,384,
+    tools/native_bisect.py).  Here parameters and Adam moments live in
+    VMEM-resident output blocks for the whole phase, gradients accumulate
+    in VMEM scratch, and the optimizer step (exact optax semantics:
+    clip_by_global_norm then scale_by_adam with bias correction and the
+    per-pass learning rate) runs in-kernel at each pass boundary.  HBM
+    traffic for the phase = E x M dataset reads + one parameter write.
+
+    Returns ``update(params_arrays, mu_arrays, nu_arrays, batch, starts,
+    advstats, hyper) -> (new_params, new_mu, new_nu, metrics (P, 4))``
+    where the *_arrays are the 8 (kernel-layout) parameter blocks,
+    ``starts`` (P,) int32 per-pass window starts, ``advstats`` (P, 2)
+    [mean, inv_std], ``hyper`` (P, 3) [lr_t, 1/(1-b1^t), 1/(1-b2^t)].
+    Time-axis zero-copy minibatching only; shared-parameter MLP without
+    message head (msg_bits configs use the per-pass kernel).
+    """
+    L, (H1, H2), A = obs_len, hidden, n_actions
+    T_full, N = dataset_len, n_agents
+    T_mb = T_full // minibatches
+    P = epochs * minibatches
+    rb_chunk = mb_rows
+    while rb_chunk > 32 or mb_rows % rb_chunk:
+        rb_chunk -= 1
+    C = mb_rows // rb_chunk
+    M = rb_chunk * LANE
+    cpp = T_mb * N * C  # grid cells per pass
+    total = P * cpp + 1  # +1: final boundary cell applies the last pass
+    inv_n = 1.0 / (T_mb * N * mb_rows * LANE)
+    eps = clip_eps
+    b1, b2 = 0.9, 0.999
+    adam_eps = 1e-5
+
+    pshapes = [
+        (L, H1), (1, H1), (H1, H2), (1, H2),
+        (H2, A), (1, A), (H2, 1), (1, 1),
+    ]
+    NP = len(pshapes)
+
+    def decode(i):
+        p = jnp.minimum(i // cpp, P - 1)
+        local = jnp.minimum(i - p * cpp, cpp - 1)
+        t = local // (N * C)
+        n = (local // C) % N
+        c = local % C
+        return p, t, n, c
+
+    def kernel(*refs):
+        refs = list(refs)
+        starts_ref = refs.pop(0)  # scalar-prefetch (P,)
+        advstats_ref = refs.pop(0)  # SMEM (P, 2)
+        hyper_ref = refs.pop(0)  # SMEM (P, 3)
+        data_refs = [refs.pop(0) for _ in range(6)]
+        win = [refs.pop(0) for _ in range(NP)]
+        muin = [refs.pop(0) for _ in range(NP)]
+        nuin = [refs.pop(0) for _ in range(NP)]
+        wout = [refs.pop(0) for _ in range(NP)]
+        muout = [refs.pop(0) for _ in range(NP)]
+        nuout = [refs.pop(0) for _ in range(NP)]
+        mets = refs.pop(0)  # SMEM (P, 4)
+        gacc = refs  # NP scratch blocks
+
+        i = pl.program_id(0)
+        p, t, n, c = decode(i)
+
+        @pl.when(i == 0)
+        def _():
+            for k in range(NP):
+                wout[k][:] = win[k][:]
+                muout[k][:] = muin[k][:]
+                nuout[k][:] = nuin[k][:]
+                gacc[k][:] = jnp.zeros_like(gacc[k])
+
+        # ---- pass boundary: clip + Adam for the pass that just finished
+        @pl.when((i > 0) & (i % cpp == 0))
+        def _():
+            q = i // cpp - 1  # pass being applied
+            sq = jnp.float32(0.0)
+            for k in range(NP):
+                sq += jnp.sum(gacc[k][:] * gacc[k][:])
+            gn = jnp.sqrt(sq)
+            big = (gn >= max_grad_norm).astype(jnp.float32)
+            scale = big * (
+                max_grad_norm / jnp.maximum(gn, jnp.float32(1e-30))
+            ) + (1.0 - big)
+            lr = hyper_ref[q, 0]
+            bc1 = hyper_ref[q, 1]
+            bc2 = hyper_ref[q, 2]
+            for k in range(NP):
+                g = gacc[k][:] * scale
+                mu = b1 * muout[k][:] + (1.0 - b1) * g
+                nu = b2 * nuout[k][:] + (1.0 - b2) * g * g
+                muout[k][:] = mu
+                nuout[k][:] = nu
+                wout[k][:] = wout[k][:] - lr * (mu * bc1) / (
+                    jnp.sqrt(nu * bc2) + adam_eps
+                )
+                gacc[k][:] = jnp.zeros_like(gacc[k])
+
+        @pl.when((i % cpp == 0) & (i < P * cpp))
+        def _():
+            for k in range(4):
+                mets[p, k] = 0.0
+
+        # ---- one (t, n, c) gradient cell of pass p ----
+        @pl.when(i < P * cpp)
+        def _():
+            (obs_ref, act_ref, logp_ref, oldv_ref, adv_ref,
+             tgt_ref) = data_refs
+            adv_mean = advstats_ref[p, 0]
+            adv_inv_std = advstats_ref[p, 1]
+            w0 = wout[0][:].astype(jnp.bfloat16)
+            b0 = wout[1][:]
+            w1 = wout[2][:].astype(jnp.bfloat16)
+            b1_ = wout[3][:]
+            wp = wout[4][:]
+            bp = wout[5][:]
+            wv = wout[6][:]
+            bv = wout[7][:]
+
+            x = obs_ref[0, :, 0].reshape(L, M)  # bf16
+            dn00 = (((0,), (0,)), ((), ()))
+            z1 = jax.lax.dot_general(
+                w0, x, dn00, preferred_element_type=jnp.float32
+            )
+            h1b = jnp.tanh((z1 + b0.T).astype(jnp.bfloat16))
+            z2 = jax.lax.dot_general(
+                w1, h1b, dn00, preferred_element_type=jnp.float32
+            )
+            h2b = jnp.tanh((z2 + b1_.T).astype(jnp.bfloat16))
+            h2f = h2b.astype(jnp.float32)
+            logits = (
+                jax.lax.dot_general(
+                    wp, h2f, dn00, preferred_element_type=jnp.float32
+                )
+                + bp.T
+            )
+            value = (
+                jax.lax.dot_general(
+                    wv, h2f, dn00, preferred_element_type=jnp.float32
+                )
+                + bv.T
+            )
+
+            action = act_ref[0, 0].reshape(1, M)
+            old_logp = logp_ref[0, 0].reshape(1, M)
+            old_value = oldv_ref[0, 0].reshape(1, M)
+            adv = adv_ref[0, 0].reshape(1, M)
+            target = tgt_ref[0, 0].reshape(1, M)
+
+            mx = jnp.max(logits, axis=0, keepdims=True)
+            sm = jnp.exp(logits - mx)
+            z = jnp.sum(sm, axis=0, keepdims=True)
+            lsm = logits - mx - jnp.log(z)
+            pr = sm / z
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (A, M), 0) == action
+            )
+            logp = jnp.sum(
+                jnp.where(onehot, lsm, 0.0), axis=0, keepdims=True
+            )
+            ratio = jnp.exp(logp - old_logp)
+            advn = (adv - adv_mean) * adv_inv_std
+            ratio_c = jnp.clip(ratio, 1.0 - eps, 1.0 + eps)
+            pg1 = ratio * advn
+            pg2 = ratio_c * advn
+            obj = jnp.minimum(pg1, pg2)
+            use1 = pg1 <= pg2
+            inside = ((ratio > 1.0 - eps) & (ratio < 1.0 + eps)).astype(
+                jnp.float32
+            )
+            dobj_dratio = jnp.where(use1, advn, advn * inside)
+            dlogp = -inv_n * dobj_dratio * ratio
+            ent = -jnp.sum(pr * lsm, axis=0, keepdims=True)
+            dlogits = dlogp * (onehot.astype(jnp.float32) - pr) + (
+                ent_coef * inv_n
+            ) * pr * (lsm + ent)
+            vdiff = value - old_value
+            v_clip = old_value + jnp.clip(vdiff, -eps, eps)
+            e1 = value - target
+            e2 = v_clip - target
+            use_e1 = (e1 * e1) >= (e2 * e2)
+            inside_v = ((vdiff > -eps) & (vdiff < eps)).astype(jnp.float32)
+            dvalue = (vf_coef * inv_n) * jnp.where(
+                use_e1, e1, e2 * inside_v
+            )
+
+            dn10 = (((1,), (0,)), ((), ()))
+            dn11 = (((1,), (1,)), ((), ()))
+            dh2 = (
+                jax.lax.dot_general(
+                    wp, dlogits, dn10, preferred_element_type=jnp.float32
+                )
+                + wv * dvalue
+            )
+            one = jnp.bfloat16(1.0)
+            dz2b = dh2.astype(jnp.bfloat16) * (one - h2b * h2b)
+            dh1 = jax.lax.dot_general(
+                w1, dz2b, dn10, preferred_element_type=jnp.float32
+            )
+            dz1b = dh1.astype(jnp.bfloat16) * (one - h1b * h1b)
+            gacc[0][:] += jax.lax.dot_general(
+                x, dz1b, dn11, preferred_element_type=jnp.float32
+            )
+            gacc[1][:] += jnp.sum(
+                dz1b.astype(jnp.float32), axis=1, keepdims=True
+            ).T
+            gacc[2][:] += jax.lax.dot_general(
+                h1b, dz2b, dn11, preferred_element_type=jnp.float32
+            )
+            gacc[3][:] += jnp.sum(
+                dz2b.astype(jnp.float32), axis=1, keepdims=True
+            ).T
+            gacc[4][:] += jax.lax.dot_general(
+                h2f, dlogits, dn11, preferred_element_type=jnp.float32
+            )
+            gacc[5][:] += jnp.sum(dlogits, axis=1, keepdims=True).T
+            gacc[6][:] += jax.lax.dot_general(
+                h2f, dvalue, dn11, preferred_element_type=jnp.float32
+            )
+            gacc[7][:] += jnp.sum(dvalue, axis=1, keepdims=True).T
+
+            mets[p, 0] += jnp.sum(obj)
+            mets[p, 1] += jnp.sum(0.5 * jnp.maximum(e1 * e1, e2 * e2))
+            mets[p, 2] += jnp.sum(ent)
+            mets[p, 3] += jnp.sum((ratio - 1.0) - (logp - old_logp))
+
+    def trow(i, sel):
+        p, t, n, c = decode(i)
+        return (sel[p] + t) % T_full
+
+    def obs_map(i, sel):
+        p, t, n, c = decode(i)
+        return (trow(i, sel), 0, n, c, 0)
+
+    def vec_map(i, sel):
+        p, t, n, c = decode(i)
+        return (trow(i, sel), n, c, 0)
+
+    def cmap(shape):
+        return lambda i, sel: tuple(0 for _ in shape)
+
+    def cblock(shape):
+        return pl.BlockSpec(shape, cmap(shape), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # advstats (P, 2)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # hyper (P, 3)
+        pl.BlockSpec(
+            (1, L, 1, rb_chunk, LANE), obs_map, memory_space=pltpu.VMEM
+        ),
+    ]
+    in_specs += [
+        pl.BlockSpec(
+            (1, 1, rb_chunk, LANE), vec_map, memory_space=pltpu.VMEM
+        )
+        for _ in range(5)
+    ]
+    in_specs += [cblock(s) for s in pshapes] * 3  # w, mu, nu
+    out_specs = [cblock(s) for s in pshapes] * 3
+    out_specs.append(
+        pl.BlockSpec((P, 4), lambda i, sel: (0, 0),
+                     memory_space=pltpu.SMEM)
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct(s, jnp.float32) for s in pshapes] * 3
+        + [jax.ShapeDtypeStruct((P, 4), jnp.float32)]
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(total,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM(s, jnp.float32) for s in pshapes],
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+    def update(params_arrays, mu_arrays, nu_arrays, batch, starts,
+               advstats, hyper):
+        obs, action, old_logp, old_value, adv, target = batch
+        inputs = (
+            [jnp.asarray(starts, jnp.int32),
+             advstats.astype(jnp.float32), hyper.astype(jnp.float32),
+             obs.astype(jnp.bfloat16), action.astype(jnp.int32),
+             old_logp.astype(jnp.float32), old_value.astype(jnp.float32),
+             adv.astype(jnp.float32), target.astype(jnp.float32)]
+            + [a.astype(jnp.float32) for a in params_arrays]
+            + [a.astype(jnp.float32) for a in mu_arrays]
+            + [a.astype(jnp.float32) for a in nu_arrays]
+        )
+        outs = list(call(*inputs))
+        new_w = outs[:NP]
+        new_mu = outs[NP:2 * NP]
+        new_nu = outs[2 * NP:3 * NP]
+        mets = outs[3 * NP]
+        return new_w, new_mu, new_nu, mets
+
+    update.n_passes = P
+    return update

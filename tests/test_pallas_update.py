@@ -247,3 +247,52 @@ def test_fused_seac_grads_match_autodiff():
         assert g.shape == r.shape, path
         scale = max(np.abs(r).max(), 1e-6)
         np.testing.assert_allclose(g, r, atol=0.06 * scale, err_msg=str(path))
+
+
+def test_update_phase_kernel_matches_per_pass_path():
+    """The whole-update-phase kernel (in-kernel clip+Adam across all
+    E x M passes) produces the same parameters and metrics as the
+    per-minibatch fused kernel + optax loop."""
+    import rware_tpu
+    from rware_tpu.models.ippo_pallas import (
+        build_pallas_train_step,
+        init_pallas_runner,
+    )
+    from rware_tpu.models import IPPOConfig
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=2, minibatches=2
+    )
+    runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
+
+    steps = {}
+    for phase in (False, True):
+        ts = jax.jit(
+            build_pallas_train_step(
+                env, model, tx, cfg, interpret=True,
+                deterministic_collect=True, fused_update_phase=phase,
+            )
+        )
+        r1, m1 = ts(runner)
+        r2, m2 = ts(r1)
+        steps[phase] = (r2, jax.tree.map(lambda x: x.mean(), m2))
+
+    ra, ma = steps[False]
+    rb, mb = steps[True]
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ra.params),
+        jax.tree_util.tree_leaves_with_path(rb.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-4, atol=2e-6, err_msg=str(ka),
+        )
+    # optax count advanced identically
+    assert int(ra.opt_state[1][0].count) == int(rb.opt_state[1][0].count)
+    for k in ma:
+        np.testing.assert_allclose(
+            float(ma[k]), float(mb[k]), rtol=2e-3, atol=1e-5, err_msg=k
+        )
