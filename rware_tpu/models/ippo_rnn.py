@@ -440,10 +440,15 @@ def _gru_scan_pallas_bwd(hg, interpret, res, dhseq):
 _gru_scan_pallas.defvjp(_gru_scan_pallas_fwd, _gru_scan_pallas_bwd)
 
 
-def _run_gru_scan(hg, wh, bhn, ir, iz, inn, done_mask, h0):
+def _resolve_gru_impl():
     impl = GRU_SEQ_IMPL
     if impl == "auto":
         impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    return impl
+
+
+def _run_gru_scan(hg, wh, bhn, ir, iz, inn, done_mask, h0):
+    impl = _resolve_gru_impl()
     if impl == "xla":
         return _gru_scan(hg, wh, bhn, ir, iz, inn, done_mask, h0)
     return _gru_scan_pallas(
@@ -487,6 +492,12 @@ def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
     ir = big(e, g["ir"]["kernel"]) + g["ir"]["bias"]
     iz = big(e, g["iz"]["kernel"]) + g["iz"]["bias"]
     inn = big(e, g["in"]["kernel"]) + g["in"]["bias"]
+    if _resolve_gru_impl() != "xla":
+        # the pallas sequence kernels stream gates in bf16 — cast at the
+        # dot epilogue so the f32 gate tensors are never materialised
+        ir = ir.astype(jnp.bfloat16)
+        iz = iz.astype(jnp.bfloat16)
+        inn = inn.astype(jnp.bfloat16)
     hg = int(model.hidden)
     # one fused (Hg, 3Hg) hidden contraction per step instead of three:
     # the T-sequential recurrence is launch-latency bound, not FLOP bound

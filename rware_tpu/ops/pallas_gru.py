@@ -47,15 +47,18 @@ def _pick_chunks(t: int, rb: int, n: int, hg: int,
                  bytes_per_el_t: int) -> Tuple[int, int]:
     """(tc, rbc): time-chunk / env-chunk sizes keeping the per-cell
     CHANGING block bytes (``bytes_per_el_t`` per (n*rbc*LANE*hg) chunk
-    element per time row) under ~5 MB — double-buffering doubles it."""
-    budget = 5 * 1024 * 1024
+    element per time row) under ~6.5 MB — double-buffering doubles it.
+    Bigger cells matter more than balance: the measured cost is ~13 us of
+    DMA orchestration per grid cell, so maximise tc*rbc, preferring env
+    rows (bigger per-step matmuls) on ties."""
+    budget = 13 * 1024 * 1024 // 2
     el = n * LANE * hg
     best = (1, 1)
-    for tc in (8, 4, 2, 1):
-        if t % tc:
+    for rbc in (8, 4, 2, 1):
+        if rb % rbc:
             continue
-        for rbc in (8, 4, 2, 1):
-            if rb % rbc:
+        for tc in (8, 4, 2, 1):
+            if t % tc:
                 continue
             if bytes_per_el_t * tc * rbc * el <= budget:
                 if tc * rbc > best[0] * best[1]:
@@ -72,8 +75,8 @@ def build_gru_seq_fwd(t: int, n: int, rb: int, hg: int,
     step), h0 (N, RB, LANE, Hg).  Returns hseq bf16 — the per-step hidden
     BEFORE the boundary reset, exactly models.ippo_rnn._gru_scan.
     """
-    # changing blocks per time row: 3 f32 gates + bf16 hseq out = 14 B/el
-    tc, rbc = _pick_chunks(t, rb, n, hg, bytes_per_el_t=14)
+    # changing blocks per time row: 3 bf16 gates + bf16 hseq out = 8 B/el
+    tc, rbc = _pick_chunks(t, rb, n, hg, bytes_per_el_t=8)
     n_tc = t // tc
     rows = n * rbc * LANE
 
@@ -94,10 +97,10 @@ def build_gru_seq_fwd(t: int, n: int, rb: int, hg: int,
                 preferred_element_type=jnp.float32,
             ).reshape(n, rbc, LANE, 3 * hg)
             r = jax.nn.sigmoid(
-                ir_ref[lt] + hh[..., :hg]
+                ir_ref[lt].astype(jnp.float32) + hh[..., :hg]
             ).astype(jnp.bfloat16)
             z = jax.nn.sigmoid(
-                iz_ref[lt] + hh[..., hg:2 * hg]
+                iz_ref[lt].astype(jnp.float32) + hh[..., hg:2 * hg]
             ).astype(jnp.bfloat16)
             nn = jnp.tanh(
                 inn_ref[lt].astype(jnp.bfloat16)
@@ -143,7 +146,8 @@ def build_gru_seq_fwd(t: int, n: int, rb: int, hg: int,
         return call(
             wh.astype(jnp.bfloat16),
             bhn.reshape(1, hg).astype(jnp.float32),
-            ir, iz, inn,
+            ir.astype(jnp.bfloat16), iz.astype(jnp.bfloat16),
+            inn.astype(jnp.bfloat16),
             done.reshape(t, 1, rb, LANE, 1).astype(jnp.bfloat16),
             h0.astype(jnp.bfloat16),
         )
@@ -165,9 +169,9 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
     the candidate-bias gradient into VMEM-resident output blocks.  The
     step algebra matches models.ippo_rnn._gru_scan_bwd exactly.
     """
-    # changing blocks per time row: 3 f32 gates + bf16 dhseq + 3 bf16
-    # cotangent outs + bf16 hseq = 22 B/el
-    tc, rbc = _pick_chunks(t, rb, n, hg, bytes_per_el_t=22)
+    # changing blocks per time row: 3 bf16 gates + bf16 dhseq + 3 bf16
+    # cotangent outs + bf16 hseq = 16 B/el
+    tc, rbc = _pick_chunks(t, rb, n, hg, bytes_per_el_t=16)
     n_tc = t // tc
     rows = n * rbc * LANE
 
@@ -207,8 +211,12 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
                 hp2, wh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(n, rbc, LANE, 3 * hg)
-            r = jax.nn.sigmoid(ir_ref[lt] + hh[..., :hg])
-            z = jax.nn.sigmoid(iz_ref[lt] + hh[..., hg:2 * hg])
+            r = jax.nn.sigmoid(
+                ir_ref[lt].astype(jnp.float32) + hh[..., :hg]
+            )
+            z = jax.nn.sigmoid(
+                iz_ref[lt].astype(jnp.float32) + hh[..., hg:2 * hg]
+            )
             hhn = (hh[..., 2 * hg:] + bhn).astype(jnp.bfloat16)
             nn = jnp.tanh(
                 inn_ref[lt].astype(jnp.bfloat16)
@@ -322,7 +330,8 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
         d_ir, d_iz, d_inn, dwh, dbhn, dh0 = call(
             wh.astype(jnp.bfloat16),
             bhn.reshape(1, hg).astype(jnp.float32),
-            ir, iz, inn, done5, hseq, hb,
+            ir.astype(jnp.bfloat16), iz.astype(jnp.bfloat16),
+            inn.astype(jnp.bfloat16), done5, hseq, hb,
             dhseq.astype(jnp.bfloat16),
         )
         return (

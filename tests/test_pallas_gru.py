@@ -31,6 +31,10 @@ def _inputs(seed=0):
 
 def test_fwd_kernel_matches_xla_scan():
     wh, bhn, ir, iz, inn, done, h0, _ = _inputs()
+    # the kernel streams gates in bf16 — feed the XLA reference the same
+    # bf16-rounded values so the comparison is bit-exact
+    rnd = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+    ir, iz, inn = rnd(ir), rnd(iz), rnd(inn)
     fwd = build_gru_seq_fwd(T, N, RB, HG, interpret=True)
     hseq_k = jax.jit(fwd)(wh, bhn, ir, iz, inn, done, h0)
     hseq_x = _gru_scan(HG, wh, bhn, ir, iz, inn, done, h0)
