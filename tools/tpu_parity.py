@@ -177,6 +177,49 @@ def check_collect(B=1024, T=16, msg_bits=0):
     }
 
 
+def check_update_phase(B=1024, T=16):
+    """Whole-update-phase kernel == per-pass kernel + optax, COMPILED on
+    hardware: one full train step from the same runner, params compared."""
+    import rware_tpu
+    from rware_tpu.models import IPPOConfig
+    from rware_tpu.models.ippo_pallas import (
+        build_pallas_train_step,
+        init_pallas_runner,
+    )
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = IPPOConfig(n_envs=B, rollout_len=T, epochs=2, minibatches=2)
+    runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
+    t0 = time.time()
+    outs = {}
+    for phase in (False, True):
+        ts = jax.jit(
+            build_pallas_train_step(
+                env, model, tx, cfg, deterministic_collect=True,
+                fused_update_phase=phase,
+            )
+        )
+        r1, _ = ts(runner)
+        outs[phase] = jax.tree.leaves(
+            jax.tree.map(np.asarray, r1.params)
+        )
+    compile_s = round(time.time() - t0, 1)
+    mismatches = []
+    for i, (a, b) in enumerate(zip(outs[False], outs[True])):
+        err = np.abs(a.astype(np.float32) - b.astype(np.float32)).max()
+        scale = max(np.abs(a).max(), 1e-8)
+        if err / scale > 1e-3:
+            mismatches.append({"field": f"param_leaf_{i}",
+                               "rel_err": float(err / scale)})
+    return {
+        "ok": not mismatches,
+        "mismatches": mismatches,
+        "B": B,
+        "T": T,
+        "compile_s": compile_s,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="TPUPARITY.json")
@@ -190,6 +233,19 @@ def main():
         except Exception as e:  # noqa: BLE001 — record, keep going
             results[env_id] = {"ok": False, "error": repr(e)[:500]}
         print(env_id, results[env_id], flush=True)
+    # batch-chunked large-grid program (the compile-threshold mitigation)
+    try:
+        results["large-8ag-chunked"] = check_rollout(
+            "rware-large-8ag-v2", B=2048
+        )
+    except Exception as e:  # noqa: BLE001
+        results["large-8ag-chunked"] = {"ok": False, "error": repr(e)[:500]}
+    print("large-8ag-chunked", results["large-8ag-chunked"], flush=True)
+    try:
+        results["update-phase-kernel"] = check_update_phase()
+    except Exception as e:  # noqa: BLE001
+        results["update-phase-kernel"] = {"ok": False, "error": repr(e)[:500]}
+    print("update-phase-kernel", results["update-phase-kernel"], flush=True)
     for name, kw in (
         ("collect-tiny-2ag", {}),
         ("collect-msg-bits-2ag", {"msg_bits": 2}),
