@@ -296,3 +296,47 @@ def test_update_phase_kernel_matches_per_pass_path():
         np.testing.assert_allclose(
             float(ma[k]), float(mb[k]), rtol=2e-3, atol=1e-5, err_msg=k
         )
+
+
+def test_update_phase_kernel_with_lr_schedule():
+    """anneal_lr exercises the schedule-count handling of the phase
+    kernel (per-pass lr rows + ScaleByScheduleState advance)."""
+    import rware_tpu
+    from rware_tpu.models.ippo_pallas import (
+        build_pallas_train_step,
+        init_pallas_runner,
+    )
+    from rware_tpu.models import IPPOConfig
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=2, minibatches=2,
+        anneal_lr=True, total_updates=10,
+    )
+    runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
+    outs = {}
+    for phase in (False, True):
+        ts = jax.jit(
+            build_pallas_train_step(
+                env, model, tx, cfg, interpret=True,
+                deterministic_collect=True, fused_update_phase=phase,
+            )
+        )
+        r1, _ = ts(runner)
+        r2, _ = ts(r1)
+        outs[phase] = r2
+    for a, b in zip(
+        jax.tree.leaves(outs[False].params),
+        jax.tree.leaves(outs[True].params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-4, atol=2e-6,
+        )
+    # both optax counts (adam + schedule) advanced identically
+    fa = jax.tree.leaves(outs[False].opt_state)
+    fb = jax.tree.leaves(outs[True].opt_state)
+    for a, b in zip(fa, fb):
+        if np.asarray(a).ndim == 0:
+            assert int(a) == int(b)
