@@ -81,7 +81,18 @@ def count_jaxpr(jaxpr, mult=1.0, while_hint=1, counts=None):
                       "custom_vjp_call"):
             branches = eqn.params.get("branches")
             if branches:
-                count_jaxpr(branches[0].jaxpr, mult, while_hint, counts)
+                # pl.when lowers to cond with an empty false branch —
+                # count the heaviest branch (the work when taken)
+                subs = [
+                    count_jaxpr(b.jaxpr, mult, while_hint,
+                                defaultdict(float))
+                    for b in branches
+                ]
+                best = max(
+                    subs, key=lambda c: c["vpu_elems"] + c["mxu_flops"]
+                )
+                for k, v in best.items():
+                    counts[k] += v
             else:
                 inner = eqn.params.get("call_jaxpr") or eqn.params.get(
                     "fun_jaxpr"
@@ -243,6 +254,70 @@ def main():
         m_upd = per_mb_steps * passes / (args.measured_update_ms / 1e3)
     report("fused update kernel (1 pass)", counts_u, per_mb_steps,
            m_upd, hbm_bytes=upd_bytes / per_mb_steps)
+
+    # ---- whole-update-phase kernel (E x M passes + optimizer) ----
+    from rware_tpu.ops.pallas_update import build_fused_ppo_update_phase
+    from rware_tpu.models.ippo_pallas import _params_to_arrays
+
+    phase_fn = build_fused_ppo_update_phase(
+        obs_len=L, hidden=tuple(model.hidden), n_actions=env.n_actions,
+        dataset_len=cfg.rollout_len, n_agents=n, mb_rows=rb,
+        epochs=cfg.epochs, minibatches=cfg.minibatches,
+        clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, max_grad_norm=cfg.max_grad_norm,
+    )
+    P = cfg.epochs * cfg.minibatches
+    arrays = _params_to_arrays(runner.params)
+    jaxpr_p = jax.make_jaxpr(
+        lambda w, ds: phase_fn(
+            w, w, w, ds,
+            jnp.zeros((P,), jnp.int32), jnp.zeros((P, 2), jnp.float32),
+            jnp.zeros((P, 3), jnp.float32),
+        )
+    )(arrays, ds_shapes)
+    counts_p = count_jaxpr(jaxpr_p.jaxpr, while_hint=1)
+    # the phase consumes the whole dataset E times over
+    phase_steps = float(cfg.n_envs) * cfg.rollout_len * cfg.epochs
+    phase_bytes = P * upd_bytes
+    m_phase = None
+    if args.measured_update_ms:
+        m_phase = phase_steps / (args.measured_update_ms / 1e3)
+    report("update-phase kernel (E x M + Adam)", counts_p, phase_steps,
+           m_phase, hbm_bytes=phase_bytes / phase_steps)
+
+    # ---- GRU sequence kernels (recurrent update recurrence) ----
+    from rware_tpu.ops.pallas_gru import (
+        build_gru_seq_bwd,
+        build_gru_seq_fwd,
+    )
+
+    hg = 128
+    mb_rb = max(rb // cfg.minibatches, 1)
+    gfwd = build_gru_seq_fwd(cfg.rollout_len, n, mb_rb, hg)
+    gbwd = build_gru_seq_bwd(cfg.rollout_len, n, mb_rb, hg)
+    gates = jnp.zeros((cfg.rollout_len, n, mb_rb, LANE, hg), jnp.float32)
+    doneg = jnp.zeros((cfg.rollout_len, 1, mb_rb, LANE), jnp.int32)
+    h0g = jnp.zeros((n, mb_rb, LANE, hg), jnp.bfloat16)
+    wh = jnp.zeros((hg, 3 * hg), jnp.bfloat16)
+    bhn = jnp.zeros((hg,), jnp.float32)
+    jaxpr_gf = jax.make_jaxpr(
+        lambda: gfwd(wh, bhn, gates, gates, gates, doneg, h0g)
+    )()
+    hseqg = jnp.zeros(
+        (cfg.rollout_len, n, mb_rb, LANE, hg), jnp.bfloat16
+    )
+    jaxpr_gb = jax.make_jaxpr(
+        lambda: gbwd(wh, bhn, gates, gates, gates, doneg, h0g, hseqg,
+                     hseqg.astype(jnp.float32))
+    )()
+    gru_steps = float(mb_rb * LANE) * cfg.rollout_len
+    gate_bytes = 3 * cfg.rollout_len * n * mb_rb * LANE * hg * 2
+    report("gru seq fwd (1 pass)", count_jaxpr(jaxpr_gf.jaxpr, 1),
+           gru_steps, None,
+           hbm_bytes=(gate_bytes + gate_bytes // 3) / gru_steps)
+    report("gru seq bwd (1 pass)", count_jaxpr(jaxpr_gb.jaxpr, 1),
+           gru_steps, None,
+           hbm_bytes=(gate_bytes * 2) / gru_steps)
 
 
 if __name__ == "__main__":
