@@ -406,33 +406,31 @@ def _gru_seq_kernels(t, n, rb, hg, interpret):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _gru_scan_pallas(hg, interpret, wh, bhn, ir, iz, inn, done_mask, h0):
-    """_gru_scan with the recurrence in Pallas (ops/pallas_gru): same
-    inputs/outputs, T-loop and hidden carry inside the kernel."""
-    t, n, rb = ir.shape[0], ir.shape[1], ir.shape[2]
+def _gru_scan_pallas(hg, interpret, wh, bhn, iall, done_mask, h0):
+    """_gru_scan with the recurrence in Pallas (ops/pallas_gru): the
+    three input gates ride as ONE fused (T, N, RB, LANE, 3Hg) tensor
+    (one DMA stream per grid cell instead of three), T-loop and hidden
+    carry inside the kernel."""
+    t, n, rb = iall.shape[0], iall.shape[1], iall.shape[2]
     fwd, _ = _gru_seq_kernels(t, n, rb, hg, interpret)
-    return fwd(wh, bhn, ir, iz, inn, done_mask, h0)
+    return fwd(wh, bhn, iall, done_mask, h0)
 
 
-def _gru_scan_pallas_fwd(hg, interpret, wh, bhn, ir, iz, inn, done_mask,
-                         h0):
-    hseq = _gru_scan_pallas(
-        hg, interpret, wh, bhn, ir, iz, inn, done_mask, h0
-    )
-    return hseq, (wh, bhn, ir, iz, inn, done_mask, h0, hseq)
+def _gru_scan_pallas_fwd(hg, interpret, wh, bhn, iall, done_mask, h0):
+    hseq = _gru_scan_pallas(hg, interpret, wh, bhn, iall, done_mask, h0)
+    return hseq, (wh, bhn, iall, done_mask, h0, hseq)
 
 
 def _gru_scan_pallas_bwd(hg, interpret, res, dhseq):
-    wh, bhn, ir, iz, inn, done_mask, h0, hseq = res
-    t, n, rb = ir.shape[0], ir.shape[1], ir.shape[2]
+    wh, bhn, iall, done_mask, h0, hseq = res
+    t, n, rb = iall.shape[0], iall.shape[1], iall.shape[2]
     _, bwd = _gru_seq_kernels(t, n, rb, hg, interpret)
-    dwh, dbhn, d_ir, d_iz, d_inn, dh0 = bwd(
-        wh, bhn, ir, iz, inn, done_mask, h0, hseq, dhseq
+    dwh, dbhn, d_iall, dh0 = bwd(
+        wh, bhn, iall, done_mask, h0, hseq, dhseq
     )
     return (
         dwh.astype(wh.dtype), dbhn.astype(bhn.dtype),
-        d_ir.astype(ir.dtype), d_iz.astype(iz.dtype),
-        d_inn.astype(inn.dtype),
+        d_iall.astype(iall.dtype),
         jnp.zeros_like(done_mask), dh0.astype(h0.dtype),
     )
 
@@ -447,13 +445,17 @@ def _resolve_gru_impl():
     return impl
 
 
-def _run_gru_scan(hg, wh, bhn, ir, iz, inn, done_mask, h0):
+def _run_gru_scan(hg, wh, bhn, iall, done_mask, h0):
+    """Dispatch the time recurrence on the fused (…, 3Hg) gate tensor."""
     impl = _resolve_gru_impl()
     if impl == "xla":
-        return _gru_scan(hg, wh, bhn, ir, iz, inn, done_mask, h0)
+        return _gru_scan(
+            hg, wh, bhn,
+            iall[..., :hg], iall[..., hg:2 * hg], iall[..., 2 * hg:],
+            done_mask, h0,
+        )
     return _gru_scan_pallas(
-        hg, impl == "pallas_interpret",
-        wh, bhn, ir, iz, inn, done_mask, h0,
+        hg, impl == "pallas_interpret", wh, bhn, iall, done_mask, h0
     )
 
 
@@ -489,15 +491,17 @@ def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
         preferred_element_type=jnp.float32,
     )  # (T, N, RB, LANE, E)
     e = jnp.tanh((e + p["embed"]["bias"]).astype(jnp.bfloat16))
-    ir = big(e, g["ir"]["kernel"]) + g["ir"]["bias"]
-    iz = big(e, g["iz"]["kernel"]) + g["iz"]["bias"]
-    inn = big(e, g["in"]["kernel"]) + g["in"]["bias"]
+    # ONE fused input-gate contraction [ir | iz | in]; the pallas path
+    # streams it in bf16 straight from the dot epilogue
+    wi = jnp.concatenate(
+        [g["ir"]["kernel"], g["iz"]["kernel"], g["in"]["kernel"]], axis=1
+    )
+    bi = jnp.concatenate(
+        [g["ir"]["bias"], g["iz"]["bias"], g["in"]["bias"]], axis=0
+    )
+    iall = big(e, wi) + bi
     if _resolve_gru_impl() != "xla":
-        # the pallas sequence kernels stream gates in bf16 — cast at the
-        # dot epilogue so the f32 gate tensors are never materialised
-        ir = ir.astype(jnp.bfloat16)
-        iz = iz.astype(jnp.bfloat16)
-        inn = inn.astype(jnp.bfloat16)
+        iall = iall.astype(jnp.bfloat16)
     hg = int(model.hidden)
     # one fused (Hg, 3Hg) hidden contraction per step instead of three:
     # the T-sequential recurrence is launch-latency bound, not FLOP bound
@@ -512,7 +516,7 @@ def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
     bhn = g["hn"]["bias"]
 
     hseq = _run_gru_scan(
-        hg, wh, bhn, ir, iz, inn,
+        hg, wh, bhn, iall,
         (done != 0).astype(jnp.bfloat16), h0.astype(jnp.bfloat16),
     )  # (T, N, RB, LANE, Hg)
     hf = hseq.astype(jnp.float32)

@@ -13,18 +13,24 @@ and gate algebra runs from VMEM, and the (Hg, 3Hg) hidden-weight gradient
 accumulates in a VMEM-resident output block — HBM traffic is one read of
 the precomputed input gates plus the hidden-sequence stream.
 
+The three input gates ride as ONE fused (T, N, RB, LANE, 3Hg) bf16 tensor
+(r | z | n in wh's gate order): one XLA dot produces it, one DMA stream
+feeds each grid cell, and the backward emits a single fused cotangent —
+per-cell DMA setup count, measured at ~13 us/cell, is the kernels' cost
+floor, so fewer/larger streams matter more than FLOPs here.
+
 Scope: exactly the ``_gru_scan`` recurrence of models/ippo_rnn.py (whose
 hand-derived backward these kernels implement step-for-step); the big
 input-gate / embed / head matmuls stay in XLA where the MXU already
-saturates.  Cell semantics match models.ippo_rnn._gru_cell_fwd bit-for-bit
-(bf16 hidden, f32 gate pre-activations, carry reset at episode
+saturates.  Cell semantics match models.ippo_rnn._gru_cell_fwd (bf16
+hidden, bf16-rounded gate pre-activations, carry reset at episode
 boundaries); equivalence is tested against the XLA scan and jax.grad in
 interpret mode (tests/test_pallas_gru.py).
 
 Layout notes: ``done`` rides as (T, 1, RB, LANE, 1) so the env-chunk axis
-sits outside Mosaic's last-two-dims tiling constraint; gate cotangents and
-the head cotangent stream are bf16 (matching the XLA path's bf16 dgates)
-to keep the per-cell block footprint inside VMEM with double-buffering.
+sits outside Mosaic's last-two-dims tiling constraint; all sequence
+streams are bf16 to keep the per-cell block footprint inside VMEM with
+double-buffering.
 
 Reference parity anchor: the recurrent policy itself is this framework's
 addition (the reference env is policy-agnostic); the episode-boundary
@@ -68,20 +74,20 @@ def _pick_chunks(t: int, rb: int, n: int, hg: int,
 
 def build_gru_seq_fwd(t: int, n: int, rb: int, hg: int,
                       interpret: bool = False):
-    """Forward recurrence: (wh, bhn, ir, iz, inn, done, h0) -> hseq.
+    """Forward recurrence: (wh, bhn, iall, done, h0) -> hseq.
 
-    wh (Hg, 3Hg), bhn (Hg,) f32, gates ir/iz/inn (T, N, RB, LANE, Hg)
-    f32, done (T, 1, RB, LANE) (mask applied to the carry AFTER each
-    step), h0 (N, RB, LANE, Hg).  Returns hseq bf16 — the per-step hidden
-    BEFORE the boundary reset, exactly models.ippo_rnn._gru_scan.
+    wh (Hg, 3Hg), bhn (Hg,) f32, fused gates ``iall``
+    (T, N, RB, LANE, 3Hg) [ir | iz | in], done (T, 1, RB, LANE) (mask
+    applied to the carry AFTER each step), h0 (N, RB, LANE, Hg).
+    Returns hseq bf16 — the per-step hidden BEFORE the boundary reset,
+    exactly models.ippo_rnn._gru_scan on the sliced gates.
     """
-    # changing blocks per time row: 3 bf16 gates + bf16 hseq out = 8 B/el
+    # changing blocks per time row: bf16 fused gates (6) + bf16 out (2)
     tc, rbc = _pick_chunks(t, rb, n, hg, bytes_per_el_t=8)
     n_tc = t // tc
     rows = n * rbc * LANE
 
-    def kernel(wh_ref, bhn_ref, ir_ref, iz_ref, inn_ref, done_ref,
-               h0_ref, out_ref, h_s):
+    def kernel(wh_ref, bhn_ref, iall_ref, done_ref, h0_ref, out_ref, h_s):
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -96,14 +102,16 @@ def build_gru_seq_fwd(t: int, n: int, rb: int, hg: int,
                 h4.reshape(rows, hg), wh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(n, rbc, LANE, 3 * hg)
+            iall_t = iall_ref[lt]
             r = jax.nn.sigmoid(
-                ir_ref[lt].astype(jnp.float32) + hh[..., :hg]
+                iall_t[..., :hg].astype(jnp.float32) + hh[..., :hg]
             ).astype(jnp.bfloat16)
             z = jax.nn.sigmoid(
-                iz_ref[lt].astype(jnp.float32) + hh[..., hg:2 * hg]
+                iall_t[..., hg:2 * hg].astype(jnp.float32)
+                + hh[..., hg:2 * hg]
             ).astype(jnp.bfloat16)
             nn = jnp.tanh(
-                inn_ref[lt].astype(jnp.bfloat16)
+                iall_t[..., 2 * hg:].astype(jnp.bfloat16)
                 + r * (hh[..., 2 * hg:] + bhn).astype(jnp.bfloat16)
             )
             new_h = (jnp.bfloat16(1.0) - z) * nn + z * h4
@@ -113,6 +121,10 @@ def build_gru_seq_fwd(t: int, n: int, rb: int, hg: int,
 
     grid = (rb // rbc, n_tc)
     gate_spec = pl.BlockSpec(
+        (tc, n, rbc, LANE, 3 * hg), lambda c, k: (k, 0, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_spec = pl.BlockSpec(
         (tc, n, rbc, LANE, hg), lambda c, k: (k, 0, c, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -124,17 +136,14 @@ def build_gru_seq_fwd(t: int, n: int, rb: int, hg: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hg), lambda c, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            gate_spec, gate_spec, gate_spec,
+            gate_spec,
             pl.BlockSpec((tc, 1, rbc, LANE, 1),
                          lambda c, k: (k, 0, c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, rbc, LANE, hg), lambda c, k: (0, c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (tc, n, rbc, LANE, hg), lambda c, k: (k, 0, c, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=h_spec,
         out_shape=jax.ShapeDtypeStruct(
             (t, n, rb, LANE, hg), jnp.bfloat16
         ),
@@ -142,12 +151,11 @@ def build_gru_seq_fwd(t: int, n: int, rb: int, hg: int,
         interpret=interpret,
     )
 
-    def fwd(wh, bhn, ir, iz, inn, done, h0):
+    def fwd(wh, bhn, iall, done, h0):
         return call(
             wh.astype(jnp.bfloat16),
             bhn.reshape(1, hg).astype(jnp.float32),
-            ir.astype(jnp.bfloat16), iz.astype(jnp.bfloat16),
-            inn.astype(jnp.bfloat16),
+            iall.astype(jnp.bfloat16),
             done.reshape(t, 1, rb, LANE, 1).astype(jnp.bfloat16),
             h0.astype(jnp.bfloat16),
         )
@@ -159,25 +167,26 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
                       interpret: bool = False):
     """Reverse recurrence of the hand-derived GRU backward.
 
-    (wh, bhn, ir, iz, inn, done, h0, hseq, dhseq) ->
-    (dwh, dbhn, d_ir, d_iz, d_inn, dh0).
+    (wh, bhn, iall, done, h0, hseq, dhseq) ->
+    (dwh, dbhn, d_iall, dh0).
 
     The reverse time-chunk sweep carries ONLY the (N, rbc, LANE, Hg)
     hidden adjoint in scratch; each step recomputes the forward gates from
-    the saved inputs/outputs (no residual storage), emits bf16 gate
-    cotangents, and accumulates the (Hg, 3Hg) hidden-weight gradient and
-    the candidate-bias gradient into VMEM-resident output blocks.  The
-    step algebra matches models.ippo_rnn._gru_scan_bwd exactly.
+    the saved inputs/outputs (no residual storage), emits one fused bf16
+    gate cotangent [dr_pre | dz_pre | dn_pre], and accumulates the
+    (Hg, 3Hg) hidden-weight gradient and the candidate-bias gradient into
+    VMEM-resident output blocks.  Step algebra matches
+    models.ippo_rnn._gru_scan_bwd exactly.
     """
-    # changing blocks per time row: 3 bf16 gates + bf16 dhseq + 3 bf16
-    # cotangent outs + bf16 hseq = 16 B/el
+    # changing blocks per time row: bf16 fused gates (6) + bf16 dhseq (2)
+    # + bf16 fused cotangent out (6) + bf16 hseq (2)
     tc, rbc = _pick_chunks(t, rb, n, hg, bytes_per_el_t=16)
     n_tc = t // tc
     rows = n * rbc * LANE
 
-    def kernel(wh_ref, bhn_ref, ir_ref, iz_ref, inn_ref, done_ref,
+    def kernel(wh_ref, bhn_ref, iall_ref, done_ref,
                hseq_ref, hboundary_ref, dh_ref,
-               dir_out, diz_out, dinn_out, dwh_out, dbhn_out, dh0_out,
+               dg_out, dwh_out, dbhn_out, dh0_out,
                dc_s):
         k = pl.program_id(1)
         kk = n_tc - 1 - k  # time chunk being processed (reverse sweep)
@@ -211,15 +220,17 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
                 hp2, wh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(n, rbc, LANE, 3 * hg)
+            iall_t = iall_ref[lt]
             r = jax.nn.sigmoid(
-                ir_ref[lt].astype(jnp.float32) + hh[..., :hg]
+                iall_t[..., :hg].astype(jnp.float32) + hh[..., :hg]
             )
             z = jax.nn.sigmoid(
-                iz_ref[lt].astype(jnp.float32) + hh[..., hg:2 * hg]
+                iall_t[..., hg:2 * hg].astype(jnp.float32)
+                + hh[..., hg:2 * hg]
             )
             hhn = (hh[..., 2 * hg:] + bhn).astype(jnp.bfloat16)
             nn = jnp.tanh(
-                inn_ref[lt].astype(jnp.bfloat16)
+                iall_t[..., 2 * hg:].astype(jnp.bfloat16)
                 + r.astype(jnp.bfloat16) * hhn
             ).astype(jnp.float32)
             m = done_ref[lt, 0] != 0  # carry reset AFTER this step
@@ -245,9 +256,9 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
             dbhn_out[:] += jnp.sum(
                 dhhn.reshape(rows, hg), axis=0, keepdims=True
             )
-            dir_out[lt] = dr_pre.astype(jnp.bfloat16)
-            diz_out[lt] = dz_pre.astype(jnp.bfloat16)
-            dinn_out[lt] = dn_pre.astype(jnp.bfloat16)
+            dg_out[lt] = jnp.concatenate(
+                [dr_pre, dz_pre, dn_pre], axis=-1
+            ).astype(jnp.bfloat16)
             dc_s[:] = dh_prev
             if lt == 0:
                 dh0_val = dh_prev
@@ -257,14 +268,16 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
                     dh0_out[:] = dh0_val
 
     grid = (rb // rbc, n_tc)
-    rev_gate = lambda c, k: (n_tc - 1 - k, 0, c, 0, 0)
+    rev = lambda c, k: (n_tc - 1 - k, 0, c, 0, 0)
 
     gate_spec = pl.BlockSpec(
-        (tc, n, rbc, LANE, hg), rev_gate, memory_space=pltpu.VMEM
+        (tc, n, rbc, LANE, 3 * hg), rev, memory_space=pltpu.VMEM
+    )
+    h_spec = pl.BlockSpec(
+        (tc, n, rbc, LANE, hg), rev, memory_space=pltpu.VMEM
     )
     done_spec = pl.BlockSpec(
-        (tc, 1, rbc, LANE, 1), lambda c, k: (n_tc - 1 - k, 0, c, 0, 0),
-        memory_space=pltpu.VMEM,
+        (tc, 1, rbc, LANE, 1), rev, memory_space=pltpu.VMEM
     )
     hblock = pl.BlockSpec(
         (n, rbc, LANE, hg), lambda c, k: (0, c, 0, 0),
@@ -275,18 +288,18 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, hg), lambda c, k: (0, 0),
                      memory_space=pltpu.VMEM),
-        gate_spec, gate_spec, gate_spec,
+        gate_spec,
         done_spec,
-        gate_spec,  # hseq (bf16 blocks, same shape/map)
+        h_spec,  # hseq
         pl.BlockSpec(
             (1, n, rbc, LANE, hg),
             lambda c, k: (n_tc - 1 - k, 0, c, 0, 0),
             memory_space=pltpu.VMEM,
         ),  # hboundary: one precomputed chunk-boundary hidden per chunk
-        gate_spec,  # dhseq (bf16)
+        h_spec,  # dhseq (bf16)
     ]
     out_specs = [
-        gate_spec, gate_spec, gate_spec,
+        gate_spec,
         pl.BlockSpec((hg, 3 * hg), lambda c, k: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, hg), lambda c, k: (0, 0),
@@ -294,9 +307,7 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
         hblock,
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((t, n, rb, LANE, hg), jnp.bfloat16),
-        jax.ShapeDtypeStruct((t, n, rb, LANE, hg), jnp.bfloat16),
-        jax.ShapeDtypeStruct((t, n, rb, LANE, hg), jnp.bfloat16),
+        jax.ShapeDtypeStruct((t, n, rb, LANE, 3 * hg), jnp.bfloat16),
         jax.ShapeDtypeStruct((hg, 3 * hg), jnp.float32),
         jax.ShapeDtypeStruct((1, hg), jnp.float32),
         jax.ShapeDtypeStruct((n, rb, LANE, hg), jnp.float32),
@@ -311,7 +322,7 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
         interpret=interpret,
     )
 
-    def bwd(wh, bhn, ir, iz, inn, done, h0, hseq, dhseq):
+    def bwd(wh, bhn, iall, done, h0, hseq, dhseq):
         done5 = done.reshape(t, 1, rb, LANE, 1).astype(jnp.bfloat16)
         # chunk-boundary hidden inputs (one row per time chunk): h0 for
         # chunk 0, the reset-masked hseq[kk*tc - 1] otherwise — n_tc rows
@@ -327,17 +338,12 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
             ],
             axis=0,
         )  # (n_tc, N, RB, LANE, Hg)
-        d_ir, d_iz, d_inn, dwh, dbhn, dh0 = call(
+        d_iall, dwh, dbhn, dh0 = call(
             wh.astype(jnp.bfloat16),
             bhn.reshape(1, hg).astype(jnp.float32),
-            ir.astype(jnp.bfloat16), iz.astype(jnp.bfloat16),
-            inn.astype(jnp.bfloat16), done5, hseq, hb,
+            iall.astype(jnp.bfloat16), done5, hseq, hb,
             dhseq.astype(jnp.bfloat16),
         )
-        return (
-            dwh, dbhn.reshape(bhn.shape),
-            d_ir.astype(jnp.float32), d_iz.astype(jnp.float32),
-            d_inn.astype(jnp.float32), dh0,
-        )
+        return dwh, dbhn.reshape(bhn.shape), d_iall, dh0
 
     return bwd
