@@ -53,11 +53,14 @@ def _pick_chunks(t: int, rb: int, n: int, hg: int,
                  bytes_per_el_t: int) -> Tuple[int, int]:
     """(tc, rbc): time-chunk / env-chunk sizes keeping the per-cell
     CHANGING block bytes (``bytes_per_el_t`` per (n*rbc*LANE*hg) chunk
-    element per time row) under ~6.5 MB — double-buffering doubles it.
+    element per time row) under ~12 MB — double-buffering doubles it.
     Bigger cells matter more than balance: the measured cost is ~13 us of
     DMA orchestration per grid cell, so maximise tc*rbc, preferring env
-    rows (bigger per-step matmuls) on ties."""
-    budget = 13 * 1024 * 1024 // 2
+    rows (bigger per-step matmuls) on ties.  Both kernels raise the Mosaic
+    scoped-VMEM limit to 64 MB (v5e has 128 MB VMEM; the 16 MB default
+    rejected the backward at rb=32 — the compiler's buffer accounting runs
+    ~3-4x the changing-block bytes)."""
+    budget = 12 * 1024 * 1024
     el = n * LANE * hg
     best = (1, 1)
     for rbc in (8, 4, 2, 1):
@@ -148,6 +151,9 @@ def build_gru_seq_fwd(t: int, n: int, rb: int, hg: int,
             (t, n, rb, LANE, hg), jnp.bfloat16
         ),
         scratch_shapes=[pltpu.VMEM((n, rbc, LANE, hg), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )
 
@@ -319,6 +325,9 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((n, rbc, LANE, hg), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )
 
