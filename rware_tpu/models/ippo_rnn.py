@@ -587,6 +587,151 @@ def rnn_ppo_loss_native(cfg: IPPOConfig, model, params, batch):
     }
 
 
+@functools.lru_cache(maxsize=None)
+def _gru_loss_kernel(t, n, rb, hg, a, clip_eps, vf_coef, ent_coef,
+                     interpret):
+    from rware_tpu.ops.pallas_gru import build_gru_loss_bwd
+
+    return build_gru_loss_bwd(
+        t, n, rb, hg, a, clip_eps, vf_coef, ent_coef, interpret=interpret
+    )
+
+
+def rnn_fused_grads(cfg: IPPOConfig, model, params, batch,
+                    interpret: bool = False):
+    """Hand-derived gradients of rnn_ppo_loss_native with BOTH sequence
+    sweeps in Pallas: the forward recurrence (build_gru_seq_fwd) and the
+    loss-fused backward (build_gru_loss_bwd — heads, clipped-PPO loss and
+    the GRU reverse chain in-kernel).  The only XLA segments left per
+    minibatch pass are the embed/input-gate forward dots and their
+    hand-derived backward (three MXU dots).  Returns (grads, metrics);
+    equivalence vs jax.grad of rnn_ppo_loss_native is tested in
+    interpret mode (tests/test_pallas_gru.py)."""
+    obs, done, action, logp_old, value_old, adv, target, h0n = batch
+    p = params["params"]
+    g = p["gru"]
+    hg = int(model.hidden)
+
+    def big(x, w):
+        return jax.lax.dot_general(
+            x, w.astype(jnp.bfloat16),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    e = jax.lax.dot_general(
+        obs.astype(jnp.bfloat16),
+        p["embed"]["kernel"].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, N, RB, LANE, E)
+    e = jnp.tanh((e + p["embed"]["bias"]).astype(jnp.bfloat16))
+    wi = jnp.concatenate(
+        [g["ir"]["kernel"], g["iz"]["kernel"], g["in"]["kernel"]], axis=1
+    )
+    bi = jnp.concatenate(
+        [g["ir"]["bias"], g["iz"]["bias"], g["in"]["bias"]], axis=0
+    )
+    iall = (big(e, wi) + bi).astype(jnp.bfloat16)
+    wh = jnp.concatenate(
+        [
+            g["hr"]["kernel"].astype(jnp.bfloat16),
+            g["hz"]["kernel"].astype(jnp.bfloat16),
+            g["hn"]["kernel"].astype(jnp.bfloat16),
+        ],
+        axis=1,
+    )
+    bhn = g["hn"]["bias"]
+    t, n, rb = iall.shape[0], iall.shape[1], iall.shape[2]
+    done_mask = (done != 0).astype(jnp.bfloat16)
+    h0b = h0n.astype(jnp.bfloat16)
+    fwd, _ = _gru_seq_kernels(t, n, rb, hg, interpret)
+    hseq = fwd(wh, bhn, iall, done_mask, h0b)
+
+    a = int(model.n_actions)
+    whead = jnp.concatenate(
+        [p["policy"]["kernel"], p["value"]["kernel"]], axis=1
+    ).astype(jnp.float32)  # (Hg, A+1)
+    bhead = jnp.concatenate(
+        [p["policy"]["bias"], p["value"]["bias"]], axis=0
+    ).astype(jnp.float32)
+    advf = adv.astype(jnp.float32)
+    stats = jnp.stack([advf.mean(), 1.0 / (advf.std() + 1e-8)])
+    loss_bwd = _gru_loss_kernel(
+        t, n, rb, hg, a, float(cfg.clip_eps), float(cfg.vf_coef),
+        float(cfg.ent_coef), interpret,
+    )
+    d_iall, dwh, dbhn, dwhead, dbhead, _dh0, mets = loss_bwd(
+        wh, bhn, whead, bhead, iall, done_mask, h0b, hseq,
+        action, logp_old, value_old, adv, target, stats,
+    )
+
+    # ---- embed / input-gate backward: three MXU dots, hand-derived ----
+    emb = e.shape[-1]
+    e2 = e.reshape(-1, emb)
+    dg2 = d_iall.reshape(-1, 3 * hg)
+    dwi = jax.lax.dot_general(
+        e2, dg2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (E, 3Hg)
+    dbi = jnp.sum(dg2.astype(jnp.float32), axis=0)
+    de = jax.lax.dot_general(
+        dg2, wi.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (-1, E)
+    ef = e2.astype(jnp.float32)
+    dpre = (de * (1.0 - ef * ef)).astype(jnp.bfloat16)
+    dpre5 = dpre.reshape(e.shape)
+    dwe = jax.lax.dot_general(
+        obs.astype(jnp.bfloat16), dpre5,
+        (((0, 2, 3, 4), (0, 1, 2, 3)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (L, E)
+    dbe = jnp.sum(dpre.astype(jnp.float32), axis=0)
+
+    def like(x, ref):
+        return x.astype(ref.dtype)
+
+    grads = {
+        "params": {
+            "embed": {
+                "kernel": like(dwe, p["embed"]["kernel"]),
+                "bias": like(dbe, p["embed"]["bias"]),
+            },
+            "gru": {
+                "ir": {"kernel": like(dwi[:, :hg], g["ir"]["kernel"]),
+                       "bias": like(dbi[:hg], g["ir"]["bias"])},
+                "iz": {"kernel": like(dwi[:, hg:2 * hg],
+                                      g["iz"]["kernel"]),
+                       "bias": like(dbi[hg:2 * hg], g["iz"]["bias"])},
+                "in": {"kernel": like(dwi[:, 2 * hg:], g["in"]["kernel"]),
+                       "bias": like(dbi[2 * hg:], g["in"]["bias"])},
+                "hr": {"kernel": like(dwh[:, :hg], g["hr"]["kernel"])},
+                "hz": {"kernel": like(dwh[:, hg:2 * hg],
+                                      g["hz"]["kernel"])},
+                "hn": {"kernel": like(dwh[:, 2 * hg:], g["hn"]["kernel"]),
+                       "bias": like(dbhn, g["hn"]["bias"])},
+            },
+            "policy": {
+                "kernel": like(dwhead[:, :a], p["policy"]["kernel"]),
+                "bias": like(dbhead[0, :a], p["policy"]["bias"]),
+            },
+            "value": {
+                "kernel": like(dwhead[:, a:], p["value"]["kernel"]),
+                "bias": like(dbhead[0, a:], p["value"]["bias"]),
+            },
+        }
+    }
+    inv_n = 1.0 / (t * n * rb * iall.shape[3])
+    metrics = {
+        "pg_loss": -mets[0] * inv_n,
+        "v_loss": mets[1] * inv_n,
+        "entropy": mets[2] * inv_n,
+        "approx_kl": mets[3] * inv_n,
+    }
+    return grads, metrics
+
+
 def build_rnn_pallas_train_step(
     env: Warehouse,
     model: RecurrentActorCritic,
@@ -696,9 +841,18 @@ def build_rnn_pallas_train_step(
                     jax.lax.dynamic_slice_in_dim(x, i * mb, mb, ax)
                     for x, ax in zip(rolled, _NATIVE_RB_AXES)
                 )
-                (loss, metrics), grads = jax.value_and_grad(
-                    loss_fn_native, has_aux=True
-                )(params, batch)
+                impl = _resolve_gru_impl()
+                if impl == "xla":
+                    (loss, metrics), grads = jax.value_and_grad(
+                        loss_fn_native, has_aux=True
+                    )(params, batch)
+                else:
+                    # both sequence sweeps in Pallas, loss fused into the
+                    # backward kernel; hand-derived embed/gate backward
+                    grads, metrics = rnn_fused_grads(
+                        cfg, model, params, batch,
+                        interpret=impl == "pallas_interpret",
+                    )
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics

@@ -356,3 +356,285 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
         return dwh, dbhn.reshape(bhn.shape), d_iall, dh0
 
     return bwd
+
+
+def build_gru_loss_bwd(t: int, n: int, rb: int, hg: int, a: int,
+                       clip_eps: float, vf_coef: float, ent_coef: float,
+                       interpret: bool = False):
+    """Loss-fused GRU backward: heads, the clipped-PPO loss and its
+    backward run INSIDE the reverse sweep, so the head logits, the hidden
+    cotangent stream and every hseq-sized f32 intermediate never touch
+    HBM (they were ~1.6 ms/pass of XLA segments between the sequence
+    kernels — tools/gru_bisect.py).
+
+    (wh, bhn, whead, bhead, iall, done, h0, hseq, action, logp_old,
+     value_old, adv, target, stats) ->
+    (d_iall, dwh, dbhn, dwhead, dbhead, dh0, mets)
+
+    whead (Hg, A+1) f32 = [W_policy | W_value], bhead (1, A+1); the small
+    per-sample streams (action/logp_old/value_old/adv/target) ride as
+    (T, N, RB, LANE, 1); stats (2,) SMEM = [adv_mean, adv_inv_std].
+    Loss semantics match models.ippo_rnn.rnn_ppo_loss_native exactly
+    (means over every (t, agent, env) element of the minibatch); ``mets``
+    = [pg_sum, v_sum, ent_sum, kl_sum] (divide by t*n*rb*LANE).
+    """
+    # changing blocks: bf16 gates (6) + bf16 cotangent out (6) + bf16
+    # hseq (2) per el per time row (the dhseq stream of the plain bwd is
+    # gone — the head cotangent is computed in-kernel)
+    tc, rbc = _pick_chunks(t, rb, n, hg, bytes_per_el_t=14)
+    n_tc = t // tc
+    rows = n * rbc * LANE
+    a1 = a + 1
+    inv_n = 1.0 / (t * n * rb * LANE)
+    eps = clip_eps
+
+    def kernel(stats_ref, wh_ref, bhn_ref, whead_ref, bhead_ref,
+               iall_ref, done_ref, hseq_ref, hboundary_ref,
+               act_ref, olp_ref, ov_ref, adv_ref, tgt_ref,
+               dg_out, dwh_out, dbhn_out, dwhead_out, dbhead_out,
+               dh0_out, mets, dc_s):
+        k = pl.program_id(1)
+        kk = n_tc - 1 - k
+        first = (pl.program_id(0) == 0) & (k == 0)
+
+        @pl.when(first)
+        def _():
+            dwh_out[:] = jnp.zeros_like(dwh_out)
+            dbhn_out[:] = jnp.zeros_like(dbhn_out)
+            dwhead_out[:] = jnp.zeros_like(dwhead_out)
+            dbhead_out[:] = jnp.zeros_like(dbhead_out)
+            for i in range(4):
+                mets[i] = 0.0
+
+        @pl.when(k == 0)
+        def _():
+            dc_s[:] = jnp.zeros_like(dc_s)
+
+        adv_mean = stats_ref[0]
+        adv_inv_std = stats_ref[1]
+        wh = wh_ref[:]
+        bhn = bhn_ref[:]
+        whead = whead_ref[:]
+        bhead = bhead_ref[:]
+        zero_b = jnp.bfloat16(0.0)
+        for lt in range(tc - 1, -1, -1):
+            # ---- heads + loss + loss-backward on this step's hidden ----
+            hf2 = hseq_ref[lt].astype(jnp.float32).reshape(rows, hg)
+            heads = jax.lax.dot_general(
+                hf2, whead, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bhead  # (rows, A+1)
+            logits = heads[:, :a]
+            value = heads[:, a:]
+            act = act_ref[lt].reshape(rows, 1)
+            old_logp = olp_ref[lt].reshape(rows, 1)
+            old_value = ov_ref[lt].reshape(rows, 1)
+            adv = adv_ref[lt].reshape(rows, 1)
+            target = tgt_ref[lt].reshape(rows, 1)
+
+            mx = jnp.max(logits, axis=1, keepdims=True)
+            sm = jnp.exp(logits - mx)
+            zs = jnp.sum(sm, axis=1, keepdims=True)
+            lsm = logits - mx - jnp.log(zs)
+            pr = sm / zs
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows, a), 1) == act
+            )
+            logp = jnp.sum(
+                jnp.where(onehot, lsm, 0.0), axis=1, keepdims=True
+            )
+            ratio = jnp.exp(logp - old_logp)
+            advn = (adv - adv_mean) * adv_inv_std
+            ratio_c = jnp.clip(ratio, 1.0 - eps, 1.0 + eps)
+            pg1 = ratio * advn
+            pg2 = ratio_c * advn
+            obj = jnp.minimum(pg1, pg2)
+            use1 = pg1 <= pg2
+            inside = (
+                (ratio > 1.0 - eps) & (ratio < 1.0 + eps)
+            ).astype(jnp.float32)
+            dobj = jnp.where(use1, advn, advn * inside)
+            dlogp = -inv_n * dobj * ratio
+            ent = -jnp.sum(pr * lsm, axis=1, keepdims=True)
+            dlogits = dlogp * (onehot.astype(jnp.float32) - pr) + (
+                ent_coef * inv_n
+            ) * pr * (lsm + ent)
+            vdiff = value - old_value
+            v_clip = old_value + jnp.clip(vdiff, -eps, eps)
+            e1 = value - target
+            e2 = v_clip - target
+            use_e1 = (e1 * e1) >= (e2 * e2)
+            inside_v = ((vdiff > -eps) & (vdiff < eps)).astype(
+                jnp.float32
+            )
+            dvalue = (vf_coef * inv_n) * jnp.where(
+                use_e1, e1, e2 * inside_v
+            )
+            dheads = jnp.concatenate([dlogits, dvalue], axis=1)
+            dwhead_out[:] += jax.lax.dot_general(
+                hf2, dheads, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dbhead_out[:] += jnp.sum(dheads, axis=0, keepdims=True)
+            dh_out = jax.lax.dot_general(
+                dheads, whead, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(n, rbc, LANE, hg)
+            mets[0] += jnp.sum(obj)
+            mets[1] += jnp.sum(0.5 * jnp.maximum(e1 * e1, e2 * e2))
+            mets[2] += jnp.sum(ent)
+            mets[3] += jnp.sum((ratio - 1.0) - (logp - old_logp))
+
+            # ---- GRU step backward (identical to build_gru_seq_bwd) ----
+            if lt == 0:
+                hp_t = hboundary_ref[0]
+            else:
+                hp_t = jnp.where(
+                    done_ref[lt - 1, 0] != 0, zero_b, hseq_ref[lt - 1]
+                )
+            hp2 = hp_t.reshape(rows, hg)
+            hh = jax.lax.dot_general(
+                hp2, wh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(n, rbc, LANE, 3 * hg)
+            iall_t = iall_ref[lt]
+            r = jax.nn.sigmoid(
+                iall_t[..., :hg].astype(jnp.float32) + hh[..., :hg]
+            )
+            z = jax.nn.sigmoid(
+                iall_t[..., hg:2 * hg].astype(jnp.float32)
+                + hh[..., hg:2 * hg]
+            )
+            hhn = (hh[..., 2 * hg:] + bhn).astype(jnp.bfloat16)
+            nn = jnp.tanh(
+                iall_t[..., 2 * hg:].astype(jnp.bfloat16)
+                + r.astype(jnp.bfloat16) * hhn
+            ).astype(jnp.float32)
+            m = done_ref[lt, 0] != 0
+            dnh = dh_out + jnp.where(m, 0.0, dc_s[:])
+            hpf = hp_t.astype(jnp.float32)
+            dz_pre = dnh * (hpf - nn) * z * (1.0 - z)
+            dn_pre = dnh * (1.0 - z) * (1.0 - nn * nn)
+            dhhn = dn_pre * r
+            dr_pre = dn_pre * hhn.astype(jnp.float32) * r * (1.0 - r)
+            dg3 = jnp.concatenate(
+                [dr_pre, dz_pre, dhhn], axis=-1
+            ).astype(jnp.bfloat16).reshape(rows, 3 * hg)
+            dh_prev = dnh * z + jax.lax.dot_general(
+                dg3, wh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(n, rbc, LANE, hg)
+            dwh_out[:] += jax.lax.dot_general(
+                hp2, dg3, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dbhn_out[:] += jnp.sum(
+                dhhn.reshape(rows, hg), axis=0, keepdims=True
+            )
+            dg_out[lt] = jnp.concatenate(
+                [dr_pre, dz_pre, dn_pre], axis=-1
+            ).astype(jnp.bfloat16)
+            dc_s[:] = dh_prev
+            if lt == 0:
+                dh0_val = dh_prev
+
+                @pl.when(kk == 0)
+                def _():
+                    dh0_out[:] = dh0_val
+
+    grid = (rb // rbc, n_tc)
+    rev = lambda c, k: (n_tc - 1 - k, 0, c, 0, 0)
+    gate_spec = pl.BlockSpec(
+        (tc, n, rbc, LANE, 3 * hg), rev, memory_space=pltpu.VMEM
+    )
+    h_spec = pl.BlockSpec(
+        (tc, n, rbc, LANE, hg), rev, memory_space=pltpu.VMEM
+    )
+    small_spec = pl.BlockSpec(
+        (tc, n, rbc, LANE, 1), rev, memory_space=pltpu.VMEM
+    )
+    done_spec = pl.BlockSpec(
+        (tc, 1, rbc, LANE, 1), rev, memory_space=pltpu.VMEM
+    )
+    hblock = pl.BlockSpec(
+        (n, rbc, LANE, hg), lambda c, k: (0, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda c, k: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        cspec((hg, 3 * hg)), cspec((1, hg)),
+        cspec((hg, a1)), cspec((1, a1)),
+        gate_spec, done_spec, h_spec,
+        pl.BlockSpec(
+            (1, n, rbc, LANE, hg),
+            lambda c, k: (n_tc - 1 - k, 0, c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        small_spec, small_spec, small_spec, small_spec, small_spec,
+    ]
+    out_specs = [
+        gate_spec,
+        cspec((hg, 3 * hg)), cspec((1, hg)),
+        cspec((hg, a1)), cspec((1, a1)),
+        hblock,
+        pl.BlockSpec((4,), lambda c, k: (0,), memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t, n, rb, LANE, 3 * hg), jnp.bfloat16),
+        jax.ShapeDtypeStruct((hg, 3 * hg), jnp.float32),
+        jax.ShapeDtypeStruct((1, hg), jnp.float32),
+        jax.ShapeDtypeStruct((hg, a1), jnp.float32),
+        jax.ShapeDtypeStruct((1, a1), jnp.float32),
+        jax.ShapeDtypeStruct((n, rb, LANE, hg), jnp.float32),
+        jax.ShapeDtypeStruct((4,), jnp.float32),
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((n, rbc, LANE, hg), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def small(x):
+        return x.reshape(t, n, rb, LANE, 1)
+
+    def bwd(wh, bhn, whead, bhead, iall, done, h0, hseq,
+            action, logp_old, value_old, adv, target, stats):
+        done5 = done.reshape(t, 1, rb, LANE, 1).astype(jnp.bfloat16)
+        hb = jnp.concatenate(
+            [
+                h0.astype(jnp.bfloat16)[None],
+                jnp.where(
+                    done5[tc - 1::tc][: n_tc - 1] != 0,
+                    jnp.bfloat16(0.0),
+                    hseq[tc - 1::tc][: n_tc - 1],
+                ),
+            ],
+            axis=0,
+        )
+        d_iall, dwh, dbhn, dwhead, dbhead, dh0, mets = call(
+            stats.astype(jnp.float32),
+            wh.astype(jnp.bfloat16),
+            bhn.reshape(1, hg).astype(jnp.float32),
+            whead.astype(jnp.float32),
+            bhead.reshape(1, a1).astype(jnp.float32),
+            iall.astype(jnp.bfloat16), done5, hseq, hb,
+            small(action.astype(jnp.int32)),
+            small(logp_old.astype(jnp.float32)),
+            small(value_old.astype(jnp.float32)),
+            small(adv.astype(jnp.float32)),
+            small(target.astype(jnp.float32)),
+        )
+        return d_iall, dwh, dbhn.reshape(bhn.shape), dwhead, dbhead, dh0, mets
+
+    return bwd

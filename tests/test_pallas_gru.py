@@ -123,3 +123,62 @@ def test_native_replay_pallas_impl_matches_xla():
         b = np.asarray(b, np.float32)
         scale = max(np.abs(a).max(), 1e-5)
         assert np.abs(a - b).max() / scale < 4e-2
+
+
+def test_rnn_fused_grads_match_autodiff():
+    """rnn_fused_grads (loss-fused backward kernel + hand-derived
+    embed/gate backward) == jax.grad of rnn_ppo_loss_native."""
+    from rware_tpu.models import IPPOConfig
+    from rware_tpu.models.ippo_rnn import (
+        rnn_fused_grads,
+        rnn_ppo_loss_native,
+    )
+    from rware_tpu.models.networks import RecurrentActorCritic
+
+    L, A = 31, 5
+    cfg = IPPOConfig(minibatches=1)
+    model = RecurrentActorCritic(n_actions=A, hidden=HG, embed=12)
+    params = model.init(
+        jax.random.key(0), model.initialize_carry((1, N)),
+        jnp.zeros((1, N, L)),
+    )
+    ks = jax.random.split(jax.random.key(1), 8)
+    batch = (
+        jax.random.normal(ks[0], (T, L, N, RB, LANE)).astype(jnp.bfloat16),
+        (jax.random.uniform(ks[1], (T, 1, RB, LANE)) < 0.2).astype(
+            jnp.int32
+        ),
+        jax.random.randint(ks[2], (T, N, RB, LANE), 0, A,
+                           dtype=jnp.int32),
+        jax.random.normal(ks[3], (T, N, RB, LANE)) * 0.1 - 1.6,
+        jax.random.normal(ks[4], (T, N, RB, LANE)),
+        jax.random.normal(ks[5], (T, N, RB, LANE)),
+        jax.random.normal(ks[6], (T, N, RB, LANE)),
+        (jax.random.normal(ks[7], (N, RB, LANE, HG)) * 0.3).astype(
+            jnp.bfloat16
+        ),
+    )
+    fused, fused_mets = jax.jit(
+        lambda p, b: rnn_fused_grads(cfg, model, p, b, interpret=True)
+    )(params, batch)
+    (loss, ref_mets), ref = jax.jit(
+        lambda p, b: jax.value_and_grad(
+            lambda pp, bb: rnn_ppo_loss_native(cfg, model, pp, bb),
+            has_aux=True,
+        )(p, b)
+    )(params, batch)
+
+    for k in ("pg_loss", "v_loss", "entropy", "approx_kl"):
+        np.testing.assert_allclose(
+            float(fused_mets[k]), float(ref_mets[k]),
+            rtol=3e-2, atol=3e-3, err_msg=k,
+        )
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(ref)[0])
+    for path, gg in jax.tree_util.tree_flatten_with_path(fused)[0]:
+        r = np.asarray(flat_r[path], np.float32)
+        gg = np.asarray(gg, np.float32)
+        assert gg.shape == r.shape, path
+        scale = max(np.abs(r).max(), 1e-6)
+        np.testing.assert_allclose(
+            gg, r, atol=0.06 * scale, err_msg=str(path)
+        )
