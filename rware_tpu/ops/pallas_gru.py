@@ -417,74 +417,75 @@ def build_gru_loss_bwd(t: int, n: int, rb: int, hg: int, a: int,
         whead = whead_ref[:]
         bhead = bhead_ref[:]
         zero_b = jnp.bfloat16(0.0)
+
+        # ---- heads + loss + loss-backward, BATCHED over the whole time
+        # chunk (keeping this off the sequential reverse loop's critical
+        # path — per-step (rows, A) algebra serialized measured SLOWER
+        # than the XLA segments it replaced) ----
+        trows = tc * rows
+        hf2 = hseq_ref[:].astype(jnp.float32).reshape(trows, hg)
+        heads = jax.lax.dot_general(
+            hf2, whead, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bhead  # (tc*rows, A+1)
+        logits = heads[:, :a]
+        value = heads[:, a:]
+        act = act_ref[:].reshape(trows, 1)
+        old_logp = olp_ref[:].reshape(trows, 1)
+        old_value = ov_ref[:].reshape(trows, 1)
+        adv = adv_ref[:].reshape(trows, 1)
+        target = tgt_ref[:].reshape(trows, 1)
+
+        mx = jnp.max(logits, axis=1, keepdims=True)
+        sm = jnp.exp(logits - mx)
+        zs = jnp.sum(sm, axis=1, keepdims=True)
+        lsm = logits - mx - jnp.log(zs)
+        pr = sm / zs
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (trows, a), 1) == act
+        )
+        logp = jnp.sum(
+            jnp.where(onehot, lsm, 0.0), axis=1, keepdims=True
+        )
+        ratio = jnp.exp(logp - old_logp)
+        advn = (adv - adv_mean) * adv_inv_std
+        ratio_c = jnp.clip(ratio, 1.0 - eps, 1.0 + eps)
+        pg1 = ratio * advn
+        pg2 = ratio_c * advn
+        obj = jnp.minimum(pg1, pg2)
+        use1 = pg1 <= pg2
+        inside = (
+            (ratio > 1.0 - eps) & (ratio < 1.0 + eps)
+        ).astype(jnp.float32)
+        dobj = jnp.where(use1, advn, advn * inside)
+        dlogp = -inv_n * dobj * ratio
+        ent = -jnp.sum(pr * lsm, axis=1, keepdims=True)
+        dlogits = dlogp * (onehot.astype(jnp.float32) - pr) + (
+            ent_coef * inv_n
+        ) * pr * (lsm + ent)
+        vdiff = value - old_value
+        v_clip = old_value + jnp.clip(vdiff, -eps, eps)
+        e1 = value - target
+        e2 = v_clip - target
+        use_e1 = (e1 * e1) >= (e2 * e2)
+        inside_v = ((vdiff > -eps) & (vdiff < eps)).astype(jnp.float32)
+        dvalue = (vf_coef * inv_n) * jnp.where(use_e1, e1, e2 * inside_v)
+        dheads = jnp.concatenate([dlogits, dvalue], axis=1)
+        dwhead_out[:] += jax.lax.dot_general(
+            hf2, dheads, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbhead_out[:] += jnp.sum(dheads, axis=0, keepdims=True)
+        dh_all = jax.lax.dot_general(
+            dheads, whead, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(tc, n, rbc, LANE, hg)
+        mets[0] += jnp.sum(obj)
+        mets[1] += jnp.sum(0.5 * jnp.maximum(e1 * e1, e2 * e2))
+        mets[2] += jnp.sum(ent)
+        mets[3] += jnp.sum((ratio - 1.0) - (logp - old_logp))
+
         for lt in range(tc - 1, -1, -1):
-            # ---- heads + loss + loss-backward on this step's hidden ----
-            hf2 = hseq_ref[lt].astype(jnp.float32).reshape(rows, hg)
-            heads = jax.lax.dot_general(
-                hf2, whead, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bhead  # (rows, A+1)
-            logits = heads[:, :a]
-            value = heads[:, a:]
-            act = act_ref[lt].reshape(rows, 1)
-            old_logp = olp_ref[lt].reshape(rows, 1)
-            old_value = ov_ref[lt].reshape(rows, 1)
-            adv = adv_ref[lt].reshape(rows, 1)
-            target = tgt_ref[lt].reshape(rows, 1)
-
-            mx = jnp.max(logits, axis=1, keepdims=True)
-            sm = jnp.exp(logits - mx)
-            zs = jnp.sum(sm, axis=1, keepdims=True)
-            lsm = logits - mx - jnp.log(zs)
-            pr = sm / zs
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (rows, a), 1) == act
-            )
-            logp = jnp.sum(
-                jnp.where(onehot, lsm, 0.0), axis=1, keepdims=True
-            )
-            ratio = jnp.exp(logp - old_logp)
-            advn = (adv - adv_mean) * adv_inv_std
-            ratio_c = jnp.clip(ratio, 1.0 - eps, 1.0 + eps)
-            pg1 = ratio * advn
-            pg2 = ratio_c * advn
-            obj = jnp.minimum(pg1, pg2)
-            use1 = pg1 <= pg2
-            inside = (
-                (ratio > 1.0 - eps) & (ratio < 1.0 + eps)
-            ).astype(jnp.float32)
-            dobj = jnp.where(use1, advn, advn * inside)
-            dlogp = -inv_n * dobj * ratio
-            ent = -jnp.sum(pr * lsm, axis=1, keepdims=True)
-            dlogits = dlogp * (onehot.astype(jnp.float32) - pr) + (
-                ent_coef * inv_n
-            ) * pr * (lsm + ent)
-            vdiff = value - old_value
-            v_clip = old_value + jnp.clip(vdiff, -eps, eps)
-            e1 = value - target
-            e2 = v_clip - target
-            use_e1 = (e1 * e1) >= (e2 * e2)
-            inside_v = ((vdiff > -eps) & (vdiff < eps)).astype(
-                jnp.float32
-            )
-            dvalue = (vf_coef * inv_n) * jnp.where(
-                use_e1, e1, e2 * inside_v
-            )
-            dheads = jnp.concatenate([dlogits, dvalue], axis=1)
-            dwhead_out[:] += jax.lax.dot_general(
-                hf2, dheads, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dbhead_out[:] += jnp.sum(dheads, axis=0, keepdims=True)
-            dh_out = jax.lax.dot_general(
-                dheads, whead, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(n, rbc, LANE, hg)
-            mets[0] += jnp.sum(obj)
-            mets[1] += jnp.sum(0.5 * jnp.maximum(e1 * e1, e2 * e2))
-            mets[2] += jnp.sum(ent)
-            mets[3] += jnp.sum((ratio - 1.0) - (logp - old_logp))
-
             # ---- GRU step backward (identical to build_gru_seq_bwd) ----
             if lt == 0:
                 hp_t = hboundary_ref[0]
@@ -511,7 +512,7 @@ def build_gru_loss_bwd(t: int, n: int, rb: int, hg: int, a: int,
                 + r.astype(jnp.bfloat16) * hhn
             ).astype(jnp.float32)
             m = done_ref[lt, 0] != 0
-            dnh = dh_out + jnp.where(m, 0.0, dc_s[:])
+            dnh = dh_all[lt] + jnp.where(m, 0.0, dc_s[:])
             hpf = hp_t.astype(jnp.float32)
             dz_pre = dnh * (hpf - nn) * z * (1.0 - z)
             dn_pre = dnh * (1.0 - z) * (1.0 - nn * nn)
