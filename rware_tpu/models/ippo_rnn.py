@@ -519,24 +519,21 @@ def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
         hg, wh, bhn, iall,
         (done != 0).astype(jnp.bfloat16), h0.astype(jnp.bfloat16),
     )  # (T, N, RB, LANE, Hg)
-    hf = hseq.astype(jnp.float32)
-    logits = (
-        jax.lax.dot_general(
-            hf, p["policy"]["kernel"].astype(jnp.float32),
-            (((hf.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + p["policy"]["bias"]
+    # head dots straight on the bf16 hidden (f32 accumulation): the f32
+    # hseq cast was an hseq-sized HBM materialisation per pass; the bf16
+    # weight rounding costs ~3 decimal digits on logits, inside the bf16
+    # noise the rest of the pipeline already carries
+    whead = jnp.concatenate(
+        [p["policy"]["kernel"], p["value"]["kernel"]], axis=1
+    ).astype(jnp.bfloat16)  # (Hg, A+1): one dot for both heads
+    heads = jax.lax.dot_general(
+        hseq, whead, (((hseq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    value = (
-        jax.lax.dot_general(
-            hf, p["value"]["kernel"].astype(jnp.float32),
-            (((hf.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + p["value"]["bias"]
-    )
-    return logits, jnp.squeeze(value, axis=-1)
+    a = heads.shape[-1] - 1
+    logits = heads[..., :a] + p["policy"]["bias"]
+    value = heads[..., a] + p["value"]["bias"][0]
+    return logits, value
 
 
 def _pick_tc_len_gru_default(t: int) -> int:
@@ -740,6 +737,7 @@ def build_rnn_pallas_train_step(
     interpret: bool = False,
     deterministic_collect: bool = False,
     native: bool = True,
+    fused_loss: bool = False,
 ) -> Callable[[RNNRunnerState], Tuple[RNNRunnerState, dict]]:
     """Recurrent IPPO with the GRU fused INTO the collect kernel.
 
@@ -841,18 +839,24 @@ def build_rnn_pallas_train_step(
                     jax.lax.dynamic_slice_in_dim(x, i * mb, mb, ax)
                     for x, ax in zip(rolled, _NATIVE_RB_AXES)
                 )
-                impl = _resolve_gru_impl()
-                if impl == "xla":
+                if fused_loss and _resolve_gru_impl() != "xla":
+                    # both sequence sweeps in Pallas, loss fused into the
+                    # backward kernel; hand-derived embed/gate backward.
+                    # NOT the default: on v5e the extra per-cell input
+                    # streams (5 loss scalars + heads) measured SLOWER
+                    # than the XLA head/loss segments they replace
+                    # (97.5 vs 66.0 ms/step at B=4096) — kept as a
+                    # tested option for hardware where stream setup is
+                    # cheaper.
+                    grads, metrics = rnn_fused_grads(
+                        cfg, model, params, batch,
+                        interpret=_resolve_gru_impl()
+                        == "pallas_interpret",
+                    )
+                else:
                     (loss, metrics), grads = jax.value_and_grad(
                         loss_fn_native, has_aux=True
                     )(params, batch)
-                else:
-                    # both sequence sweeps in Pallas, loss fused into the
-                    # backward kernel; hand-derived embed/gate backward
-                    grads, metrics = rnn_fused_grads(
-                        cfg, model, params, batch,
-                        interpret=impl == "pallas_interpret",
-                    )
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics
