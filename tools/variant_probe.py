@@ -45,6 +45,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-envs", type=int, default=4096)
     p.add_argument("--rollout-len", type=int, default=128)
+    p.add_argument("--minibatches", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=4)
     p.add_argument(
         "--variant", choices=["gru", "image", "seac", "msg", "all"],
         default="all",
@@ -59,7 +61,10 @@ def main():
     import rware_tpu
     from rware_tpu.models import IPPOConfig
 
-    cfg = IPPOConfig(n_envs=args.n_envs, rollout_len=args.rollout_len)
+    cfg = IPPOConfig(
+        n_envs=args.n_envs, rollout_len=args.rollout_len,
+        minibatches=args.minibatches, epochs=args.epochs,
+    )
 
     if "gru" in want:
         from rware_tpu.models.ippo_rnn import (
