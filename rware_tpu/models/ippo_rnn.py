@@ -523,16 +523,20 @@ def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
     # hseq cast was an hseq-sized HBM materialisation per pass; the bf16
     # weight rounding costs ~3 decimal digits on logits, inside the bf16
     # noise the rest of the pipeline already carries
-    whead = jnp.concatenate(
-        [p["policy"]["kernel"], p["value"]["kernel"]], axis=1
-    ).astype(jnp.bfloat16)  # (Hg, A+1): one dot for both heads
+    heads_w = [p["policy"]["kernel"], p["value"]["kernel"]]
+    if "message" in p:
+        heads_w.append(p["message"]["kernel"])
+    whead = jnp.concatenate(heads_w, axis=1).astype(jnp.bfloat16)
     heads = jax.lax.dot_general(
         hseq, whead, (((hseq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    a = heads.shape[-1] - 1
+    a = p["policy"]["kernel"].shape[1]
     logits = heads[..., :a] + p["policy"]["bias"]
     value = heads[..., a] + p["value"]["bias"][0]
+    if "message" in p:
+        msg_logits = heads[..., a + 1:] + p["message"]["bias"]
+        return (logits, msg_logits), value
     return logits, value
 
 
@@ -554,15 +558,43 @@ def rnn_ppo_loss_native(cfg: IPPOConfig, model, params, batch):
     value_old, adv, target ((T, N, RB, LANE)), h0n (N, RB, LANE, Hg)) —
     an env-band slice of the collect kernel's trajectory.  The GRU is
     replayed via _gru_native_replay (batched input gates, scan-only
-    recurrence)."""
-    obs, done, action, logp_old, value_old, adv, target, h0n = batch
-    logits, value = _gru_native_replay(model, params, obs, done, h0n)
+    recurrence).  A 9th entry (message bits, (T, N*M, RB, LANE)
+    agent-major rows) switches to the joint move+Bernoulli policy —
+    joint ratio and joint entropy, matching the GRU collect kernel's
+    stored logp (the recurrent analogue of ppo_loss_native's msg mode)."""
+    bits = None
+    if len(batch) == 9:
+        (obs, done, action, logp_old, value_old, adv, target, h0n,
+         bits) = batch
+    else:
+        obs, done, action, logp_old, value_old, adv, target, h0n = batch
+    heads, value = _gru_native_replay(model, params, obs, done, h0n)
+    msg_entropy = 0.0
+    if bits is not None:
+        from rware_tpu.models.networks import bernoulli_logp
+
+        logits, msg_logits = heads  # msg_logits (T, N, RB, LANE, M)
+        t, nm, rb, lane = bits.shape
+        n = action.shape[1]
+        bitsf = jnp.moveaxis(
+            bits.reshape(t, n, nm // n, rb, lane), 2, -1
+        ).astype(jnp.float32)
+        logp_msg = bernoulli_logp(msg_logits, bitsf).sum(-1)
+        p_msg = jax.nn.sigmoid(msg_logits)
+        msg_entropy = -(
+            p_msg * jax.nn.log_sigmoid(msg_logits)
+            + (1.0 - p_msg) * jax.nn.log_sigmoid(-msg_logits)
+        ).sum(-1)
+    else:
+        logits = heads
     logp_all = jax.nn.log_softmax(logits)
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
         == action[..., None]
     )
     logp = jnp.sum(jnp.where(onehot, logp_all, 0.0), axis=-1)
+    if bits is not None:
+        logp = logp + logp_msg
     ratio = jnp.exp(logp - logp_old)
     adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
     pg1 = ratio * adv_norm
@@ -574,7 +606,9 @@ def rnn_ppo_loss_native(cfg: IPPOConfig, model, params, batch):
     v_loss = 0.5 * jnp.maximum(
         (value - target) ** 2, (v_clipped - target) ** 2
     ).mean()
-    entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+    entropy = (
+        -(jnp.exp(logp_all) * logp_all).sum(-1) + msg_entropy
+    ).mean()
     total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
     return total, {
         "pg_loss": pg_loss,
@@ -754,13 +788,6 @@ def build_rnn_pallas_train_step(
     """
     from rware_tpu.ops.pallas_rollout import ENV_BLOCK, build_pallas_collect
 
-    if env.config.msg_bits > 0:
-        raise NotImplementedError(
-            "the GRU collect kernel's message head is not wired into this "
-            "update path; msg_bits configs use build_rnn_train_step (XLA "
-            "collect, message head)"
-        )
-
     _pick_tc_len_gru = _pick_tc_len_gru_default
 
     hidden = (int(model.embed), int(model.hidden))
@@ -788,8 +815,10 @@ def build_rnn_pallas_train_step(
         return rnn_ppo_loss_native(cfg, model, params, batch)
 
     # rb-axis position per native dataset entry:
-    # (obs, done, action, logp, value, adv, target, h0n)
-    _NATIVE_RB_AXES = (3, 2, 2, 2, 2, 2, 2, 1)
+    # (obs, done, action, logp, value, adv, target, h0n[, bits])
+    _NATIVE_RB_AXES = (3, 2, 2, 2, 2, 2, 2, 1, 2)[
+        : 9 if env.config.msg_bits else 8
+    ]
 
     def train_step_native(runner: RNNRunnerState):
         key, k_perm = jax.random.split(runner.key, 2)
@@ -818,6 +847,8 @@ def build_rnn_pallas_train_step(
             traj["obs"], traj["done"], traj["action"], traj["logp"],
             traj["value"], advantages, targets, h0n,
         )
+        if "bits" in traj:
+            dataset = dataset + (traj["bits"],)
         if rb % cfg.minibatches:
             raise ValueError(
                 f"minibatches={cfg.minibatches} must divide the {rb} env "
@@ -839,7 +870,8 @@ def build_rnn_pallas_train_step(
                     jax.lax.dynamic_slice_in_dim(x, i * mb, mb, ax)
                     for x, ax in zip(rolled, _NATIVE_RB_AXES)
                 )
-                if fused_loss and _resolve_gru_impl() != "xla":
+                if (fused_loss and _resolve_gru_impl() != "xla"
+                        and len(batch) == 8):
                     # both sequence sweeps in Pallas, loss fused into the
                     # backward kernel; hand-derived embed/gate backward.
                     # NOT the default: on v5e the extra per-cell input

@@ -158,3 +158,44 @@ def test_gru_native_replay_matches_flat_replay():
     np.testing.assert_allclose(
         np.asarray(vn), np.asarray(value_f), atol=5e-2
     )
+
+
+def test_rnn_pallas_train_step_msg_bits():
+    """msg_bits through the GRU collect kernel AND the native recurrent
+    update (joint move+Bernoulli logp/entropy in rnn_ppo_loss_native)."""
+    from rware_tpu.models.ippo_rnn import build_rnn_pallas_train_step
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=2)
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, model, tx = init_rnn_runner(env, cfg, jax.random.key(0))
+    assert model.msg_bits == 2
+    ts = jax.jit(
+        build_rnn_pallas_train_step(
+            env, model, tx, cfg, interpret=True,
+            deterministic_collect=True,
+        )
+    )
+    new_runner, metrics = ts(runner)
+    assert int(new_runner.update_idx) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # entropy covers the joint policy: > ln(n_actions) possible at init
+    diffs = jax.tree.map(
+        lambda a, b: float(
+            jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()
+        ),
+        runner.params, new_runner.params,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+    # the message head moved too (bits are part of the joint loss)
+    msg_diff = jax.tree.map(
+        lambda a, b: float(
+            jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()
+        ),
+        runner.params["params"]["message"],
+        new_runner.params["params"]["message"],
+    )
+    assert max(jax.tree.leaves(msg_diff)) > 0

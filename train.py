@@ -84,18 +84,6 @@ def main():
         flush=True,
     )
 
-    if (
-        env.config.msg_bits > 0
-        and args.algo == "ippo"
-        and args.net == "gru"
-        and args.collect == "pallas"
-    ):
-        sys.exit(
-            "msg_bits + gru trains with --collect xla (the recurrent "
-            "kernel's message head is not wired into its update path yet); "
-            "every other algo/net/collect combination supports msg_bits"
-        )
-
     key = jax.random.key(args.seed)
     if args.algo == "ippo" and args.net == "gru":
         from rware_tpu.models import IPPOConfig
