@@ -1895,6 +1895,11 @@ def build_pallas_collect(
             out_specs=out_specs,
             out_shape=out_shape(b),
             scratch_shapes=scratch_shapes,
+            # the GRU carry scratch + msg rows push past the 16 MB default
+            # scoped-VMEM limit (v5e has 128 MB); see ops/pallas_gru
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
             interpret=interpret,
         )(*inputs)
         outs = list(outs)
