@@ -302,18 +302,27 @@ def ppo_update_epochs_native(
 
 
 def _params_to_arrays(params):
+    """Kernel-layout parameter blocks: the policy/value heads ride as ONE
+    concatenated (H2, A+1) / (1, A+1) block (the update kernel's fused
+    head dot); Adam and global-norm clip are elementwise/global, so the
+    packing is optimizer-transparent."""
     p = params["params"]
     return [
         p["dense_0"]["kernel"], p["dense_0"]["bias"][None, :],
         p["dense_1"]["kernel"], p["dense_1"]["bias"][None, :],
-        p["policy"]["kernel"], p["policy"]["bias"][None, :],
-        p["value"]["kernel"], p["value"]["bias"][None, :],
+        jnp.concatenate(
+            [p["policy"]["kernel"], p["value"]["kernel"]], axis=1
+        ),
+        jnp.concatenate(
+            [p["policy"]["bias"], p["value"]["bias"]], axis=0
+        )[None, :],
     ]
 
 
 def _arrays_to_params(arrays, like):
-    w0, b0, w1, b1, wp, bp, wv, bv = arrays
+    w0, b0, w1, b1, wc, bc = arrays
     tpl = like["params"]
+    a = tpl["policy"]["kernel"].shape[1]
 
     def leaf(new, old):
         return new.astype(old.dtype)
@@ -329,12 +338,12 @@ def _arrays_to_params(arrays, like):
                 "bias": leaf(b1[0], tpl["dense_1"]["bias"]),
             },
             "policy": {
-                "kernel": leaf(wp, tpl["policy"]["kernel"]),
-                "bias": leaf(bp[0], tpl["policy"]["bias"]),
+                "kernel": leaf(wc[:, :a], tpl["policy"]["kernel"]),
+                "bias": leaf(bc[0, :a], tpl["policy"]["bias"]),
             },
             "value": {
-                "kernel": leaf(wv, tpl["value"]["kernel"]),
-                "bias": leaf(bv[0], tpl["value"]["bias"]),
+                "kernel": leaf(wc[:, a:], tpl["value"]["kernel"]),
+                "bias": leaf(bc[0, a:], tpl["value"]["bias"]),
             },
         }
     }

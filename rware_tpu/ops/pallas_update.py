@@ -59,19 +59,18 @@ def _make_update_kernel(st: _UpdStatic):
     inv_n = 1.0 / (st.t * st.n * st.mb_rows * LANE)
     eps = st.clip_eps
 
+    AC = A + 1 + MB  # concatenated head width: [policy | value | message]
+
     def kernel(*refs):
         refs = list(refs)
         stats_ref = refs.pop(0)
         (obs_ref, act_ref, logp_ref, oldv_ref, adv_ref, tgt_ref) = refs[:6]
         refs = refs[6:]
         bits_ref = refs.pop(0) if MB else None
-        (w0_ref, b0_ref, w1_ref, b1_ref, wp_ref, bp_ref,
-         wv_ref, bv_ref) = refs[:8]
-        refs = refs[8:]
-        wm_ref, bm_ref = (refs.pop(0), refs.pop(0)) if MB else (None, None)
-        (dw0, db0, dw1, db1, dwp, dbp, dwv, dbv) = refs[:8]
-        refs = refs[8:]
-        dwm, dbm = (refs.pop(0), refs.pop(0)) if MB else (None, None)
+        (w0_ref, b0_ref, w1_ref, b1_ref, wc_ref, bc_ref) = refs[:6]
+        refs = refs[6:]
+        (dw0, db0, dw1, db1, dwc, dbc) = refs[:6]
+        refs = refs[6:]
         mets = refs.pop(0)
 
         t = pl.program_id(0)
@@ -84,13 +83,8 @@ def _make_update_kernel(st: _UpdStatic):
             db0[:] = jnp.zeros_like(db0)
             dw1[:] = jnp.zeros_like(dw1)
             db1[:] = jnp.zeros_like(db1)
-            dwp[:] = jnp.zeros_like(dwp)
-            dbp[:] = jnp.zeros_like(dbp)
-            dwv[:] = jnp.zeros_like(dwv)
-            dbv[:] = jnp.zeros_like(dbv)
-            if MB:
-                dwm[:] = jnp.zeros_like(dwm)
-                dbm[:] = jnp.zeros_like(dbm)
+            dwc[:] = jnp.zeros_like(dwc)
+            dbc[:] = jnp.zeros_like(dbc)
             # SMEM accepts only scalar stores on hardware
             for k in range(len(_METRICS)):
                 mets[k] = 0.0
@@ -112,18 +106,17 @@ def _make_update_kernel(st: _UpdStatic):
         )  # (H2, M)
         h2b = jnp.tanh((z2 + b1_ref[:].T).astype(jnp.bfloat16))
         h2f = h2b.astype(jnp.float32)
-        logits = (
+        # ONE head dot on the concatenated (H2, A+1+MB) weight block: the
+        # lane-padded MXU passes cost the same at width 5 or 8, so the
+        # separate policy/value/message dots each paid full price
+        hcat = (
             jax.lax.dot_general(
-                wp_ref[:], h2f, dn00, preferred_element_type=jnp.float32
+                wc_ref[:], h2f, dn00, preferred_element_type=jnp.float32
             )
-            + bp_ref[:].T
-        )  # (A, M)
-        value = (
-            jax.lax.dot_general(
-                wv_ref[:], h2f, dn00, preferred_element_type=jnp.float32
-            )
-            + bv_ref[:].T
-        )  # (1, M)
+            + bc_ref[:].T
+        )  # (AC, M)
+        logits = hcat[:A]  # (A, M)
+        value = hcat[A:A + 1]  # (1, M)
 
         # ---- loss pieces ----
         action = act_ref[0, 0].reshape(1, M)
@@ -143,13 +136,7 @@ def _make_update_kernel(st: _UpdStatic):
         logp = jnp.sum(jnp.where(onehot, lsm, 0.0), axis=0, keepdims=True)
 
         if MB:
-            msg_logits = (
-                jax.lax.dot_general(
-                    wm_ref[:], h2f, dn00,
-                    preferred_element_type=jnp.float32,
-                )
-                + bm_ref[:].T
-            )  # (MB, M)
+            msg_logits = hcat[A + 1:]  # (MB, M)
             bitf = bits_ref[0].reshape(MB, M).astype(jnp.float32)
             # stable log sigmoid(+/-l) share one log1p(exp(-|l|)) term
             log1pe = jnp.log(1.0 + jnp.exp(-jnp.abs(msg_logits)))
@@ -202,18 +189,15 @@ def _make_update_kernel(st: _UpdStatic):
         dn10 = (((1,), (0,)), ((), ()))  # contract lhs dim1 with rhs dim0
         dn11 = (((1,), (1,)), ((), ()))  # contract the M axes
         if st.debug_level < 2:
-            dh2 = (
-                jax.lax.dot_general(
-                    wp_ref[:], dlogits, dn10,
-                    preferred_element_type=jnp.float32,
-                )
-                + wv_ref[:] * dvalue
-            )  # (H2, M)
+            # fused head cotangent [dlogits | dvalue | dmsg]: one dgrad
+            # dot and one wgrad dot instead of one per head
+            dcat_rows = [dlogits, dvalue]
             if MB:
-                dh2 = dh2 + jax.lax.dot_general(
-                    wm_ref[:], dmsg, dn10,
-                    preferred_element_type=jnp.float32,
-                )
+                dcat_rows.append(dmsg)
+            dcat = jnp.concatenate(dcat_rows, axis=0)  # (AC, M)
+            dh2 = jax.lax.dot_general(
+                wc_ref[:], dcat, dn10, preferred_element_type=jnp.float32
+            )  # (H2, M)
             one = jnp.bfloat16(1.0)
             dz2b = dh2.astype(jnp.bfloat16) * (one - h2b * h2b)
             dh1 = jax.lax.dot_general(
@@ -233,19 +217,10 @@ def _make_update_kernel(st: _UpdStatic):
             db1[:] += jnp.sum(
                 dz2b.astype(jnp.float32), axis=1, keepdims=True
             ).T
-            dwp[:] += jax.lax.dot_general(
-                h2f, dlogits, dn11, preferred_element_type=jnp.float32
-            )  # (H2, A)
-            dbp[:] += jnp.sum(dlogits, axis=1, keepdims=True).T
-            dwv[:] += jax.lax.dot_general(
-                h2f, dvalue, dn11, preferred_element_type=jnp.float32
-            )  # (H2, 1)
-            dbv[:] += jnp.sum(dvalue, axis=1, keepdims=True).T
-            if MB:
-                dwm[:] += jax.lax.dot_general(
-                    h2f, dmsg, dn11, preferred_element_type=jnp.float32
-                )  # (H2, MB)
-                dbm[:] += jnp.sum(dmsg, axis=1, keepdims=True).T
+            dwc[:] += jax.lax.dot_general(
+                h2f, dcat, dn11, preferred_element_type=jnp.float32
+            )  # (H2, AC)
+            dbc[:] += jnp.sum(dcat, axis=1, keepdims=True).T
         elif st.debug_level == 1:
             # dgrads computed but wgrad matmuls skipped; keep the dgrad
             # chain alive through the bias-grad sums
@@ -255,7 +230,7 @@ def _make_update_kernel(st: _UpdStatic):
             db1[:] += jnp.sum(
                 dz2b.astype(jnp.float32), axis=1, keepdims=True
             ).T
-            dbv[:] += jnp.sum(dvalue, axis=1, keepdims=True).T
+            dbc[:] += jnp.sum(dcat, axis=1, keepdims=True).T
 
         # ---- metric partial sums ----
         mets[0] += jnp.sum(obj)
@@ -368,33 +343,24 @@ def build_fused_ppo_grads(
                 (1, MB, rb_chunk, LANE), vec_map, memory_space=pltpu.VMEM
             )
         )
+    AC = A + 1 + MB
     in_specs += [
         cblock((L, H1)), cblock((1, H1)), cblock((H1, H2)), cblock((1, H2)),
-        cblock((H2, A)), cblock((1, A)), cblock((H2, 1)), cblock((1, 1)),
+        cblock((H2, AC)), cblock((1, AC)),
     ]
-    if MB:
-        in_specs += [cblock((H2, MB)), cblock((1, MB))]
 
     out_specs = [
         cblock((L, H1)), cblock((1, H1)), cblock((H1, H2)), cblock((1, H2)),
-        cblock((H2, A)), cblock((1, A)), cblock((H2, 1)), cblock((1, 1)),
+        cblock((H2, AC)), cblock((1, AC)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((L, H1), jnp.float32),
         jax.ShapeDtypeStruct((1, H1), jnp.float32),
         jax.ShapeDtypeStruct((H1, H2), jnp.float32),
         jax.ShapeDtypeStruct((1, H2), jnp.float32),
-        jax.ShapeDtypeStruct((H2, A), jnp.float32),
-        jax.ShapeDtypeStruct((1, A), jnp.float32),
-        jax.ShapeDtypeStruct((H2, 1), jnp.float32),
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((H2, AC), jnp.float32),
+        jax.ShapeDtypeStruct((1, AC), jnp.float32),
     ]
-    if MB:
-        out_specs += [cblock((H2, MB)), cblock((1, MB))]
-        out_shape += [
-            jax.ShapeDtypeStruct((H2, MB), jnp.float32),
-            jax.ShapeDtypeStruct((1, MB), jnp.float32),
-        ]
     out_specs.append(
         pl.BlockSpec((len(_METRICS),), met_map, memory_space=pltpu.SMEM)
     )
@@ -456,40 +422,42 @@ def build_fused_ppo_grads(
         ]
         if MB:
             inputs.append(bits.astype(jnp.int32))
+        head_ws = [p["policy"]["kernel"], p["value"]["kernel"]]
+        head_bs = [p["policy"]["bias"], p["value"]["bias"]]
+        if MB:
+            head_ws.append(p["message"]["kernel"])
+            head_bs.append(p["message"]["bias"])
         inputs += [
             p["dense_0"]["kernel"].astype(jnp.bfloat16),
             p["dense_0"]["bias"].astype(jnp.float32)[None, :],
             p["dense_1"]["kernel"].astype(jnp.bfloat16),
             p["dense_1"]["bias"].astype(jnp.float32)[None, :],
-            p["policy"]["kernel"].astype(jnp.float32),
-            p["policy"]["bias"].astype(jnp.float32)[None, :],
-            p["value"]["kernel"].astype(jnp.float32),
-            p["value"]["bias"].astype(jnp.float32)[None, :],
+            jnp.concatenate(head_ws, axis=1).astype(jnp.float32),
+            jnp.concatenate(head_bs, axis=0).astype(jnp.float32)[None, :],
         ]
-        if MB:
-            inputs += [
-                p["message"]["kernel"].astype(jnp.float32),
-                p["message"]["bias"].astype(jnp.float32)[None, :],
-            ]
         if dataset_len:
             sel = jnp.asarray([start], dtype=jnp.int32)
             outs = list(call(sel, *inputs))
         else:
             outs = list(call(*inputs))
-        (gw0, gb0, gw1, gb1, gwp, gbp, gwv, gbv) = outs[:8]
-        outs = outs[8:]
-        if MB:
-            gwm, gbm = outs[:2]
-            outs = outs[2:]
-        mets = outs[0]
+        (gw0, gb0, gw1, gb1, gwc, gbc) = outs[:6]
+        mets = outs[6]
         grads_tree = {
             "params": {
                 "dense_0": {"kernel": gw0, "bias": gb0[0]},
                 "dense_1": {"kernel": gw1, "bias": gb1[0]},
-                "policy": {"kernel": gwp, "bias": gbp[0]},
-                "value": {"kernel": gwv, "bias": gbv[0]},
+                "policy": {"kernel": gwc[:, :A], "bias": gbc[0, :A]},
+                "value": {
+                    "kernel": gwc[:, A:A + 1],
+                    "bias": gbc[0, A:A + 1],
+                },
                 **(
-                    {"message": {"kernel": gwm, "bias": gbm[0]}}
+                    {
+                        "message": {
+                            "kernel": gwc[:, A + 1:],
+                            "bias": gbc[0, A + 1:],
+                        }
+                    }
                     if MB
                     else {}
                 ),
@@ -538,8 +506,8 @@ def _make_seac_update_kernel(st: _SeacStatic):
     def kernel(
         stats_ref,
         obs_ref, act_ref, blogp_ref, oldv_ref, adv_ref, tgt_ref,
-        w0_ref, b0_ref, w1_ref, b1_ref, wp_ref, bp_ref, wv_ref, bv_ref,
-        dw0, db0, dw1, db1, dwp, dbp, dwv, dbv, mets,
+        w0_ref, b0_ref, w1_ref, b1_ref, wc_ref, bc_ref,
+        dw0, db0, dw1, db1, dwc, dbc, mets,
     ):
         t = pl.program_id(0)
         i = pl.program_id(1)
@@ -554,10 +522,8 @@ def _make_seac_update_kernel(st: _SeacStatic):
             db0[:] = jnp.zeros_like(db0)
             dw1[:] = jnp.zeros_like(dw1)
             db1[:] = jnp.zeros_like(db1)
-            dwp[:] = jnp.zeros_like(dwp)
-            dbp[:] = jnp.zeros_like(dbp)
-            dwv[:] = jnp.zeros_like(dwv)
-            dbv[:] = jnp.zeros_like(dbv)
+            dwc[:] = jnp.zeros_like(dwc)
+            dbc[:] = jnp.zeros_like(dbc)
 
         @pl.when(first & (i == 0))
         def _():
@@ -582,18 +548,16 @@ def _make_seac_update_kernel(st: _SeacStatic):
         )
         h2b = jnp.tanh((z2 + b1_ref[0].reshape(-1, 1)).astype(jnp.bfloat16))
         h2f = h2b.astype(jnp.float32)
-        logits = (
+        # fused [policy | value] head dot (lane padding makes separate
+        # width-A / width-1 dots cost full MXU passes each)
+        hcat = (
             jax.lax.dot_general(
-                wp_ref[0], h2f, dn00, preferred_element_type=jnp.float32
+                wc_ref[0], h2f, dn00, preferred_element_type=jnp.float32
             )
-            + bp_ref[0].reshape(-1, 1)
-        )  # (A, M)
-        value = (
-            jax.lax.dot_general(
-                wv_ref[0], h2f, dn00, preferred_element_type=jnp.float32
-            )
-            + bv_ref[0].reshape(-1, 1)
-        )  # (1, M)
+            + bc_ref[0].reshape(-1, 1)
+        )  # (A+1, M)
+        logits = hcat[:A]  # (A, M)
+        value = hcat[A:A + 1]  # (1, M)
 
         # ---- SEAC-PPO loss pieces ----
         action = act_ref[0, 0].reshape(1, M)
@@ -644,11 +608,9 @@ def _make_seac_update_kernel(st: _SeacStatic):
         # ---- backward ----
         dn10 = (((1,), (0,)), ((), ()))
         dn11 = (((1,), (1,)), ((), ()))
-        dh2 = (
-            jax.lax.dot_general(
-                wp_ref[0], dlogits, dn10, preferred_element_type=jnp.float32
-            )
-            + wv_ref[0].reshape(-1, 1) * dvalue
+        dcat = jnp.concatenate([dlogits, dvalue], axis=0)  # (A+1, M)
+        dh2 = jax.lax.dot_general(
+            wc_ref[0], dcat, dn10, preferred_element_type=jnp.float32
         )
         one = jnp.bfloat16(1.0)
         dz2b = dh2.astype(jnp.bfloat16) * (one - h2b * h2b)
@@ -664,14 +626,10 @@ def _make_seac_update_kernel(st: _SeacStatic):
             h1b, dz2b, dn11, preferred_element_type=jnp.float32
         )
         db1[0] += jnp.sum(dz2b.astype(jnp.float32), axis=1, keepdims=True).T
-        dwp[0] += jax.lax.dot_general(
-            h2f, dlogits, dn11, preferred_element_type=jnp.float32
+        dwc[0] += jax.lax.dot_general(
+            h2f, dcat, dn11, preferred_element_type=jnp.float32
         )
-        dbp[0] += jnp.sum(dlogits, axis=1, keepdims=True).T
-        dwv[0] += jax.lax.dot_general(
-            h2f, dvalue, dn11, preferred_element_type=jnp.float32
-        )
-        dbv[0] += jnp.sum(dvalue, axis=1, keepdims=True).T
+        dbc[0] += jnp.sum(dcat, axis=1, keepdims=True).T
 
         # ---- metric partial sums (loss-term weighted like the loss) ----
         mets[0] += w_pair * jnp.sum(obj)
@@ -761,14 +719,15 @@ def build_fused_seac_ppo_grads(
     # requires a block's last two dims be (8k, 128m)-divisible OR equal to
     # the array dims — a (1, X) block over (N, X) violates that on
     # hardware (interpret mode tolerated it)
+    AC = A + 1
     in_specs += [
         pb((L, H1)), pb((1, H1)), pb((H1, H2)), pb((1, H2)),
-        pb((H2, A)), pb((1, A)), pb((H2, 1)), pb((1, 1)),
+        pb((H2, AC)), pb((1, AC)),
     ]
 
     out_specs = [
         pb((L, H1)), pb((1, H1)), pb((H1, H2)), pb((1, H2)),
-        pb((H2, A)), pb((1, A)), pb((H2, 1)), pb((1, 1)),
+        pb((H2, AC)), pb((1, AC)),
         pl.BlockSpec(
             (len(_METRICS),), lambda t, i, j, c: (0,),
             memory_space=pltpu.SMEM,
@@ -779,10 +738,8 @@ def build_fused_seac_ppo_grads(
         jax.ShapeDtypeStruct((N, 1, H1), jnp.float32),
         jax.ShapeDtypeStruct((N, H1, H2), jnp.float32),
         jax.ShapeDtypeStruct((N, 1, H2), jnp.float32),
-        jax.ShapeDtypeStruct((N, H2, A), jnp.float32),
-        jax.ShapeDtypeStruct((N, 1, A), jnp.float32),
-        jax.ShapeDtypeStruct((N, H2, 1), jnp.float32),
-        jax.ShapeDtypeStruct((N, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((N, H2, AC), jnp.float32),
+        jax.ShapeDtypeStruct((N, 1, AC), jnp.float32),
         jax.ShapeDtypeStruct((len(_METRICS),), jnp.float32),
     ]
 
@@ -804,10 +761,12 @@ def build_fused_seac_ppo_grads(
             p["dense_0"]["bias"].astype(jnp.float32)[:, None, :],
             p["dense_1"]["kernel"].astype(jnp.bfloat16),
             p["dense_1"]["bias"].astype(jnp.float32)[:, None, :],
-            p["policy"]["kernel"].astype(jnp.float32),
-            p["policy"]["bias"].astype(jnp.float32)[:, None, :],
-            p["value"]["kernel"].astype(jnp.float32),
-            p["value"]["bias"].astype(jnp.float32)[:, None, :],
+            jnp.concatenate(
+                [p["policy"]["kernel"], p["value"]["kernel"]], axis=2
+            ).astype(jnp.float32),
+            jnp.concatenate(
+                [p["policy"]["bias"], p["value"]["bias"]], axis=1
+            ).astype(jnp.float32)[:, None, :],
         ]
         outs = pl.pallas_call(
             kernel,
@@ -817,13 +776,13 @@ def build_fused_seac_ppo_grads(
             out_shape=out_shape,
             interpret=interpret,
         )(*inputs)
-        (gw0, gb0, gw1, gb1, gwp, gbp, gwv, gbv, mets) = outs
+        (gw0, gb0, gw1, gb1, gwc, gbc, mets) = outs
         grads_tree = {
             "params": {
                 "dense_0": {"kernel": gw0, "bias": gb0[:, 0]},
                 "dense_1": {"kernel": gw1, "bias": gb1[:, 0]},
-                "policy": {"kernel": gwp, "bias": gbp[:, 0]},
-                "value": {"kernel": gwv, "bias": gbv[:, 0]},
+                "policy": {"kernel": gwc[:, :, :A], "bias": gbc[:, 0, :A]},
+                "value": {"kernel": gwc[:, :, A:], "bias": gbc[:, 0, A:]},
             }
         }
         metrics = {
@@ -894,9 +853,11 @@ def build_fused_ppo_update_phase(
     b1, b2 = 0.9, 0.999
     adam_eps = 1e-5
 
+    AC = A + 1  # concatenated [policy | value] head block (lane padding
+    # makes separate width-A and width-1 dots cost full MXU passes each)
     pshapes = [
         (L, H1), (1, H1), (H1, H2), (1, H2),
-        (H2, A), (1, A), (H2, 1), (1, 1),
+        (H2, AC), (1, AC),
     ]
     NP = len(pshapes)
 
@@ -976,10 +937,8 @@ def build_fused_ppo_update_phase(
             b0 = wout[1][:]
             w1 = wout[2][:].astype(jnp.bfloat16)
             b1_ = wout[3][:]
-            wp = wout[4][:]
-            bp = wout[5][:]
-            wv = wout[6][:]
-            bv = wout[7][:]
+            wc = wout[4][:]
+            bc = wout[5][:]
 
             x = obs_ref[0, :, 0].reshape(L, M)  # bf16
             dn00 = (((0,), (0,)), ((), ()))
@@ -992,18 +951,14 @@ def build_fused_ppo_update_phase(
             )
             h2b = jnp.tanh((z2 + b1_.T).astype(jnp.bfloat16))
             h2f = h2b.astype(jnp.float32)
-            logits = (
+            hcat = (
                 jax.lax.dot_general(
-                    wp, h2f, dn00, preferred_element_type=jnp.float32
+                    wc, h2f, dn00, preferred_element_type=jnp.float32
                 )
-                + bp.T
-            )
-            value = (
-                jax.lax.dot_general(
-                    wv, h2f, dn00, preferred_element_type=jnp.float32
-                )
-                + bv.T
-            )
+                + bc.T
+            )  # (AC, M)
+            logits = hcat[:A]
+            value = hcat[A:A + 1]
 
             action = act_ref[0, 0].reshape(1, M)
             old_logp = logp_ref[0, 0].reshape(1, M)
@@ -1050,11 +1005,9 @@ def build_fused_ppo_update_phase(
 
             dn10 = (((1,), (0,)), ((), ()))
             dn11 = (((1,), (1,)), ((), ()))
-            dh2 = (
-                jax.lax.dot_general(
-                    wp, dlogits, dn10, preferred_element_type=jnp.float32
-                )
-                + wv * dvalue
+            dcat = jnp.concatenate([dlogits, dvalue], axis=0)  # (AC, M)
+            dh2 = jax.lax.dot_general(
+                wc, dcat, dn10, preferred_element_type=jnp.float32
             )
             one = jnp.bfloat16(1.0)
             dz2b = dh2.astype(jnp.bfloat16) * (one - h2b * h2b)
@@ -1075,13 +1028,9 @@ def build_fused_ppo_update_phase(
                 dz2b.astype(jnp.float32), axis=1, keepdims=True
             ).T
             gacc[4][:] += jax.lax.dot_general(
-                h2f, dlogits, dn11, preferred_element_type=jnp.float32
+                h2f, dcat, dn11, preferred_element_type=jnp.float32
             )
-            gacc[5][:] += jnp.sum(dlogits, axis=1, keepdims=True).T
-            gacc[6][:] += jax.lax.dot_general(
-                h2f, dvalue, dn11, preferred_element_type=jnp.float32
-            )
-            gacc[7][:] += jnp.sum(dvalue, axis=1, keepdims=True).T
+            gacc[5][:] += jnp.sum(dcat, axis=1, keepdims=True).T
 
             mets[p, 0] += jnp.sum(obj)
             mets[p, 1] += jnp.sum(0.5 * jnp.maximum(e1 * e1, e2 * e2))
