@@ -53,20 +53,20 @@ def _pick_chunks(t: int, rb: int, n: int, hg: int,
                  bytes_per_el_t: int) -> Tuple[int, int]:
     """(tc, rbc): time-chunk / env-chunk sizes keeping the per-cell
     CHANGING block bytes (``bytes_per_el_t`` per (n*rbc*LANE*hg) chunk
-    element per time row) under ~12 MB — double-buffering doubles it.
+    element per time row) under ~16 MB — double-buffering doubles it.
     Bigger cells matter more than balance: the measured cost is ~13 us of
     DMA orchestration per grid cell, so maximise tc*rbc, preferring env
     rows (bigger per-step matmuls) on ties.  Both kernels raise the Mosaic
     scoped-VMEM limit to 64 MB (v5e has 128 MB VMEM; the 16 MB default
     rejected the backward at rb=32 — the compiler's buffer accounting runs
     ~3-4x the changing-block bytes)."""
-    budget = 12 * 1024 * 1024
+    budget = 16 * 1024 * 1024
     el = n * LANE * hg
     best = (1, 1)
-    for rbc in (8, 4, 2, 1):
+    for rbc in (16, 8, 4, 2, 1):
         if rb % rbc:
             continue
-        for tc in (8, 4, 2, 1):
+        for tc in (16, 8, 4, 2, 1):
             if t % tc:
                 continue
             if bytes_per_el_t * tc * rbc * el <= budget:
