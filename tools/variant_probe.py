@@ -48,8 +48,14 @@ def main():
     p.add_argument("--minibatches", type=int, default=4)
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument(
-        "--variant", choices=["gru", "image", "seac", "msg", "all"],
+        "--variant",
+        choices=["mlp", "gru", "image", "seac", "msg", "all"],
         default="all",
+    )
+    p.add_argument(
+        "--gru-fused-loss", action="store_true",
+        help="route the GRU update through rnn_fused_grads (both sequence "
+        "sweeps + heads/loss in Pallas)",
     )
     args = p.parse_args()
     want = (
@@ -66,6 +72,18 @@ def main():
         minibatches=args.minibatches, epochs=args.epochs,
     )
 
+    if "mlp" in want:
+        from rware_tpu.models.ippo_pallas import (
+            build_pallas_train_step,
+            init_pallas_runner,
+        )
+
+        env = rware_tpu.make("rware-tiny-2ag-v2")
+        runner, model, tx = init_pallas_runner(env, cfg, jax.random.key(0))
+        ts = jax.jit(build_pallas_train_step(env, model, tx, cfg))
+        probe("IPPO MLP flagship (tiny-2ag)", ts, runner,
+              cfg.n_envs, cfg.rollout_len)
+
     if "gru" in want:
         from rware_tpu.models.ippo_rnn import (
             build_rnn_pallas_train_step,
@@ -74,8 +92,11 @@ def main():
 
         env = rware_tpu.make("rware-tiny-2ag-v2")
         runner, model, tx = init_rnn_runner(env, cfg, jax.random.key(0))
-        ts = jax.jit(build_rnn_pallas_train_step(env, model, tx, cfg))
-        probe("gru-in-kernel recurrent IPPO (tiny-2ag)", ts, runner,
+        ts = jax.jit(build_rnn_pallas_train_step(
+            env, model, tx, cfg, fused_loss=args.gru_fused_loss
+        ))
+        tag = " (loss-fused bwd)" if args.gru_fused_loss else ""
+        probe("gru-in-kernel recurrent IPPO (tiny-2ag)" + tag, ts, runner,
               cfg.n_envs, cfg.rollout_len)
 
     if "image" in want:
