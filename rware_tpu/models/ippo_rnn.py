@@ -856,19 +856,28 @@ def build_rnn_pallas_train_step(
             )
         mb = rb // cfg.minibatches
 
+        # Wrapped env-band minibatches WITHOUT the per-epoch jnp.roll: the
+        # dataset is self-concatenated once along the env-row axis and every
+        # minibatch is a plain dynamic slice of the doubled extent at
+        # (i*mb - off) % rb — the identical window roll(off)+slice produced,
+        # for one dataset copy per update instead of one per epoch (the 4
+        # rolls measured 13.5 ms of the 64 ms step at B=4096;
+        # tools/gru_bisect.py stage E vs G).
+        doubled = tuple(
+            jnp.concatenate([x, x], axis=ax)
+            for x, ax in zip(dataset, _NATIVE_RB_AXES)
+        )
+
         def epoch(carry_es, k):
             params, opt_state = carry_es
             off = jax.random.randint(k, (), 0, rb)
-            rolled = tuple(
-                jnp.roll(x, off, axis=ax)
-                for x, ax in zip(dataset, _NATIVE_RB_AXES)
-            )
 
             def minibatch(carry_es, i):
                 params, opt_state = carry_es
+                start = (i * mb - off) % rb
                 batch = tuple(
-                    jax.lax.dynamic_slice_in_dim(x, i * mb, mb, ax)
-                    for x, ax in zip(rolled, _NATIVE_RB_AXES)
+                    jax.lax.dynamic_slice_in_dim(x, start, mb, ax)
+                    for x, ax in zip(doubled, _NATIVE_RB_AXES)
                 )
                 if (fused_loss and _resolve_gru_impl() != "xla"
                         and len(batch) == 8):

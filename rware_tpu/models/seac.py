@@ -537,16 +537,26 @@ def build_seac_ppo_train_step(
                     optax.apply_updates(params, updates), opt_state, metrics
                 )
 
+            # wrapped time-window minibatches without the per-epoch
+            # jnp.roll: one self-concat per update, minibatches are plain
+            # slices of the doubled time extent at (idx*t_mb - off) % T —
+            # identical windows, 4x less glue HBM traffic (the same
+            # restructure measured 13.5 ms -> ~1 ms on the GRU path,
+            # tools/gru_bisect.py E vs G)
+            doubled = tuple(
+                jnp.concatenate([x, x], axis=0) for x in dataset
+            )
+
             def epoch(carry, k):
                 params, opt_state = carry
                 off = jax.random.randint(k, (), 0, cfg.rollout_len)
-                rolled = tuple(jnp.roll(x, off, axis=0) for x in dataset)
 
                 def minibatch(carry, idx):
                     params, opt_state = carry
+                    start = (idx * t_mb - off) % cfg.rollout_len
                     batch = tuple(
-                        jax.lax.dynamic_slice_in_dim(x, idx * t_mb, t_mb, 0)
-                        for x in rolled
+                        jax.lax.dynamic_slice_in_dim(x, start, t_mb, 0)
+                        for x in doubled
                     )
                     params, opt_state, metrics = sgd_step(
                         params, opt_state, batch
