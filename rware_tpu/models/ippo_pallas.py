@@ -263,9 +263,19 @@ def ppo_update_epochs_native(
         and getattr(grads_fn, "dataset_len", 0) == roll_extent
     )
 
+    # time-mode rotations are drawn in phase_time_block units so this
+    # path's windows stay bit-identical to the whole-phase kernel's
+    # TB-aligned starts (ops/pallas_update.phase_time_block)
+    if mb_axis == "time":
+        from rware_tpu.ops.pallas_update import phase_time_block
+
+        off_tb = phase_time_block(mb)
+    else:
+        off_tb = 1
+
     def epoch(carry, k):
         params, opt_state = carry
-        off = jax.random.randint(k, (), 0, roll_extent)
+        off = jax.random.randint(k, (), 0, roll_extent // off_tb) * off_tb
 
         if zero_copy:
             def minibatch(carry, i):
@@ -365,8 +375,12 @@ def ppo_update_phase_fused(cfg, params, opt_state, dataset, key, update_fn):
     mb_t = t_full // cfg.minibatches
     P = cfg.epochs * cfg.minibatches
 
+    # the kernel's zero-copy wrap addresses whole time blocks, so the
+    # per-epoch rotation is drawn in time_block units (statistically the
+    # same decorrelation, TB-aligned starts)
+    tb = getattr(update_fn, "time_block", 1)
     offs = jax.vmap(
-        lambda k: jax.random.randint(k, (), 0, t_full)
+        lambda k: jax.random.randint(k, (), 0, t_full // tb) * tb
     )(jax.random.split(key, cfg.epochs))  # (E,)
     m_idx = jnp.arange(cfg.minibatches, dtype=jnp.int32)
     starts = (

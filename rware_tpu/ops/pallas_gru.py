@@ -380,8 +380,11 @@ def build_gru_loss_bwd(t: int, n: int, rb: int, hg: int, a: int,
     """
     # changing blocks: bf16 gates (6) + bf16 cotangent out (6) + bf16
     # hseq (2) per el per time row (the dhseq stream of the plain bwd is
-    # gone — the head cotangent is computed in-kernel)
-    tc, rbc = _pick_chunks(t, rb, n, hg, bytes_per_el_t=14)
+    # gone — the head cotangent is computed in-kernel).  The head/loss
+    # intermediates roughly double the compiler's scoped accounting vs
+    # the plain bwd (113.6 MB at the 16 MB chunk budget on hardware), so
+    # this kernel budgets half the chunk volume.
+    tc, rbc = _pick_chunks(t, rb, n, hg, bytes_per_el_t=28)
     n_tc = t // tc
     rows = n * rbc * LANE
     a1 = a + 1
@@ -600,8 +603,11 @@ def build_gru_loss_bwd(t: int, n: int, rb: int, hg: int, a: int,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((n, rbc, LANE, hg), jnp.float32)],
+        # the loss-fused sweep carries head/loss intermediates on top of
+        # the gate streams: the compiler's accounting ran 73.4 MB at the
+        # 16 MB chunk budget (64 MB limit rejected it on hardware)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=96 * 1024 * 1024
         ),
         interpret=interpret,
     )

@@ -490,6 +490,7 @@ class _SeacStatic:
     n: int
     mb_rows: int
     rb_chunk: int
+    tb: int
     clip_eps: float
     vf_coef: float
     ent_coef: float
@@ -498,7 +499,8 @@ class _SeacStatic:
 
 def _make_seac_update_kernel(st: _SeacStatic):
     L, H1, H2, A = st.l, st.h1, st.h2, st.a
-    M = st.rb_chunk * LANE
+    N, TB = st.n, st.tb
+    M = N * st.rb_chunk * LANE  # the N_j sharing axis rides in-cell
     # pg/v: sum over j, mean over (samples, i)  ->  1 / (samples * N_i)
     inv_n = 1.0 / (st.t * st.mb_rows * LANE * st.n)
     eps = st.clip_eps
@@ -511,9 +513,8 @@ def _make_seac_update_kernel(st: _SeacStatic):
     ):
         t = pl.program_id(0)
         i = pl.program_id(1)
-        j = pl.program_id(2)
-        c = pl.program_id(3)
-        first = (t == 0) & (j == 0) & (c == 0)
+        c = pl.program_id(2)
+        first = (t == 0) & (c == 0)
 
         @pl.when(first)
         def _():
@@ -532,12 +533,27 @@ def _make_seac_update_kernel(st: _SeacStatic):
 
         adv_mean = stats_ref[0]
         adv_inv_std = stats_ref[1]
-        diag = (i == j).astype(jnp.float32)
+        # per-COLUMN pair weights: column blocks are j-major, so
+        # col // (rb_chunk*LANE) is the j whose slab that column holds
+        j_col = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1) // (
+            st.rb_chunk * LANE
+        )
+        diag = (j_col == i).astype(jnp.float32)  # (1, M)
         # w_ij = 1 on the diagonal, seac_lambda off it
         w_pair = diag + st.seac_lambda * (1.0 - diag)
 
-        # ---- forward: agent i's MLP on agent j's observation slab ----
-        x = obs_ref[0, :, 0].reshape(L, M)  # bf16
+        for lt in range(TB):
+            _seac_cell(lt, obs_ref, act_ref, blogp_ref, oldv_ref, adv_ref,
+                       tgt_ref, adv_mean, adv_inv_std, diag, w_pair,
+                       w0_ref, b0_ref, w1_ref, b1_ref, wc_ref, bc_ref,
+                       dw0, db0, dw1, db1, dwc, dbc, mets)
+
+    def _seac_cell(lt, obs_ref, act_ref, blogp_ref, oldv_ref, adv_ref,
+                   tgt_ref, adv_mean, adv_inv_std, diag, w_pair,
+                   w0_ref, b0_ref, w1_ref, b1_ref, wc_ref, bc_ref,
+                   dw0, db0, dw1, db1, dwc, dbc, mets):
+        # ---- forward: agent i's MLP on EVERY agent's observation slab ----
+        x = obs_ref[lt].reshape(L, M)  # bf16
         dn00 = (((0,), (0,)), ((), ()))
         z1 = jax.lax.dot_general(
             w0_ref[0], x, dn00, preferred_element_type=jnp.float32
@@ -560,11 +576,11 @@ def _make_seac_update_kernel(st: _SeacStatic):
         value = hcat[A:A + 1]  # (1, M)
 
         # ---- SEAC-PPO loss pieces ----
-        action = act_ref[0, 0].reshape(1, M)
-        behav_logp = blogp_ref[0, 0].reshape(1, M)
-        old_value = oldv_ref[0, 0, 0].reshape(1, M)
-        adv = adv_ref[0, 0, 0].reshape(1, M)
-        target = tgt_ref[0, 0, 0].reshape(1, M)
+        action = act_ref[lt].reshape(1, M)
+        behav_logp = blogp_ref[lt].reshape(1, M)
+        old_value = oldv_ref[lt, 0].reshape(1, M)
+        adv = adv_ref[lt, 0].reshape(1, M)
+        target = tgt_ref[lt, 0].reshape(1, M)
 
         mx = jnp.max(logits, axis=0, keepdims=True)
         sm = jnp.exp(logits - mx)
@@ -592,8 +608,8 @@ def _make_seac_update_kernel(st: _SeacStatic):
         ent = -jnp.sum(p * lsm, axis=0, keepdims=True)
         # entropy bonus only on each agent's OWN policy (the diagonal)
         dlogits = dlogp * (onehot.astype(jnp.float32) - p) + (
-            st.ent_coef * inv_n * diag
-        ) * p * (lsm + ent)
+            st.ent_coef * inv_n
+        ) * diag * p * (lsm + ent)
 
         vdiff = value - old_value
         v_clip = old_value + jnp.clip(vdiff, -eps, eps)
@@ -601,7 +617,7 @@ def _make_seac_update_kernel(st: _SeacStatic):
         e2 = v_clip - target
         use_e1 = (e1 * e1) >= (e2 * e2)
         inside_v = ((vdiff > -eps) & (vdiff < eps)).astype(jnp.float32)
-        dvalue = (st.vf_coef * w_pair * inv_n) * jnp.where(
+        dvalue = (st.vf_coef * inv_n) * w_pair * jnp.where(
             use_e1, e1, e2 * inside_v
         )
 
@@ -632,10 +648,14 @@ def _make_seac_update_kernel(st: _SeacStatic):
         dbc[0] += jnp.sum(dcat, axis=1, keepdims=True).T
 
         # ---- metric partial sums (loss-term weighted like the loss) ----
-        mets[0] += w_pair * jnp.sum(obj)
-        mets[1] += w_pair * jnp.sum(0.5 * jnp.maximum(e1 * e1, e2 * e2))
-        mets[2] += diag * jnp.sum(ent)
-        mets[3] += diag * jnp.sum((ratio - 1.0) - (logp - behav_logp))
+        mets[0] += jnp.sum(w_pair * obj)
+        mets[1] += jnp.sum(
+            w_pair * 0.5 * jnp.maximum(e1 * e1, e2 * e2)
+        )
+        mets[2] += jnp.sum(diag * ent)
+        mets[3] += jnp.sum(
+            diag * ((ratio - 1.0) - (logp - behav_logp))
+        )
 
     return kernel
 
@@ -660,9 +680,13 @@ def build_fused_seac_ppo_grads(
     (leading N axis on every leaf); ``batch`` is the native-layout tuple
     (obs (T, L, N, RB, LANE) bf16, action (T, N, RB, LANE) int32,
     behav_logp (T, N, RB, LANE), old_value/adv/target
-    (T, N_i, N_j, RB, LANE)).  One grid cell = (t, i, j, env-chunk):
-    agent i's MLP forward + hand-derived backward on agent j's observation
-    slab, clipped at the SEAC importance weight
+    (T, N_i, N_j, RB, LANE)).  One grid cell = (time-block, i, env-chunk):
+    agent i's MLP forward + hand-derived backward on EVERY agent's
+    observation slab at once (the N_j sharing axis rides in the cell's M
+    sample columns with per-column pair weights, and each cell processes
+    phase_time_block(T) consecutive time rows — the same cell folding as
+    the IPPO phase kernel, amortising the per-cell DMA floor), clipped at
+    the SEAC importance weight
     (models.seac.build_seac_ppo_train_step's minibatch_loss is the spec),
     accumulated into agent i's VMEM-resident gradient blocks — the same
     one-obs-read HBM floor as the IPPO kernel, times the N_j sharing axis.
@@ -670,11 +694,12 @@ def build_fused_seac_ppo_grads(
     L, (H1, H2), A = obs_len, hidden, n_actions
     T, N = rollout_len, n_agents
     rb_chunk = mb_rows
-    while rb_chunk > 32 or mb_rows % rb_chunk:
+    while rb_chunk * N > 64 or mb_rows % rb_chunk:
         rb_chunk -= 1
+    TB = phase_time_block(T)
     st = _SeacStatic(
         l=L, h1=H1, h2=H2, a=A, t=T, n=N, mb_rows=mb_rows,
-        rb_chunk=rb_chunk, clip_eps=clip_eps, vf_coef=vf_coef,
+        rb_chunk=rb_chunk, tb=TB, clip_eps=clip_eps, vf_coef=vf_coef,
         ent_coef=ent_coef, seac_lambda=seac_lambda,
     )
     kernel = _make_seac_update_kernel(st)
@@ -682,35 +707,35 @@ def build_fused_seac_ppo_grads(
     inv_pg = 1.0 / (n_samples * N)
     inv_ent = 1.0 / (n_samples * N)
 
-    grid = (T, N, N, mb_rows // rb_chunk)
+    grid = (T // TB, N, mb_rows // rb_chunk)
 
     def pb(shape):
         # agent-i-indexed parameter block
         return pl.BlockSpec(
-            (1,) + shape, lambda t, i, j, c: (i,) + tuple(0 for _ in shape),
+            (1,) + shape, lambda t, i, c: (i,) + tuple(0 for _ in shape),
             memory_space=pltpu.VMEM,
         )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += [
         pl.BlockSpec(
-            (1, L, 1, rb_chunk, LANE),
-            lambda t, i, j, c: (t, 0, j, c, 0),
+            (TB, L, N, rb_chunk, LANE),
+            lambda t, i, c: (t, 0, 0, c, 0),
             memory_space=pltpu.VMEM,
         )
     ]
     in_specs += [
         pl.BlockSpec(
-            (1, 1, rb_chunk, LANE),
-            lambda t, i, j, c: (t, j, c, 0),
+            (TB, N, rb_chunk, LANE),
+            lambda t, i, c: (t, 0, c, 0),
             memory_space=pltpu.VMEM,
         )
         for _ in range(2)
     ]
     in_specs += [
         pl.BlockSpec(
-            (1, 1, 1, rb_chunk, LANE),
-            lambda t, i, j, c: (t, i, j, c, 0),
+            (TB, 1, N, rb_chunk, LANE),
+            lambda t, i, c: (t, i, 0, c, 0),
             memory_space=pltpu.VMEM,
         )
         for _ in range(3)
@@ -729,7 +754,7 @@ def build_fused_seac_ppo_grads(
         pb((L, H1)), pb((1, H1)), pb((H1, H2)), pb((1, H2)),
         pb((H2, AC)), pb((1, AC)),
         pl.BlockSpec(
-            (len(_METRICS),), lambda t, i, j, c: (0,),
+            (len(_METRICS),), lambda t, i, c: (0,),
             memory_space=pltpu.SMEM,
         ),
     ]
@@ -774,6 +799,11 @@ def build_fused_seac_ppo_grads(
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            # folded cells (TB time rows x N_j slabs) exceed the 16 MB
+            # default changing-block budget
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024
+            ),
             interpret=interpret,
         )(*inputs)
         (gw0, gb0, gw1, gb1, gwc, gbc, mets) = outs
@@ -799,6 +829,19 @@ def build_fused_seac_ppo_grads(
 # ---------------------------------------------------------------------------
 # Whole-update-phase kernel: E epochs x M minibatches, optimizer included.
 # ---------------------------------------------------------------------------
+
+
+def phase_time_block(t_mb: int) -> int:
+    """Time rows folded into one update-phase-kernel grid cell.
+
+    Pass starts must be multiples of this, so every time-mode epoch
+    rotation (here AND in the per-pass comparison path,
+    models.ippo_pallas.ppo_update_epochs_native) draws offsets in these
+    units — the two paths then produce identical minibatch windows."""
+    for tb in (4, 2):
+        if t_mb % tb == 0:
+            return tb
+    return 1
 
 
 def build_fused_ppo_update_phase(
@@ -836,17 +879,35 @@ def build_fused_ppo_update_phase(
     [mean, inv_std], ``hyper`` (P, 3) [lr_t, 1/(1-b1^t), 1/(1-b2^t)].
     Time-axis zero-copy minibatching only; shared-parameter MLP without
     message head (msg_bits configs use the per-pass kernel).
+
+    Grid cells are FOLDED to amortise the ~13 us/cell DMA-orchestration
+    floor: the agent axis rides inside each cell's M sample columns (the
+    parameters are shared, so the math is agent-blind) and each cell owns
+    ``update.time_block`` consecutive time rows processed by an unrolled
+    in-kernel loop — one DMA stream set per cell instead of one per
+    (time row, agent).  Every ``starts`` entry must be a multiple of
+    ``update.time_block`` (= phase_time_block(T_mb)); the caller draws
+    epoch rotations in those units.
     """
     L, (H1, H2), A = obs_len, hidden, n_actions
     T_full, N = dataset_len, n_agents
     T_mb = T_full // minibatches
     P = epochs * minibatches
+    # Cell folding: the agent axis rides INSIDE each cell's sample axis
+    # (shared parameters — the math is agent-blind), and each cell owns a
+    # TB-row time block processed by an unrolled in-kernel loop.  Both
+    # exist to amortise the ~13 us/cell DMA orchestration floor measured
+    # on this hardware (ops/pallas_gru docstring) over more samples; the
+    # dots also grow to M = N*rb_chunk*LANE columns.  TB requires every
+    # pass start to be TB-aligned — build returns ``update.time_block``
+    # and ppo_update_phase_fused quantises the per-epoch rotation to it.
     rb_chunk = mb_rows
-    while rb_chunk > 32 or mb_rows % rb_chunk:
+    while rb_chunk * N > 64 or mb_rows % rb_chunk:
         rb_chunk -= 1
     C = mb_rows // rb_chunk
-    M = rb_chunk * LANE
-    cpp = T_mb * N * C  # grid cells per pass
+    M = N * rb_chunk * LANE
+    TB = phase_time_block(T_mb)
+    cpp = (T_mb // TB) * C  # grid cells per pass
     total = P * cpp + 1  # +1: final boundary cell applies the last pass
     inv_n = 1.0 / (T_mb * N * mb_rows * LANE)
     eps = clip_eps
@@ -864,10 +925,9 @@ def build_fused_ppo_update_phase(
     def decode(i):
         p = jnp.minimum(i // cpp, P - 1)
         local = jnp.minimum(i - p * cpp, cpp - 1)
-        t = local // (N * C)
-        n = (local // C) % N
+        t = local // C  # time-BLOCK index within the minibatch window
         c = local % C
-        return p, t, n, c
+        return p, t, c
 
     def kernel(*refs):
         refs = list(refs)
@@ -885,7 +945,7 @@ def build_fused_ppo_update_phase(
         gacc = refs  # NP scratch blocks
 
         i = pl.program_id(0)
-        p, t, n, c = decode(i)
+        p, t, c = decode(i)
 
         @pl.when(i == 0)
         def _():
@@ -926,7 +986,9 @@ def build_fused_ppo_update_phase(
             for k in range(4):
                 mets[p, k] = 0.0
 
-        # ---- one (t, n, c) gradient cell of pass p ----
+        # ---- one (time-block, env-chunk) gradient cell of pass p ----
+        # TB time rows x N agents per cell: one DMA stream set, TB
+        # unrolled sub-steps, agents folded into the M sample columns
         @pl.when(i < P * cpp)
         def _():
             (obs_ref, act_ref, logp_ref, oldv_ref, adv_ref,
@@ -940,7 +1002,15 @@ def build_fused_ppo_update_phase(
             wc = wout[4][:]
             bc = wout[5][:]
 
-            x = obs_ref[0, :, 0].reshape(L, M)  # bf16
+            for lt in range(TB):
+                _cell(lt, obs_ref, act_ref, logp_ref, oldv_ref, adv_ref,
+                      tgt_ref, adv_mean, adv_inv_std,
+                      w0, b0, w1, b1_, wc, bc, gacc, mets, p)
+
+    def _cell(lt, obs_ref, act_ref, logp_ref, oldv_ref, adv_ref, tgt_ref,
+              adv_mean, adv_inv_std, w0, b0, w1, b1_, wc, bc, gacc, mets,
+              p):
+            x = obs_ref[lt].reshape(L, M)  # bf16
             dn00 = (((0,), (0,)), ((), ()))
             z1 = jax.lax.dot_general(
                 w0, x, dn00, preferred_element_type=jnp.float32
@@ -960,11 +1030,11 @@ def build_fused_ppo_update_phase(
             logits = hcat[:A]
             value = hcat[A:A + 1]
 
-            action = act_ref[0, 0].reshape(1, M)
-            old_logp = logp_ref[0, 0].reshape(1, M)
-            old_value = oldv_ref[0, 0].reshape(1, M)
-            adv = adv_ref[0, 0].reshape(1, M)
-            target = tgt_ref[0, 0].reshape(1, M)
+            action = act_ref[lt].reshape(1, M)
+            old_logp = logp_ref[lt].reshape(1, M)
+            old_value = oldv_ref[lt].reshape(1, M)
+            adv = adv_ref[lt].reshape(1, M)
+            target = tgt_ref[lt].reshape(1, M)
 
             mx = jnp.max(logits, axis=0, keepdims=True)
             sm = jnp.exp(logits - mx)
@@ -1037,17 +1107,19 @@ def build_fused_ppo_update_phase(
             mets[p, 2] += jnp.sum(ent)
             mets[p, 3] += jnp.sum((ratio - 1.0) - (logp - old_logp))
 
-    def trow(i, sel):
-        p, t, n, c = decode(i)
-        return (sel[p] + t) % T_full
+    def tblk(i, sel):
+        # block-unit time index: starts are TB-aligned by contract, so the
+        # wrap works in whole blocks
+        p, t, c = decode(i)
+        return (sel[p] // TB + t) % (T_full // TB)
 
     def obs_map(i, sel):
-        p, t, n, c = decode(i)
-        return (trow(i, sel), 0, n, c, 0)
+        p, t, c = decode(i)
+        return (tblk(i, sel), 0, 0, c, 0)
 
     def vec_map(i, sel):
-        p, t, n, c = decode(i)
-        return (trow(i, sel), n, c, 0)
+        p, t, c = decode(i)
+        return (tblk(i, sel), 0, c, 0)
 
     def cmap(shape):
         return lambda i, sel: tuple(0 for _ in shape)
@@ -1059,12 +1131,12 @@ def build_fused_ppo_update_phase(
         pl.BlockSpec(memory_space=pltpu.SMEM),  # advstats (P, 2)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # hyper (P, 3)
         pl.BlockSpec(
-            (1, L, 1, rb_chunk, LANE), obs_map, memory_space=pltpu.VMEM
+            (TB, L, N, rb_chunk, LANE), obs_map, memory_space=pltpu.VMEM
         ),
     ]
     in_specs += [
         pl.BlockSpec(
-            (1, 1, rb_chunk, LANE), vec_map, memory_space=pltpu.VMEM
+            (TB, N, rb_chunk, LANE), vec_map, memory_space=pltpu.VMEM
         )
         for _ in range(5)
     ]
@@ -1088,6 +1160,11 @@ def build_fused_ppo_update_phase(
             scratch_shapes=[pltpu.VMEM(s, jnp.float32) for s in pshapes],
         ),
         out_shape=out_shape,
+        # folded cells (TB time rows x N agents) push the double-buffered
+        # changing blocks past the 16 MB default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )
 
@@ -1112,4 +1189,8 @@ def build_fused_ppo_update_phase(
         return new_w, new_mu, new_nu, mets
 
     update.n_passes = P
+    # every ``starts`` entry must be a multiple of this (zero-copy wrap
+    # addressing works in whole time blocks); callers quantise the
+    # per-epoch rotation accordingly
+    update.time_block = TB
     return update

@@ -189,9 +189,9 @@ def main():
     if "VG" in stages:
         per, base = slope(
             vg_chain(False),
-            lambda c: jax.tree.map(
-                lambda x: x.sum().astype(jnp.float32), c[0]
-            )["params"]["value"]["bias"][0] + c[2],
+            lambda c: c[0]["params"]["value"]["bias"].sum().astype(
+                jnp.float32
+            ) + c[2],
             (runner.params, runner.opt_state, jnp.float32(0)),
             iters=args.iters,
         )
@@ -200,9 +200,9 @@ def main():
     if "G" in stages:
         per, base = slope(
             vg_chain(True),
-            lambda c: jax.tree.map(
-                lambda x: x.sum().astype(jnp.float32), c[0]
-            )["params"]["value"]["bias"][0] + c[2],
+            lambda c: c[0]["params"]["value"]["bias"].sum().astype(
+                jnp.float32
+            ) + c[2],
             (runner.params, runner.opt_state, jnp.float32(0)),
             iters=args.iters,
         )
