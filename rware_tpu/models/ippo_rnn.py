@@ -405,39 +405,6 @@ def _gru_seq_kernels(t, n, rb, hg, interpret):
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _gru_scan_pallas(hg, interpret, wh, bhn, iall, done_mask, h0):
-    """_gru_scan with the recurrence in Pallas (ops/pallas_gru): the
-    three input gates ride as ONE fused (T, N, RB, LANE, 3Hg) tensor
-    (one DMA stream per grid cell instead of three), T-loop and hidden
-    carry inside the kernel."""
-    t, n, rb = iall.shape[0], iall.shape[1], iall.shape[2]
-    fwd, _ = _gru_seq_kernels(t, n, rb, hg, interpret)
-    return fwd(wh, bhn, iall, done_mask, h0)
-
-
-def _gru_scan_pallas_fwd(hg, interpret, wh, bhn, iall, done_mask, h0):
-    hseq = _gru_scan_pallas(hg, interpret, wh, bhn, iall, done_mask, h0)
-    return hseq, (wh, bhn, iall, done_mask, h0, hseq)
-
-
-def _gru_scan_pallas_bwd(hg, interpret, res, dhseq):
-    wh, bhn, iall, done_mask, h0, hseq = res
-    t, n, rb = iall.shape[0], iall.shape[1], iall.shape[2]
-    _, bwd = _gru_seq_kernels(t, n, rb, hg, interpret)
-    dwh, dbhn, d_iall, dh0 = bwd(
-        wh, bhn, iall, done_mask, h0, hseq, dhseq
-    )
-    return (
-        dwh.astype(wh.dtype), dbhn.astype(bhn.dtype),
-        d_iall.astype(iall.dtype),
-        jnp.zeros_like(done_mask), dh0.astype(h0.dtype),
-    )
-
-
-_gru_scan_pallas.defvjp(_gru_scan_pallas_fwd, _gru_scan_pallas_bwd)
-
-
 def _resolve_gru_impl():
     impl = GRU_SEQ_IMPL
     if impl == "auto":
@@ -445,63 +412,92 @@ def _resolve_gru_impl():
     return impl
 
 
-def _run_gru_scan(hg, wh, bhn, iall, done_mask, h0):
-    """Dispatch the time recurrence on the fused (…, 3Hg) gate tensor."""
-    impl = _resolve_gru_impl()
-    if impl == "xla":
-        return _gru_scan(
-            hg, wh, bhn,
-            iall[..., :hg], iall[..., hg:2 * hg], iall[..., 2 * hg:],
-            done_mask, h0,
-        )
-    return _gru_scan_pallas(
-        hg, impl == "pallas_interpret", wh, bhn, iall, done_mask, h0
+@functools.lru_cache(maxsize=None)
+def _gru_obs_kernels(t, n, rb, hg, emb, lf, interpret):
+    from rware_tpu.ops.pallas_gru import (
+        build_gru_obs_bwd,
+        build_gru_obs_fwd,
+    )
+
+    return (
+        build_gru_obs_fwd(t, n, rb, hg, emb, lf, interpret=interpret),
+        build_gru_obs_bwd(t, n, rb, hg, emb, lf, interpret=interpret),
     )
 
 
-def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
-    """Replay the GRU over a kernel-native trajectory with BATCHED gate
-    matmuls: the embed and the three input gates contract over every
-    (t, agent, env) sample in single MXU dots; only the (Hg, Hg) hidden
-    recurrence runs in the time scan.  This is the recurrent analogue of
-    the MLP path's relayout deletion — no env gathers, no f32 obs copy,
-    no per-step embed matmuls.
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gru_obs_scan(hg, interpret, we, be, wi, bi, wh, bhn, obs, done_mask,
+                  h0):
+    """Obs-fused time recurrence (ops/pallas_gru.build_gru_obs_fwd/_bwd):
+    the embed and input-gate dots run IN-KERNEL so the e / iall gate
+    streams — ~600 MB of HBM traffic per update pass at B=4096, the
+    dominant XLA segment left by the iall-streaming kernels
+    (tools/gru_bisect.py) — never touch HBM; the backward folds the whole
+    input-side chain (dWi, dWe, de) into the same kernel and emits only
+    weight-gradient blocks.  obs rides in the replay layout
+    (T, N, RB, LANE, L)."""
+    t, n, rb = obs.shape[0], obs.shape[1], obs.shape[2]
+    lf, emb = we.shape
+    fwd, _ = _gru_obs_kernels(t, n, rb, hg, emb, lf, interpret)
+    return fwd(we, be, wi, bi, wh, bhn, obs, done_mask, h0)
 
-    obs (T, L, N, RB, LANE) bf16, done (T, 1, RB, LANE) int32, h0
-    (N, RB, LANE, Hg).  Returns (logits (T, N, RB, LANE, A), value
-    (T, N, RB, LANE)) — the per-step GRU outputs BEFORE the episode-
-    boundary reset, matching the collect kernel and build_rnn_train_step's
-    replay ordering.
+
+def _gru_obs_scan_fwd(hg, interpret, we, be, wi, bi, wh, bhn, obs,
+                      done_mask, h0):
+    hseq = _gru_obs_scan(
+        hg, interpret, we, be, wi, bi, wh, bhn, obs, done_mask, h0
+    )
+    return hseq, (we, be, wi, bi, wh, bhn, obs, done_mask, h0, hseq)
+
+
+def _gru_obs_scan_bwd(hg, interpret, res, dhseq):
+    we, be, wi, bi, wh, bhn, obs, done_mask, h0, hseq = res
+    t, n, rb = obs.shape[0], obs.shape[1], obs.shape[2]
+    lf, emb = we.shape
+    _, bwd = _gru_obs_kernels(t, n, rb, hg, emb, lf, interpret)
+    dwe, dbe, dwi, dbi, dwh, dbhn, dh0 = bwd(
+        we, be, wi, bi, wh, bhn, obs, done_mask, h0, hseq, dhseq
+    )
+    return (
+        dwe.astype(we.dtype), dbe.astype(be.dtype),
+        dwi.astype(wi.dtype), dbi.astype(bi.dtype),
+        dwh.astype(wh.dtype), dbhn.astype(bhn.dtype),
+        jnp.zeros_like(obs), jnp.zeros_like(done_mask),
+        dh0.astype(h0.dtype),
+    )
+
+
+_gru_obs_scan.defvjp(_gru_obs_scan_fwd, _gru_obs_scan_bwd)
+
+
+def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
+    """Replay the GRU over a kernel-native trajectory.
+
+    On the pallas path the embed and input-gate dots run INSIDE the
+    sequence kernels (_gru_obs_scan): the kernel streams the raw bf16
+    observations (L lanes) instead of the (3Hg)-wide gate tensor, and the
+    backward emits only weight-gradient blocks — the e / iall / d_iall
+    streams (~1.2 GB of HBM round trips per update pass at B=4096) are
+    gone.  The XLA path keeps the batched-gate formulation (single MXU
+    dots over every (t, agent, env) sample, recurrence-only scan).
+
+    obs (T, N, RB, LANE, L) bf16 — the REPLAY layout, features minor
+    (transposed from the collect kernel's (T, L, N, RB, LANE) once per
+    update), done (T, 1, RB, LANE) int32, h0 (N, RB, LANE, Hg).  Returns
+    (logits (T, N, RB, LANE, A), value (T, N, RB, LANE)) — the per-step
+    GRU outputs BEFORE the episode-boundary reset, matching the collect
+    kernel and build_rnn_train_step's replay ordering.
     """
     p = params["params"]
     g = p["gru"]
 
-    def big(x, w):
-        return jax.lax.dot_general(
-            x, w.astype(jnp.bfloat16),
-            (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    # embed contracts the feature axis (axis 1 of the native layout)
-    e = jax.lax.dot_general(
-        obs.astype(jnp.bfloat16),
-        p["embed"]["kernel"].astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, N, RB, LANE, E)
-    e = jnp.tanh((e + p["embed"]["bias"]).astype(jnp.bfloat16))
-    # ONE fused input-gate contraction [ir | iz | in]; the pallas path
-    # streams it in bf16 straight from the dot epilogue
+    # ONE fused input-gate contraction [ir | iz | in]
     wi = jnp.concatenate(
         [g["ir"]["kernel"], g["iz"]["kernel"], g["in"]["kernel"]], axis=1
     )
     bi = jnp.concatenate(
         [g["ir"]["bias"], g["iz"]["bias"], g["in"]["bias"]], axis=0
     )
-    iall = big(e, wi) + bi
-    if _resolve_gru_impl() != "xla":
-        iall = iall.astype(jnp.bfloat16)
     hg = int(model.hidden)
     # one fused (Hg, 3Hg) hidden contraction per step instead of three:
     # the T-sequential recurrence is launch-latency bound, not FLOP bound
@@ -514,11 +510,35 @@ def _gru_native_replay(model: RecurrentActorCritic, params, obs, done, h0):
         axis=1,
     )  # (Hg, 3Hg)
     bhn = g["hn"]["bias"]
+    done_mask = (done != 0).astype(jnp.bfloat16)
 
-    hseq = _run_gru_scan(
-        hg, wh, bhn, iall,
-        (done != 0).astype(jnp.bfloat16), h0.astype(jnp.bfloat16),
-    )  # (T, N, RB, LANE, Hg)
+    impl = _resolve_gru_impl()
+    if impl == "xla":
+        e = jax.lax.dot_general(
+            obs.astype(jnp.bfloat16),
+            p["embed"]["kernel"].astype(jnp.bfloat16),
+            (((obs.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, N, RB, LANE, E)
+        e = jnp.tanh((e + p["embed"]["bias"]).astype(jnp.bfloat16))
+        iall = jax.lax.dot_general(
+            e, wi.astype(jnp.bfloat16),
+            (((e.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bi
+        hseq = _gru_scan(
+            hg, wh, bhn,
+            iall[..., :hg], iall[..., hg:2 * hg], iall[..., 2 * hg:],
+            done_mask, h0.astype(jnp.bfloat16),
+        )
+    else:
+        hseq = _gru_obs_scan(
+            hg, impl == "pallas_interpret",
+            p["embed"]["kernel"], p["embed"]["bias"],
+            wi, bi, wh, bhn,
+            obs.astype(jnp.bfloat16), done_mask,
+            h0.astype(jnp.bfloat16),
+        )  # (T, N, RB, LANE, Hg)
     # head dots straight on the bf16 hidden (f32 accumulation): the f32
     # hseq cast was an hseq-sized HBM materialisation per pass; the bf16
     # weight rounding costs ~3 decimal digits on logits, inside the bf16
@@ -554,7 +574,8 @@ def _pick_tc_len_gru_default(t: int) -> int:
 def rnn_ppo_loss_native(cfg: IPPOConfig, model, params, batch):
     """Clipped-PPO loss over a kernel-native recurrent minibatch.
 
-    ``batch`` = (obs (T, L, N, RB, LANE) bf16, done, action, logp_old,
+    ``batch`` = (obs (T, N, RB, LANE, L) bf16 — replay layout, done,
+    action, logp_old,
     value_old, adv, target ((T, N, RB, LANE)), h0n (N, RB, LANE, Hg)) —
     an env-band slice of the collect kernel's trajectory.  The GRU is
     replayed via _gru_native_replay (batched input gates, scan-only
@@ -653,7 +674,7 @@ def rnn_fused_grads(cfg: IPPOConfig, model, params, batch,
     e = jax.lax.dot_general(
         obs.astype(jnp.bfloat16),
         p["embed"]["kernel"].astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
+        (((obs.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (T, N, RB, LANE, E)
     e = jnp.tanh((e + p["embed"]["bias"]).astype(jnp.bfloat16))
@@ -715,7 +736,7 @@ def rnn_fused_grads(cfg: IPPOConfig, model, params, batch,
     dpre5 = dpre.reshape(e.shape)
     dwe = jax.lax.dot_general(
         obs.astype(jnp.bfloat16), dpre5,
-        (((0, 2, 3, 4), (0, 1, 2, 3)), ((), ())),
+        (((0, 1, 2, 3), (0, 1, 2, 3)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (L, E)
     dbe = jnp.sum(dpre.astype(jnp.float32), axis=0)
@@ -815,8 +836,9 @@ def build_rnn_pallas_train_step(
         return rnn_ppo_loss_native(cfg, model, params, batch)
 
     # rb-axis position per native dataset entry:
-    # (obs, done, action, logp, value, adv, target, h0n[, bits])
-    _NATIVE_RB_AXES = (3, 2, 2, 2, 2, 2, 2, 1, 2)[
+    # (obs [replay layout], done, action, logp, value, adv, target,
+    #  h0n[, bits])
+    _NATIVE_RB_AXES = (2, 2, 2, 2, 2, 2, 2, 1, 2)[
         : 9 if env.config.msg_bits else 8
     ]
 
@@ -843,8 +865,13 @@ def build_rnn_pallas_train_step(
         )
         # carry at rollout start in the replay layout (N, RB, LANE, Hg)
         h0n = jnp.transpose(h0, (1, 0, 2)).reshape(n_agents, rb, LANE, hg)
+        # obs into the replay layout (T, N, RB, LANE, L) — one relayout
+        # per update, amortised over epochs x minibatches passes; the
+        # obs-fused sequence kernels then stream raw observations and
+        # keep the e / iall gate tensors in VMEM (ops/pallas_gru)
+        obs_replay = jnp.transpose(traj["obs"], (0, 2, 3, 4, 1))
         dataset = (
-            traj["obs"], traj["done"], traj["action"], traj["logp"],
+            obs_replay, traj["done"], traj["action"], traj["logp"],
             traj["value"], advantages, targets, h0n,
         )
         if "bits" in traj:

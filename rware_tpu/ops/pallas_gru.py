@@ -358,6 +358,421 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
     return bwd
 
 
+def _pick_chunks_bytes(t: int, rb: int, cell_bytes, budget: int
+                       ) -> Tuple[int, int]:
+    """(tc, rbc) maximising the cell volume under an exact per-cell VMEM
+    byte model (``cell_bytes(tc, rbc)``), preferring env rows on ties —
+    the obs-fused kernels' streams have different widths (obs lf vs
+    hidden hg vs gate 3hg) so the crude bytes-per-element knob of
+    _pick_chunks under- or over-counts them."""
+    best = (1, 1)
+    for rbc in (16, 8, 4, 2, 1):
+        if rb % rbc:
+            continue
+        for tc in (16, 8, 4, 2, 1):
+            if t % tc:
+                continue
+            if cell_bytes(tc, rbc) <= budget and tc * rbc > best[0] * best[1]:
+                best = (tc, rbc)
+    return best
+
+
+def build_gru_obs_fwd(t: int, n: int, rb: int, hg: int, emb: int,
+                      lf: int, interpret: bool = False):
+    """Obs-fused forward recurrence: (we, be, wi, bi, wh, bhn, obs, done,
+    h0) -> hseq, with the embed (tanh(obs @ We + be)) and the fused input
+    gates (e @ Wi + bi) computed IN-KERNEL, batched over each time chunk.
+
+    Why: the iall-streaming forward (build_gru_seq_fwd) reads a
+    (T, ·, 3Hg) bf16 gate tensor that an XLA dot first wrote to HBM —
+    ~600 MB of traffic per update pass at B=4096 (tools/gru_bisect.py).
+    Here the kernel streams the raw observations instead (lf = 71 lanes
+    for tiny-2ag vs 3Hg = 384) and the e / iall intermediates live only
+    in VMEM scratch.
+
+    obs rides in the REPLAY layout (T, N, RB, LANE, lf) bf16 — features
+    minor, so the embed contraction is one 2D MXU dot per chunk; the
+    trajectory is transposed into this layout once per update (amortised
+    over epochs x minibatches passes).  Gate/cell semantics match
+    models.ippo_rnn._gru_native_replay's XLA path bit-for-bit (f32 dot
+    accumulation, bf16-rounded pre-activations, tanh on bf16).
+    """
+    lpad = -(-lf // LANE) * LANE
+
+    def cell_bytes(tc, rbc):
+        r = tc * n * rbc * LANE
+        obs_b = r * lpad * 2
+        out_b = r * hg * 2
+        iall_b = r * 3 * hg * 2  # scratch, not double-buffered
+        return 2 * (obs_b + out_b) + iall_b
+
+    # both obs kernels measured DMA-orchestration-bound (~13 us/cell,
+    # tools/gru_update_probe.py) — budget for the fewest cells that fit
+    tc, rbc = _pick_chunks_bytes(t, rb, cell_bytes, 32 * 1024 * 1024)
+    n_tc = t // tc
+    rows = n * rbc * LANE
+    trows = tc * rows
+
+    def kernel(we_ref, be_ref, wi_ref, bi_ref, wh_ref, bhn_ref,
+               obs_ref, done_ref, h0_ref, out_ref, h_s, iall_s):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            h_s[:] = h0_ref[:]
+
+        # ---- batched embed + input gates for the whole time chunk ----
+        ob = obs_ref[:].reshape(trows, lf)
+        e = jax.lax.dot_general(
+            ob, we_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        e = jnp.tanh((e + be_ref[:]).astype(jnp.bfloat16))
+        ia = jax.lax.dot_general(
+            e, wi_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        iall_s[:] = (ia + bi_ref[:]).astype(jnp.bfloat16).reshape(
+            tc, n, rbc, LANE, 3 * hg
+        )
+
+        wh = wh_ref[:]
+        bhn = bhn_ref[:]
+        for lt in range(tc):
+            h4 = h_s[:]
+            hh = jax.lax.dot_general(
+                h4.reshape(rows, hg), wh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(n, rbc, LANE, 3 * hg)
+            iall_t = iall_s[lt]
+            r = jax.nn.sigmoid(
+                iall_t[..., :hg].astype(jnp.float32) + hh[..., :hg]
+            ).astype(jnp.bfloat16)
+            z = jax.nn.sigmoid(
+                iall_t[..., hg:2 * hg].astype(jnp.float32)
+                + hh[..., hg:2 * hg]
+            ).astype(jnp.bfloat16)
+            nn = jnp.tanh(
+                iall_t[..., 2 * hg:]
+                + r * (hh[..., 2 * hg:] + bhn).astype(jnp.bfloat16)
+            )
+            new_h = (jnp.bfloat16(1.0) - z) * nn + z * h4
+            out_ref[lt] = new_h
+            m = done_ref[lt, 0]
+            h_s[:] = jnp.where(m != 0, jnp.bfloat16(0.0), new_h)
+
+    grid = (rb // rbc, n_tc)
+    obs_spec = pl.BlockSpec(
+        (tc, n, rbc, LANE, lf), lambda c, k: (k, 0, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_spec = pl.BlockSpec(
+        (tc, n, rbc, LANE, hg), lambda c, k: (k, 0, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda c, k: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            cspec((lf, emb)), cspec((1, emb)),
+            cspec((emb, 3 * hg)), cspec((1, 3 * hg)),
+            cspec((hg, 3 * hg)), cspec((1, hg)),
+            obs_spec,
+            pl.BlockSpec((tc, 1, rbc, LANE, 1),
+                         lambda c, k: (k, 0, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, rbc, LANE, hg), lambda c, k: (0, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=h_spec,
+        out_shape=jax.ShapeDtypeStruct((t, n, rb, LANE, hg), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((n, rbc, LANE, hg), jnp.bfloat16),
+            pltpu.VMEM((tc, n, rbc, LANE, 3 * hg), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def fwd(we, be, wi, bi, wh, bhn, obs, done, h0):
+        return call(
+            we.astype(jnp.bfloat16),
+            be.reshape(1, emb).astype(jnp.float32),
+            wi.astype(jnp.bfloat16),
+            bi.reshape(1, 3 * hg).astype(jnp.float32),
+            wh.astype(jnp.bfloat16),
+            bhn.reshape(1, hg).astype(jnp.float32),
+            obs.astype(jnp.bfloat16),
+            done.reshape(t, 1, rb, LANE, 1).astype(jnp.bfloat16),
+            h0.astype(jnp.bfloat16),
+        )
+
+    return fwd
+
+
+def build_gru_obs_bwd(t: int, n: int, rb: int, hg: int, emb: int,
+                      lf: int, interpret: bool = False):
+    """Obs-fused backward: the reverse GRU sweep PLUS the embed /
+    input-gate backward in one kernel.
+
+    (we, be, wi, bi, wh, bhn, obs, done, h0, hseq, dhseq) ->
+    (dwe, dbe, dwi, dbi, dwh, dbhn, dh0).
+
+    Each cell recomputes e / iall from the streamed obs block (batched,
+    off the sequential path), runs the reverse gate sweep carrying only
+    the hidden adjoint, overwrites the iall scratch rows IN PLACE with
+    the gate cotangents [dr_pre | dz_pre | dn_pre] (iall_s[lt] is dead
+    once step lt's gates are recomputed), and then folds the whole
+    input-side backward — dWi += e^T dg, de = dg Wi^T, dpre through the
+    tanh, dWe += obs^T dpre — into batched MXU dots whose results
+    accumulate in VMEM-resident weight blocks.  Nothing trajectory-sized
+    is written back: the (T, ·, 3Hg) d_iall stream of build_gru_seq_bwd
+    and the XLA dots that consumed it are gone entirely.
+
+    Step algebra matches models.ippo_rnn._gru_scan_bwd; input-side
+    algebra matches models.ippo_rnn.rnn_fused_grads' hand-derived
+    embed/gate backward (both tested vs jax.grad).
+    """
+    lpad = -(-lf // LANE) * LANE
+
+    def cell_bytes(tc, rbc):
+        r = tc * n * rbc * LANE
+        obs_b = r * lpad * 2
+        h_b = r * hg * 2  # hseq and dhseq streams
+        iall_b = r * 3 * hg * 2  # scratch (reused for the cotangents)
+        epi_b = r * emb * 8  # e (f32 dot + bf16) / de / dpre liveness
+        return 2 * (obs_b + 2 * h_b) + iall_b + epi_b
+
+    tc, rbc = _pick_chunks_bytes(t, rb, cell_bytes, 56 * 1024 * 1024)
+    n_tc = t // tc
+    rows = n * rbc * LANE
+    trows = tc * rows
+
+    def kernel(we_ref, be_ref, wi_ref, bi_ref, wh_ref, bhn_ref,
+               obs_ref, done_ref, hseq_ref, hboundary_ref, dh_ref,
+               dwe_out, dbe_out, dwi_out, dbi_out, dwh_out, dbhn_out,
+               dh0_out, dc_s, iall_s):
+        k = pl.program_id(1)
+        kk = n_tc - 1 - k
+        first = (pl.program_id(0) == 0) & (k == 0)
+
+        @pl.when(first)
+        def _():
+            dwe_out[:] = jnp.zeros_like(dwe_out)
+            dbe_out[:] = jnp.zeros_like(dbe_out)
+            dwi_out[:] = jnp.zeros_like(dwi_out)
+            dbi_out[:] = jnp.zeros_like(dbi_out)
+            dwh_out[:] = jnp.zeros_like(dwh_out)
+            dbhn_out[:] = jnp.zeros_like(dbhn_out)
+
+        @pl.when(k == 0)
+        def _():
+            dc_s[:] = jnp.zeros_like(dc_s)
+
+        # ---- recompute the chunk's input gates (batched) ----
+        ob = obs_ref[:].reshape(trows, lf)
+        we = we_ref[:]
+        be = be_ref[:]
+        e = jnp.tanh(
+            (jax.lax.dot_general(
+                ob, we, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + be).astype(jnp.bfloat16)
+        )
+        iall_s[:] = (jax.lax.dot_general(
+            e, wi_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bi_ref[:]).astype(jnp.bfloat16).reshape(
+            tc, n, rbc, LANE, 3 * hg
+        )
+
+        wh = wh_ref[:]
+        bhn = bhn_ref[:]
+        zero_b = jnp.bfloat16(0.0)
+        for lt in range(tc - 1, -1, -1):
+            if lt == 0:
+                hp_t = hboundary_ref[0]
+            else:
+                hp_t = jnp.where(
+                    done_ref[lt - 1, 0] != 0, zero_b, hseq_ref[lt - 1]
+                )
+            hp2 = hp_t.reshape(rows, hg)
+            hh = jax.lax.dot_general(
+                hp2, wh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(n, rbc, LANE, 3 * hg)
+            iall_t = iall_s[lt]
+            r = jax.nn.sigmoid(
+                iall_t[..., :hg].astype(jnp.float32) + hh[..., :hg]
+            )
+            z = jax.nn.sigmoid(
+                iall_t[..., hg:2 * hg].astype(jnp.float32)
+                + hh[..., hg:2 * hg]
+            )
+            hhn = (hh[..., 2 * hg:] + bhn).astype(jnp.bfloat16)
+            nn = jnp.tanh(
+                iall_t[..., 2 * hg:] + r.astype(jnp.bfloat16) * hhn
+            ).astype(jnp.float32)
+            m = done_ref[lt, 0] != 0
+            dnh = dh_ref[lt].astype(jnp.float32) + jnp.where(
+                m, 0.0, dc_s[:]
+            )
+            hpf = hp_t.astype(jnp.float32)
+            dz_pre = dnh * (hpf - nn) * z * (1.0 - z)
+            dn_pre = dnh * (1.0 - z) * (1.0 - nn * nn)
+            dhhn = dn_pre * r
+            dr_pre = dn_pre * hhn.astype(jnp.float32) * r * (1.0 - r)
+            dg3 = jnp.concatenate(
+                [dr_pre, dz_pre, dhhn], axis=-1
+            ).astype(jnp.bfloat16).reshape(rows, 3 * hg)
+            dh_prev = dnh * z + jax.lax.dot_general(
+                dg3, wh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(n, rbc, LANE, hg)
+            dwh_out[:] += jax.lax.dot_general(
+                hp2, dg3, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dbhn_out[:] += jnp.sum(
+                dhhn.reshape(rows, hg), axis=0, keepdims=True
+            )
+            # iall_s[lt] is dead from here on: reuse it as the gate
+            # cotangent store the input-side backward consumes below
+            iall_s[lt] = jnp.concatenate(
+                [dr_pre, dz_pre, dn_pre], axis=-1
+            ).astype(jnp.bfloat16)
+            dc_s[:] = dh_prev
+            if lt == 0:
+                dh0_val = dh_prev
+
+                @pl.when(kk == 0)
+                def _():
+                    dh0_out[:] = dh0_val
+
+        # ---- input-side backward, batched over the chunk ----
+        dg2 = iall_s[:].reshape(trows, 3 * hg)
+        dwi_out[:] += jax.lax.dot_general(
+            e, dg2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbi_out[:] += jnp.sum(
+            dg2.astype(jnp.float32), axis=0, keepdims=True
+        )
+        de = jax.lax.dot_general(
+            dg2, wi_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ef = e.astype(jnp.float32)
+        dpre = (de * (1.0 - ef * ef)).astype(jnp.bfloat16)
+        dwe_out[:] += jax.lax.dot_general(
+            ob, dpre, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbe_out[:] += jnp.sum(
+            dpre.astype(jnp.float32), axis=0, keepdims=True
+        )
+
+    grid = (rb // rbc, n_tc)
+    rev = lambda c, k: (n_tc - 1 - k, 0, c, 0, 0)
+    obs_spec = pl.BlockSpec(
+        (tc, n, rbc, LANE, lf), rev, memory_space=pltpu.VMEM
+    )
+    h_spec = pl.BlockSpec(
+        (tc, n, rbc, LANE, hg), rev, memory_space=pltpu.VMEM
+    )
+    done_spec = pl.BlockSpec(
+        (tc, 1, rbc, LANE, 1), rev, memory_space=pltpu.VMEM
+    )
+    hblock = pl.BlockSpec(
+        (n, rbc, LANE, hg), lambda c, k: (0, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda c, k: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        cspec((lf, emb)), cspec((1, emb)),
+        cspec((emb, 3 * hg)), cspec((1, 3 * hg)),
+        cspec((hg, 3 * hg)), cspec((1, hg)),
+        obs_spec, done_spec, h_spec,
+        pl.BlockSpec(
+            (1, n, rbc, LANE, hg),
+            lambda c, k: (n_tc - 1 - k, 0, c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        h_spec,  # dhseq (bf16)
+    ]
+    out_specs = [
+        cspec((lf, emb)), cspec((1, emb)),
+        cspec((emb, 3 * hg)), cspec((1, 3 * hg)),
+        cspec((hg, 3 * hg)), cspec((1, hg)),
+        hblock,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((lf, emb), jnp.float32),
+        jax.ShapeDtypeStruct((1, emb), jnp.float32),
+        jax.ShapeDtypeStruct((emb, 3 * hg), jnp.float32),
+        jax.ShapeDtypeStruct((1, 3 * hg), jnp.float32),
+        jax.ShapeDtypeStruct((hg, 3 * hg), jnp.float32),
+        jax.ShapeDtypeStruct((1, hg), jnp.float32),
+        jax.ShapeDtypeStruct((n, rb, LANE, hg), jnp.float32),
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n, rbc, LANE, hg), jnp.float32),
+            pltpu.VMEM((tc, n, rbc, LANE, 3 * hg), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def bwd(we, be, wi, bi, wh, bhn, obs, done, h0, hseq, dhseq):
+        done5 = done.reshape(t, 1, rb, LANE, 1).astype(jnp.bfloat16)
+        hb = jnp.concatenate(
+            [
+                h0.astype(jnp.bfloat16)[None],
+                jnp.where(
+                    done5[tc - 1::tc][: n_tc - 1] != 0,
+                    jnp.bfloat16(0.0),
+                    hseq[tc - 1::tc][: n_tc - 1],
+                ),
+            ],
+            axis=0,
+        )
+        dwe, dbe, dwi, dbi, dwh, dbhn, dh0 = call(
+            we.astype(jnp.bfloat16),
+            be.reshape(1, emb).astype(jnp.float32),
+            wi.astype(jnp.bfloat16),
+            bi.reshape(1, 3 * hg).astype(jnp.float32),
+            wh.astype(jnp.bfloat16),
+            bhn.reshape(1, hg).astype(jnp.float32),
+            obs.astype(jnp.bfloat16), done5, hseq, hb,
+            dhseq.astype(jnp.bfloat16),
+        )
+        return (
+            dwe, dbe.reshape(be.shape), dwi, dbi.reshape(bi.shape),
+            dwh, dbhn.reshape(bhn.shape), dh0,
+        )
+
+    return bwd
+
+
 def build_gru_loss_bwd(t: int, n: int, rb: int, hg: int, a: int,
                        clip_eps: float, vf_coef: float, ent_coef: float,
                        interpret: bool = False):

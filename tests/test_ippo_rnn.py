@@ -124,7 +124,7 @@ def test_gru_native_replay_matches_flat_replay():
         key, model.initialize_carry((1, N)), jnp.zeros((1, N, L))
     )
     k1, k2 = jax.random.split(key)
-    obs_n = jax.random.normal(k1, (T, L, N, RB, LANE)).astype(jnp.bfloat16)
+    obs_n = jax.random.normal(k1, (T, N, RB, LANE, L)).astype(jnp.bfloat16)
     done_n = (
         jax.random.uniform(k2, (T, 1, RB, LANE)) < 0.2
     ).astype(jnp.int32)
@@ -136,8 +136,8 @@ def test_gru_native_replay_matches_flat_replay():
     )(params)
 
     # flat replay in (T, B, N, ...) layout
-    obs_f = jnp.transpose(
-        obs_n.reshape(T, L, N, B), (0, 3, 2, 1)
+    obs_f = jnp.moveaxis(
+        obs_n.reshape(T, N, B, L), 2, 1
     ).astype(jnp.float32)
     done_f = done_n.reshape(T, B)
 

@@ -92,7 +92,7 @@ def test_native_replay_pallas_impl_matches_xla():
         key, model.initialize_carry((1, N)), jnp.zeros((1, N, L))
     )
     k1, k2 = jax.random.split(key)
-    obs = jax.random.normal(k1, (T, L, N, RB, LANE)).astype(jnp.bfloat16)
+    obs = jax.random.normal(k1, (T, N, RB, LANE, L)).astype(jnp.bfloat16)
     done = (jax.random.uniform(k2, (T, 1, RB, LANE)) < 0.2).astype(
         jnp.int32
     )
@@ -144,7 +144,7 @@ def test_rnn_fused_grads_match_autodiff():
     )
     ks = jax.random.split(jax.random.key(1), 8)
     batch = (
-        jax.random.normal(ks[0], (T, L, N, RB, LANE)).astype(jnp.bfloat16),
+        jax.random.normal(ks[0], (T, N, RB, LANE, L)).astype(jnp.bfloat16),
         (jax.random.uniform(ks[1], (T, 1, RB, LANE)) < 0.2).astype(
             jnp.int32
         ),

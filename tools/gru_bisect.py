@@ -75,8 +75,8 @@ def main():
         )
         h0n = jnp.transpose(h0, (1, 0, 2)).reshape(n, rb, LANE, hg)
         return st, nh, (
-            traj["obs"], traj["done"], traj["action"], traj["logp"],
-            traj["value"], adv, tgt, h0n,
+            jnp.transpose(traj["obs"], (0, 2, 3, 4, 1)), traj["done"],
+            traj["action"], traj["logp"], traj["value"], adv, tgt, h0n,
         )
 
     def b_body(i, carry):
@@ -84,7 +84,7 @@ def main():
         st, nh, ds = make_dataset(states, h, runner.params, i)
         return st, nh, acc + ds[5].sum() + ds[6].sum()
 
-    _NATIVE_RB_AXES = (3, 2, 2, 2, 2, 2, 2, 1)
+    _NATIVE_RB_AXES = (2, 2, 2, 2, 2, 2, 2, 1)
     mb = rb // cfg.minibatches
 
     def passes_body(with_grad):

@@ -43,6 +43,7 @@ def main():
     from rware_tpu.models import IPPOConfig
     from rware_tpu.models.ippo_pallas import compute_gae_native
     from rware_tpu.models.ippo_rnn import (
+        _gru_obs_kernels,
         _gru_seq_kernels,
         _pick_tc_len_gru_default,
         init_rnn_runner,
@@ -80,10 +81,10 @@ def main():
         cfg, traj["reward"], traj["value"], traj["done"], lv
     )
     h0n = jnp.transpose(runner.carry, (1, 0, 2)).reshape(n, rb, LANE, hg)
-    _AX = (3, 2, 2, 2, 2, 2, 2, 1)
+    _AX = (2, 2, 2, 2, 2, 2, 2, 1)
     ds = (
-        traj["obs"], traj["done"], traj["action"], traj["logp"],
-        traj["value"], adv, tgt, h0n,
+        jnp.transpose(traj["obs"], (0, 2, 3, 4, 1)), traj["done"],
+        traj["action"], traj["logp"], traj["value"], adv, tgt, h0n,
     )
     batch = tuple(
         jax.lax.dynamic_slice_in_dim(x, 0, mb, ax)
@@ -99,7 +100,7 @@ def main():
         jax.lax.dot_general(
             obs_mb.astype(jnp.bfloat16),
             p["embed"]["kernel"].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
+            (((obs_mb.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         + p["embed"]["bias"]
@@ -129,6 +130,12 @@ def main():
     done_mask = (done_mb != 0).astype(jnp.bfloat16)
     h0b = h0_mb.astype(jnp.bfloat16)
     fwd_k, bwd_k = _gru_seq_kernels(t, n, mb, hg, False)
+    lf = obs_mb.shape[-1]
+    emb = int(model.embed)
+    we0 = p["embed"]["kernel"]
+    be0 = p["embed"]["bias"]
+    bi0 = bi
+    fwd_ok, bwd_ok = _gru_obs_kernels(t, n, mb, hg, emb, lf, False)
 
     stages = args.stages.split(",")
 
@@ -142,7 +149,9 @@ def main():
     if "K" in stages:
         def k_body(i, carry):
             bhn, acc = carry
-            hseq = fwd_k(wh0, bhn, iall0, done_mask, h0b)
+            hseq = fwd_ok(
+                we0, be0, wi, bi0, wh0, bhn, obs_mb, done_mask, h0b
+            )
             # serial dep: perturb the candidate bias by a kernel output row
             return bhn + hseq[-1, 0, 0, 0].astype(jnp.float32) * 1e-20, acc
 
@@ -150,10 +159,42 @@ def main():
             k_body, lambda c: c[0].sum() + c[1], (bhn0, jnp.float32(0)),
             iters=args.iters,
         )
-        report("K fwd-kernel", per, base)
+        report("K obs-fwd kernel", per, base)
 
     if "KB" in stages:
         def kb_body(i, carry):
+            bhn, acc = carry
+            hseq = fwd_ok(
+                we0, be0, wi, bi0, wh0, bhn, obs_mb, done_mask, h0b
+            )
+            dwe, dbe, dwi, dbi, dwh, dbhn, dh0 = bwd_ok(
+                we0, be0, wi, bi0, wh0, bhn, obs_mb, done_mask, h0b,
+                hseq, hseq,
+            )
+            return bhn + dbhn[0] * 1e-20, acc + dwe[0, 0].astype(
+                jnp.float32
+            )
+
+        per, base = slope(
+            kb_body, lambda c: c[0].sum() + c[1], (bhn0, jnp.float32(0)),
+            iters=args.iters,
+        )
+        report("KB obs fwd+bwd kernels", per, base)
+
+    if "KI" in stages:
+        def ki_body(i, carry):
+            bhn, acc = carry
+            hseq = fwd_k(wh0, bhn, iall0, done_mask, h0b)
+            return bhn + hseq[-1, 0, 0, 0].astype(jnp.float32) * 1e-20, acc
+
+        per, base = slope(
+            ki_body, lambda c: c[0].sum() + c[1], (bhn0, jnp.float32(0)),
+            iters=args.iters,
+        )
+        report("KI iall-fwd kernel", per, base)
+
+    if "KBI" in stages:
+        def kbi_body(i, carry):
             bhn, acc = carry
             hseq = fwd_k(wh0, bhn, iall0, done_mask, h0b)
             dwh, dbhn, d_iall, dh0 = bwd_k(
@@ -164,10 +205,10 @@ def main():
             )
 
         per, base = slope(
-            kb_body, lambda c: c[0].sum() + c[1], (bhn0, jnp.float32(0)),
+            kbi_body, lambda c: c[0].sum() + c[1], (bhn0, jnp.float32(0)),
             iters=args.iters,
         )
-        report("KB fwd+bwd kernels", per, base)
+        report("KBI iall fwd+bwd kernels", per, base)
 
     def vg_chain(use_adam):
         def body(i, carry):
