@@ -285,39 +285,49 @@ def main():
     report("update-phase kernel (E x M + Adam)", counts_p, phase_steps,
            m_phase, hbm_bytes=phase_bytes / phase_steps)
 
-    # ---- GRU sequence kernels (recurrent update recurrence) ----
+    # ---- GRU sequence kernels (recurrent update, obs-fused) ----
     from rware_tpu.ops.pallas_gru import (
-        build_gru_seq_bwd,
-        build_gru_seq_fwd,
+        build_gru_obs_bwd,
+        build_gru_obs_fwd,
     )
 
-    hg = 128
+    hg = emb = 128
+    lf = env.config.policy_obs_length
     mb_rb = max(rb // cfg.minibatches, 1)
-    gfwd = build_gru_seq_fwd(cfg.rollout_len, n, mb_rb, hg)
-    gbwd = build_gru_seq_bwd(cfg.rollout_len, n, mb_rb, hg)
-    gates = jnp.zeros((cfg.rollout_len, n, mb_rb, LANE, hg), jnp.float32)
+    gfwd = build_gru_obs_fwd(cfg.rollout_len, n, mb_rb, hg, emb, lf)
+    gbwd = build_gru_obs_bwd(cfg.rollout_len, n, mb_rb, hg, emb, lf)
+    obs_g = jnp.zeros(
+        (cfg.rollout_len, n, mb_rb, LANE, lf), jnp.bfloat16
+    )
     doneg = jnp.zeros((cfg.rollout_len, 1, mb_rb, LANE), jnp.int32)
     h0g = jnp.zeros((n, mb_rb, LANE, hg), jnp.bfloat16)
-    wh = jnp.zeros((hg, 3 * hg), jnp.bfloat16)
-    bhn = jnp.zeros((hg,), jnp.float32)
+    weights = (
+        jnp.zeros((lf, emb), jnp.bfloat16),  # we
+        jnp.zeros((emb,), jnp.float32),  # be
+        jnp.zeros((emb, 3 * hg), jnp.bfloat16),  # wi
+        jnp.zeros((3 * hg,), jnp.float32),  # bi
+        jnp.zeros((hg, 3 * hg), jnp.bfloat16),  # wh
+        jnp.zeros((hg,), jnp.float32),  # bhn
+    )
     jaxpr_gf = jax.make_jaxpr(
-        lambda: gfwd(wh, bhn, gates, gates, gates, doneg, h0g)
+        lambda: gfwd(*weights, obs_g, doneg, h0g)
     )()
     hseqg = jnp.zeros(
         (cfg.rollout_len, n, mb_rb, LANE, hg), jnp.bfloat16
     )
     jaxpr_gb = jax.make_jaxpr(
-        lambda: gbwd(wh, bhn, gates, gates, gates, doneg, h0g, hseqg,
-                     hseqg.astype(jnp.float32))
+        lambda: gbwd(*weights, obs_g, doneg, h0g, hseqg, hseqg)
     )()
     gru_steps = float(mb_rb * LANE) * cfg.rollout_len
-    gate_bytes = 3 * cfg.rollout_len * n * mb_rb * LANE * hg * 2
-    report("gru seq fwd (1 pass)", count_jaxpr(jaxpr_gf.jaxpr, 1),
+    # HBM traffic: obs stream + hseq out (fwd); obs + hseq + dhseq (bwd)
+    obs_bytes = cfg.rollout_len * n * mb_rb * LANE * lf * 2
+    hseq_bytes = cfg.rollout_len * n * mb_rb * LANE * hg * 2
+    report("gru obs-fwd kernel (1 pass)", count_jaxpr(jaxpr_gf.jaxpr, 1),
            gru_steps, None,
-           hbm_bytes=(gate_bytes + gate_bytes // 3) / gru_steps)
-    report("gru seq bwd (1 pass)", count_jaxpr(jaxpr_gb.jaxpr, 1),
+           hbm_bytes=(obs_bytes + hseq_bytes) / gru_steps)
+    report("gru obs-bwd kernel (1 pass)", count_jaxpr(jaxpr_gb.jaxpr, 1),
            gru_steps, None,
-           hbm_bytes=(gate_bytes * 2) / gru_steps)
+           hbm_bytes=(obs_bytes + 2 * hseq_bytes) / gru_steps)
 
 
 if __name__ == "__main__":

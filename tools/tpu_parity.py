@@ -177,6 +177,98 @@ def check_collect(B=1024, T=16, msg_bits=0):
     }
 
 
+def check_gru_obs_update(B=1024, T=16):
+    """Obs-fused GRU sequence kernels (ops/pallas_gru.build_gru_obs_*)
+    vs the XLA scan path of _gru_native_replay, ON HARDWARE: same
+    value_and_grad(rnn_ppo_loss_native) on a real collected batch, the
+    only difference being GRU_SEQ_IMPL.  bf16 cotangent transport bounds
+    the agreement (same tolerance as the CPU interpret test)."""
+    import rware_tpu
+    from rware_tpu.models import IPPOConfig
+    from rware_tpu.models import ippo_rnn
+    from rware_tpu.models.ippo_pallas import compute_gae_native
+    from rware_tpu.models.ippo_rnn import (
+        init_rnn_runner,
+        rnn_ppo_loss_native,
+    )
+    from rware_tpu.ops.pallas_rollout import LANE, build_pallas_collect
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = IPPOConfig(n_envs=B, rollout_len=T)
+    runner, model, tx = init_rnn_runner(env, cfg, jax.random.key(0))
+    hidden = (int(model.embed), int(model.hidden))
+    collect = build_pallas_collect(
+        env.config, T, hidden=hidden, tc_len=4, policy="gru",
+        native_traj=True,
+    )
+    rb = B // LANE
+    n = env.n_agents
+    hg = int(model.hidden)
+    t0 = time.time()
+    st, nh, traj = jax.jit(
+        lambda s, p, h: collect(s, p, 0, h0=h)
+    )(runner.env_states, runner.params, runner.carry)
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    obs_last = jax.vmap(policy_obs_fn(env))(st)
+    _, (_, last_value) = model.apply(runner.params, nh, obs_last)
+    lv = jnp.swapaxes(last_value, 0, 1).reshape(n, rb, LANE)
+    adv, tgt = compute_gae_native(
+        cfg, traj["reward"], traj["value"], traj["done"], lv
+    )
+    h0n = jnp.transpose(runner.carry, (1, 0, 2)).reshape(
+        n, rb, LANE, hg
+    )
+    batch = (
+        jnp.transpose(traj["obs"], (0, 2, 3, 4, 1)), traj["done"],
+        traj["action"], traj["logp"], traj["value"], adv, tgt, h0n,
+    )
+
+    def run(impl):
+        old = ippo_rnn.GRU_SEQ_IMPL
+        try:
+            ippo_rnn.GRU_SEQ_IMPL = impl
+            (loss, mets), grads = jax.jit(
+                jax.value_and_grad(
+                    lambda p, b: rnn_ppo_loss_native(cfg, model, p, b),
+                    has_aux=True,
+                )
+            )(runner.params, batch)
+            jax.block_until_ready(loss)
+            return float(loss), jax.tree.map(np.asarray, grads)
+        finally:
+            ippo_rnn.GRU_SEQ_IMPL = old
+
+    loss_x, g_x = run("xla")
+    loss_p, g_p = run("pallas")
+    compile_s = round(time.time() - t0, 1)
+    mismatches = []
+    if not np.isclose(loss_x, loss_p, rtol=5e-3, atol=1e-4):
+        mismatches.append(
+            {"field": "loss", "xla": loss_x, "pallas": loss_p}
+        )
+    worst = 0.0
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_x)[0],
+        jax.tree_util.tree_flatten_with_path(g_p)[0],
+    ):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-5)
+        rel = float(np.abs(a - b).max() / scale)
+        worst = max(worst, rel)
+        if rel > 4e-2:
+            mismatches.append({"field": str(path), "rel_diff": rel})
+    return {
+        "ok": not mismatches,
+        "mismatches": mismatches,
+        "worst_grad_rel_diff": round(worst, 5),
+        "B": B,
+        "T": T,
+        "compile_s": compile_s,
+    }
+
+
 def check_update_phase(B=1024, T=16):
     """Whole-update-phase kernel == per-pass kernel + optax, COMPILED on
     hardware: one full train step from the same runner, params compared."""
@@ -246,6 +338,11 @@ def main():
     except Exception as e:  # noqa: BLE001
         results["update-phase-kernel"] = {"ok": False, "error": repr(e)[:500]}
     print("update-phase-kernel", results["update-phase-kernel"], flush=True)
+    try:
+        results["gru-obs-update"] = check_gru_obs_update()
+    except Exception as e:  # noqa: BLE001
+        results["gru-obs-update"] = {"ok": False, "error": repr(e)[:500]}
+    print("gru-obs-update", results["gru-obs-update"], flush=True)
     for name, kw in (
         ("collect-tiny-2ag", {}),
         ("collect-msg-bits-2ag", {"msg_bits": 2}),

@@ -49,7 +49,7 @@ def main():
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument(
         "--variant",
-        choices=["mlp", "gru", "image", "seac", "msg", "all"],
+        choices=["mlp", "gru", "gru-msg", "image", "seac", "msg", "all"],
         default="all",
     )
     p.add_argument(
@@ -97,6 +97,18 @@ def main():
         ))
         tag = " (loss-fused bwd)" if args.gru_fused_loss else ""
         probe("gru-in-kernel recurrent IPPO (tiny-2ag)" + tag, ts, runner,
+              cfg.n_envs, cfg.rollout_len)
+
+    if "gru-msg" in want:
+        from rware_tpu.models.ippo_rnn import (
+            build_rnn_pallas_train_step,
+            init_rnn_runner,
+        )
+
+        env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=2)
+        runner, model, tx = init_rnn_runner(env, cfg, jax.random.key(0))
+        ts = jax.jit(build_rnn_pallas_train_step(env, model, tx, cfg))
+        probe("gru + msg_bits=2 recurrent IPPO (tiny-2ag)", ts, runner,
               cfg.n_envs, cfg.rollout_len)
 
     if "image" in want:
