@@ -54,6 +54,10 @@ def main():
         ckpt = Checkpointer(args.checkpoint_dir)
         tree = ckpt.restore()
         params = tree["params"]
+        if "actor" in params:
+            # MAPPO checkpoint: decentralized execution — evaluation uses
+            # the actor only (the central critic is a training-time object)
+            params = params["actor"]
         leaves = jax.tree.leaves(params)
         # SEAC stores per-agent stacks (leading agent axis on every leaf)
         per_agent_params = all(l.shape[0] == n for l in leaves) and n > 1

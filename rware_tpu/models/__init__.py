@@ -8,12 +8,14 @@ from rware_tpu.models.ippo import (
 )
 from rware_tpu.models.networks import (
     ActorCritic,
+    CentralCritic,
     RecurrentActorCritic,
     sample_action,
 )
 
 __all__ = [
     "ActorCritic",
+    "CentralCritic",
     "IPPOConfig",
     "RecurrentActorCritic",
     "RunnerState",

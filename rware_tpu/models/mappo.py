@@ -1,0 +1,356 @@
+"""MAPPO: centralized-critic PPO over the fused Pallas collect path.
+
+The other standard PPO baseline the RWARE literature runs (MAPPO, Yu et
+al. 2022; EPyMARL's strongest config): decentralized shared-parameter
+actors — the same in-kernel MLP policy the IPPO collect kernel executes —
+plus a CENTRALIZED critic that conditions on the concatenation of every
+agent's observation (centralized training, decentralized execution).
+
+TPU shape: the collect kernel (ops/pallas_rollout) runs obs+policy+env
+in-kernel exactly as for IPPO; the actor's local value head is simply
+unused.  Critic values are then computed over the STORED native-layout
+trajectory in one batched MXU dot per update — the joint-obs axis is
+assembled by a transpose+reshape of the kernel's (T, L, N, RB, LANE) obs
+block, and the critic contraction `(T*RB*LANE, N*L) @ (N*L, H)` is a
+bigger, MXU-friendlier matmul than the per-agent policy's.  GAE and the
+clipped update run on the native layout via the shared IPPO machinery
+(compute_gae_native / ppo_update_epochs_native).
+
+The reference ships no training code (SURVEY.md §2); this learner is
+framework-added capability alongside IPPO/SEAC.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rware_tpu.core.env import Warehouse
+from rware_tpu.models.ippo import (
+    IPPOConfig,
+    RunnerState,
+    make_optimizer,
+    policy_obs_fn,
+)
+from rware_tpu.models.ippo_pallas import (
+    _native_forward,
+    _pick_tc_len,
+    compute_gae_native,
+    ppo_update_epochs_native,
+)
+from rware_tpu.models.networks import ActorCritic, CentralCritic
+
+
+def _joint_native(obs: jax.Array) -> jax.Array:
+    """Native-layout obs (T, L, N, RB, LANE) -> joint-obs rows
+    (T, N*L, RB, LANE), agent-major (agent i's features contiguous)."""
+    t, l, n, rb, lane = obs.shape
+    return jnp.transpose(obs, (0, 2, 1, 3, 4)).reshape(t, n * l, rb, lane)
+
+
+def _critic_native_forward(critic_params, joint_obs: jax.Array) -> jax.Array:
+    """CentralCritic forward on native-layout joint obs (T, N*L, RB, LANE):
+    contracts the joint-feature axis in place (no transposed copy), bf16
+    hidden compute with f32 accumulation, f32 head — mirroring
+    ippo_pallas._native_forward.  Returns per-agent values
+    (T, N, RB, LANE) f32."""
+    p = critic_params["params"]
+    x = jax.lax.dot_general(
+        joint_obs.astype(jnp.bfloat16),
+        p["dense_0"]["kernel"].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, RB, LANE, H1)
+    x = jnp.tanh((x + p["dense_0"]["bias"]).astype(jnp.bfloat16))
+    i = 1
+    while f"dense_{i}" in p:
+        d = p[f"dense_{i}"]
+        x = jax.lax.dot_general(
+            x,
+            d["kernel"].astype(jnp.bfloat16),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        x = jnp.tanh((x + d["bias"]).astype(jnp.bfloat16))
+        i += 1
+    v = jax.lax.dot_general(
+        x.astype(jnp.float32),
+        p["value"]["kernel"].astype(jnp.float32),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + p["value"]["bias"]  # (T, RB, LANE, N)
+    return jnp.moveaxis(v, -1, 1)
+
+
+def mappo_loss_native(cfg: IPPOConfig, params, batch):
+    """Clipped MAPPO loss on a native-layout minibatch.
+
+    ``params`` = {"actor": ..., "critic": ...}; the policy term matches
+    ippo_pallas.ppo_loss_native (incl. the optional 7th msg-bits entry);
+    the value term evaluates the CENTRAL critic on the joint observation
+    rows.  ``old_value``/``adv``/``target`` in the batch are critic-based
+    (the actor's local value head takes no part in MAPPO)."""
+    bits = None
+    if len(batch) == 7:
+        obs, action, old_logp, old_value, adv, target, bits = batch
+    else:
+        obs, action, old_logp, old_value, adv, target = batch
+    heads, _ = _native_forward(params["actor"], obs)
+    msg_entropy = 0.0
+    if bits is not None:
+        from rware_tpu.models.networks import bernoulli_logp
+
+        logits, msg_logits = heads
+        t, nm, rb, lane = bits.shape
+        n = action.shape[1]
+        bitsf = jnp.moveaxis(
+            bits.reshape(t, n, nm // n, rb, lane), 2, -1
+        ).astype(jnp.float32)
+        logp_msg = bernoulli_logp(msg_logits, bitsf).sum(-1)
+        p_msg = jax.nn.sigmoid(msg_logits)
+        msg_entropy = -(
+            p_msg * jax.nn.log_sigmoid(msg_logits)
+            + (1.0 - p_msg) * jax.nn.log_sigmoid(-msg_logits)
+        ).sum(-1)
+    else:
+        logits = heads
+    logp_all = jax.nn.log_softmax(logits)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
+        == action[..., None]
+    )
+    logp = jnp.sum(jnp.where(onehot, logp_all, 0.0), axis=-1)
+    if bits is not None:
+        logp = logp + logp_msg
+    ratio = jnp.exp(logp - old_logp)
+    adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
+    pg1 = ratio * adv_norm
+    pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
+    pg_loss = -jnp.minimum(pg1, pg2).mean()
+
+    value = _critic_native_forward(params["critic"], _joint_native(obs))
+    v_clipped = old_value + jnp.clip(
+        value - old_value, -cfg.clip_eps, cfg.clip_eps
+    )
+    v_loss = 0.5 * jnp.maximum(
+        (value - target) ** 2, (v_clipped - target) ** 2
+    ).mean()
+
+    entropy = (-(jnp.exp(logp_all) * logp_all).sum(-1) + msg_entropy).mean()
+    total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+    return total, {
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": entropy,
+        "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
+    }
+
+
+def init_mappo_runner(
+    env: Warehouse,
+    cfg: IPPOConfig,
+    key: jax.Array,
+    actor: Optional[ActorCritic] = None,
+    critic: Optional[CentralCritic] = None,
+) -> Tuple[RunnerState, ActorCritic, CentralCritic,
+           optax.GradientTransformation]:
+    """params = {"actor": ..., "critic": ...} under one optimizer."""
+    if actor is None:
+        actor = ActorCritic(
+            n_actions=env.n_actions, msg_bits=env.config.msg_bits
+        )
+    if critic is None:
+        critic = CentralCritic(n_agents=env.n_agents)
+    k_actor, k_critic, k_env, k_run = jax.random.split(key, 4)
+    obs_dim = env.config.policy_obs_length
+    n = env.n_agents
+    params = {
+        "actor": actor.init(k_actor, jnp.zeros((1, n, obs_dim))),
+        "critic": critic.init(k_critic, jnp.zeros((1, n * obs_dim))),
+    }
+    tx = make_optimizer(cfg)
+    env_states = jax.vmap(env._reset_fn)(
+        jax.random.split(k_env, cfg.n_envs)
+    )
+    obs = jax.vmap(policy_obs_fn(env))(env_states)
+    runner = RunnerState(
+        params=params,
+        opt_state=tx.init(params),
+        env_states=env_states,
+        obs=obs,
+        key=k_run,
+        update_idx=jnp.zeros((), jnp.int32),
+    )
+    return runner, actor, critic, tx
+
+
+def build_mappo_train_step(
+    env: Warehouse,
+    actor: ActorCritic,
+    critic: CentralCritic,
+    tx: optax.GradientTransformation,
+    cfg: IPPOConfig,
+    interpret: bool = False,
+    deterministic_collect: bool = False,
+    collect_mode: str = "pallas",
+):
+    """One jitted MAPPO update: fused Pallas collect (actor in-kernel) ->
+    critic values over the stored trajectory -> native GAE -> E x M
+    clipped updates of {actor, critic} via XLA autodiff on the native
+    layout.
+
+    ``collect_mode="xla"`` swaps the Pallas collector for a vmap+scan XLA
+    collect that emits the SAME native-layout trajectory (CPU-runnable —
+    the stochastic kernel needs the TPU PRNG), so the update path is
+    byte-identical across backends."""
+    from rware_tpu.ops.pallas_rollout import (
+        ENV_BLOCK,
+        LANE,
+        build_pallas_collect,
+    )
+
+    obs_fn = jax.vmap(policy_obs_fn(env))
+    n_agents = env.n_agents
+    obs_dim = env.config.policy_obs_length
+    msg = env.config.msg_bits
+
+    if collect_mode == "pallas":
+        _collect = build_pallas_collect(
+            env.config,
+            cfg.rollout_len,
+            hidden=tuple(actor.hidden),
+            tc_len=_pick_tc_len(cfg.rollout_len),
+            interpret=interpret,
+            deterministic=deterministic_collect,
+            native_traj=True,
+        )
+        n_tc = max(1, cfg.rollout_len // _pick_tc_len(cfg.rollout_len))
+        streams_per_update = (cfg.n_envs // ENV_BLOCK) * n_tc
+
+        def collect(runner, k_roll):
+            seed = runner.update_idx * jnp.int32(streams_per_update)
+            return _collect(runner.env_states, runner.params["actor"], seed)
+    else:
+        from rware_tpu.models.networks import sample_action
+        from rware_tpu.parallel.rollout import autoreset_select
+
+        step_fn = jax.vmap(env._step_fn)
+        reset_fn = env._reset_fn
+        rb_c = cfg.n_envs // LANE
+
+        def native(x):  # (T, B, N, ...) -> (T, N, ..., RB, LANE)
+            x = jnp.moveaxis(x, 1, -1)  # (T, N, ..., B)
+            return x.reshape(x.shape[:-1] + (rb_c, LANE))
+
+        def collect(runner, k_roll):
+            def one(carry, key):
+                params, states, obs = carry
+                heads, _ = actor.apply(params, obs)
+                if msg:
+                    from rware_tpu.models.networks import sample_action_msg
+
+                    action, logp = sample_action_msg(key, *heads)
+                    move = action[..., 0]
+                else:
+                    action, logp = sample_action(key, heads)
+                    move = action
+                res = step_fn(states, action)
+                nxt = jax.vmap(
+                    lambda s, d: autoreset_select(reset_fn, s, d)
+                )(res.state, res.done)
+                t = (obs, move, logp, res.rewards, res.done) + (
+                    (action[..., 1:],) if msg else ()
+                )
+                return (params, nxt, obs_fn(nxt)), t
+
+            keys = jax.random.split(k_roll, cfg.rollout_len)
+            (_, env_states, _), t = jax.lax.scan(
+                one,
+                (runner.params["actor"], runner.env_states, runner.obs),
+                keys,
+            )
+            if msg:
+                obs_t, move_t, logp_t, rew_t, done_t, bits_t = t
+            else:
+                obs_t, move_t, logp_t, rew_t, done_t = t
+            traj = {
+                # (T, B, N, L) -> (T, L, N, RB, LANE): feature axis to
+                # kernel-native position
+                "obs": jnp.transpose(
+                    obs_t, (0, 3, 2, 1)
+                ).reshape(
+                    cfg.rollout_len, obs_dim, n_agents, rb_c, LANE
+                ).astype(jnp.bfloat16),
+                "action": native(move_t).astype(jnp.int32),
+                "logp": native(logp_t),
+                "reward": native(rew_t),
+                "done": done_t.reshape(
+                    cfg.rollout_len, 1, rb_c, LANE
+                ).astype(jnp.int32),
+            }
+            if msg:
+                # (T, B, N, M) -> agent-major rows (T, N*M, RB, LANE)
+                traj["bits"] = jnp.transpose(
+                    bits_t, (0, 2, 3, 1)
+                ).reshape(cfg.rollout_len, -1, rb_c, LANE).astype(
+                    jnp.int32
+                )
+            return env_states, traj
+
+    def grads_fn(params, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            mappo_loss_native, argnums=1, has_aux=True
+        )(cfg, params, batch)
+        return grads, metrics
+
+    def train_step(runner: RunnerState) -> Tuple[RunnerState, dict]:
+        key, k_perm, k_roll = jax.random.split(runner.key, 3)
+        env_states, traj = collect(runner, k_roll)
+        obs = obs_fn(env_states)  # (B, N, L)
+
+        # critic values over the stored trajectory (one batched dot) and
+        # the bootstrap value from the post-rollout joint observation
+        values = _critic_native_forward(
+            runner.params["critic"], _joint_native(traj["obs"])
+        )  # (T, N, RB, LANE)
+        last_joint = obs.reshape(cfg.n_envs, n_agents * obs_dim)
+        last_value = critic.apply(
+            runner.params["critic"], last_joint
+        )  # (B, N)
+        rb = cfg.n_envs // LANE
+        last_value_native = jnp.swapaxes(last_value, 0, 1).reshape(
+            n_agents, rb, LANE
+        )
+        advantages, targets = compute_gae_native(
+            cfg, traj["reward"], values, traj["done"], last_value_native
+        )
+        dataset = (
+            traj["obs"], traj["action"], traj["logp"],
+            values, advantages, targets,
+        )
+        if "bits" in traj:
+            dataset = dataset + (traj["bits"],)
+        (params, opt_state), metrics = ppo_update_epochs_native(
+            cfg, tx, runner.params, runner.opt_state, dataset, k_perm,
+            grads_fn=grads_fn,
+        )
+        out_metrics = {
+            "reward_per_env": traj["reward"].sum() / cfg.n_envs,
+            "episodes_done": traj["done"].sum(),
+            **jax.tree.map(lambda x: x.mean(), metrics),
+        }
+        return (
+            RunnerState(
+                params=params,
+                opt_state=opt_state,
+                env_states=env_states,
+                obs=obs,
+                key=key,
+                update_idx=runner.update_idx + 1,
+            ),
+            out_metrics,
+        )
+
+    return train_step

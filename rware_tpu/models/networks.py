@@ -49,6 +49,35 @@ class ActorCritic(nn.Module):
         return logits, jnp.squeeze(value, axis=-1)
 
 
+class CentralCritic(nn.Module):
+    """Centralized value function for MAPPO: V(joint obs) -> one value per
+    agent.
+
+    Inputs are the CONCATENATION of every agent's observation
+    (..., N * obs_dim, agent-major), so the critic conditions on the full
+    decentralized state — the centralized-training / decentralized-
+    execution split of MAPPO (Yu et al., 2022), the other standard PPO
+    baseline the RWARE literature runs (EPyMARL).  The actor stays the
+    shared-parameter :class:`ActorCritic` policy head (its local value
+    head is unused under MAPPO).  One (N*L, H) matmul serves all envs;
+    the N output heads give per-agent values from the joint state.
+    """
+
+    n_agents: int
+    hidden: Sequence[int] = (128, 128)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, joint_obs: jax.Array) -> jax.Array:
+        x = joint_obs.astype(self.dtype)
+        for i, width in enumerate(self.hidden):
+            x = nn.Dense(width, dtype=self.dtype, name=f"dense_{i}")(x)
+            x = nn.tanh(x)
+        return nn.Dense(
+            self.n_agents, dtype=jnp.float32, name="value"
+        )(x)  # (..., N)
+
+
 class RecurrentActorCritic(nn.Module):
     """GRU actor-critic for partially observable play.
 

@@ -22,7 +22,8 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--env", default="rware-tiny-2ag-v2")
     p.add_argument(
-        "--algo", choices=["ippo", "seac", "seac-ppo"], default="ippo",
+        "--algo", choices=["ippo", "mappo", "seac", "seac-ppo"],
+        default="ippo",
         help="seac-ppo = shared-experience PPO (the SEAC variant validated "
         "to learn; see models/seac.py)",
     )
@@ -140,6 +141,33 @@ def main():
             )
         else:
             train_step = jax.jit(build_train_step(env, model, tx, cfg), donate_argnums=0)
+        env_steps_per_update = cfg.n_envs * cfg.rollout_len
+    elif args.algo == "mappo":
+        from rware_tpu.models import IPPOConfig
+        from rware_tpu.models.mappo import (
+            build_mappo_train_step,
+            init_mappo_runner,
+        )
+
+        cfg = IPPOConfig(
+            n_envs=args.n_envs,
+            rollout_len=args.rollout_len or 128,
+            lr=args.lr,
+            ent_coef=args.ent_coef,
+        )
+        runner, actor, critic, tx = init_mappo_runner(env, cfg, key)
+        collect_mode = (
+            "pallas"
+            if args.collect == "pallas"
+            and jax.devices()[0].platform != "cpu"
+            else "xla"
+        )
+        train_step = jax.jit(
+            build_mappo_train_step(
+                env, actor, critic, tx, cfg, collect_mode=collect_mode
+            ),
+            donate_argnums=0,
+        )
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
     elif args.algo == "seac-ppo":
         from rware_tpu.models.seac import (
