@@ -793,6 +793,8 @@ def build_rnn_pallas_train_step(
     deterministic_collect: bool = False,
     native: bool = True,
     fused_loss: bool = False,
+    mesh=None,
+    mesh_axis: str = "env",
 ) -> Callable[[RNNRunnerState], Tuple[RNNRunnerState, dict]]:
     """Recurrent IPPO with the GRU fused INTO the collect kernel.
 
@@ -831,6 +833,10 @@ def build_rnn_pallas_train_step(
 
     n_agents = env.n_agents
     hg = int(model.hidden)
+    n_shards = int(mesh.shape[mesh_axis]) if mesh is not None else 1
+    n_local = cfg.n_envs // n_shards
+    streams_per_shard = (n_local // ENV_BLOCK) * n_tc
+    axis_name = mesh_axis if mesh is not None else None
 
     def loss_fn_native(params, batch):
         return rnn_ppo_loss_native(cfg, model, params, batch)
@@ -845,15 +851,21 @@ def build_rnn_pallas_train_step(
     def train_step_native(runner: RNNRunnerState):
         key, k_perm = jax.random.split(runner.key, 2)
         seed = runner.update_idx * jnp.int32(streams_per_update)
-        h0 = runner.carry  # (B, N, Hg) — carry at rollout start
+        if axis_name is not None:
+            # disjoint per-shard PRNG streams (the kernel offsets by its
+            # local program_id, which restarts at 0 on every shard)
+            seed = seed + jax.lax.axis_index(axis_name) * jnp.int32(
+                streams_per_shard
+            )
+        h0 = runner.carry  # (B_local, N, Hg) — carry at rollout start
         env_states, new_carry, traj = collect(
             runner.env_states, runner.params, seed, h0=h0
         )
         obs = obs_fn(env_states)
         _, (_, last_value) = model.apply(
             runner.params, new_carry.astype(runner.carry.dtype), obs
-        )  # (B, N)
-        rb = cfg.n_envs // LANE
+        )  # (B_local, N)
+        rb = n_local // LANE
         last_value_native = jnp.swapaxes(last_value, 0, 1).reshape(
             n_agents, rb, LANE
         )
@@ -925,6 +937,11 @@ def build_rnn_pallas_train_step(
                     (loss, metrics), grads = jax.value_and_grad(
                         loss_fn_native, has_aux=True
                     )(params, batch)
+                if axis_name is not None:
+                    # data-parallel recurrent PPO: every shard takes the
+                    # identical parameter step
+                    grads = jax.lax.pmean(grads, axis_name)
+                    metrics = jax.lax.pmean(metrics, axis_name)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics
@@ -938,9 +955,14 @@ def build_rnn_pallas_train_step(
             (runner.params, runner.opt_state),
             jax.random.split(k_perm, cfg.epochs),
         )
+        reward_sum = traj["reward"].sum()
+        episodes = traj["done"].sum()
+        if axis_name is not None:
+            reward_sum = jax.lax.psum(reward_sum, axis_name)
+            episodes = jax.lax.psum(episodes, axis_name)
         out_metrics = {
-            "reward_per_env": traj["reward"].sum() / cfg.n_envs,
-            "episodes_done": traj["done"].sum(),
+            "reward_per_env": reward_sum / cfg.n_envs,
+            "episodes_done": episodes,
             **jax.tree.map(lambda x: x.mean(), metrics),
         }
         return (
@@ -1061,4 +1083,31 @@ def build_rnn_pallas_train_step(
             out_metrics,
         )
 
-    return train_step_native if native else train_step
+    if mesh is None:
+        return train_step_native if native else train_step
+    if not native:
+        raise ValueError("mesh sharding requires the native path")
+    if n_local % ENV_BLOCK:
+        raise ValueError(
+            f"n_envs={cfg.n_envs} over {n_shards} shards gives {n_local} "
+            f"local envs; must be a multiple of ENV_BLOCK={ENV_BLOCK}"
+        )
+    from jax.sharding import PartitionSpec as P
+
+    env_p = P(mesh_axis)
+    runner_specs = RNNRunnerState(
+        params=P(),
+        opt_state=P(),
+        env_states=env_p,
+        obs=env_p,
+        carry=env_p,
+        key=P(),
+        update_idx=P(),
+    )
+    return jax.shard_map(
+        train_step_native,
+        mesh=mesh,
+        in_specs=(runner_specs,),
+        out_specs=(runner_specs, P()),
+        check_vma=False,
+    )

@@ -195,6 +195,8 @@ def build_mappo_train_step(
     interpret: bool = False,
     deterministic_collect: bool = False,
     collect_mode: str = "pallas",
+    mesh=None,
+    mesh_axis: str = "env",
 ):
     """One jitted MAPPO update: fused Pallas collect (actor in-kernel) ->
     critic values over the stored trajectory -> native GAE -> E x M
@@ -204,7 +206,11 @@ def build_mappo_train_step(
     ``collect_mode="xla"`` swaps the Pallas collector for a vmap+scan XLA
     collect that emits the SAME native-layout trajectory (CPU-runnable —
     the stochastic kernel needs the TPU PRNG), so the update path is
-    byte-identical across backends."""
+    byte-identical across backends.
+
+    ``mesh``: shard_map the whole step over ``mesh_axis`` (env-batch data
+    parallel; params/opt state replicated, per-minibatch gradient pmean
+    inside ppo_update_epochs_native)."""
     from rware_tpu.ops.pallas_rollout import (
         ENV_BLOCK,
         LANE,
@@ -215,6 +221,9 @@ def build_mappo_train_step(
     n_agents = env.n_agents
     obs_dim = env.config.policy_obs_length
     msg = env.config.msg_bits
+    n_shards = int(mesh.shape[mesh_axis]) if mesh is not None else 1
+    n_local = cfg.n_envs // n_shards
+    axis_name = mesh_axis if mesh is not None else None
 
     if collect_mode == "pallas":
         _collect = build_pallas_collect(
@@ -228,9 +237,14 @@ def build_mappo_train_step(
         )
         n_tc = max(1, cfg.rollout_len // _pick_tc_len(cfg.rollout_len))
         streams_per_update = (cfg.n_envs // ENV_BLOCK) * n_tc
+        streams_per_shard = (n_local // ENV_BLOCK) * n_tc
 
         def collect(runner, k_roll):
             seed = runner.update_idx * jnp.int32(streams_per_update)
+            if axis_name is not None:
+                seed = seed + jax.lax.axis_index(axis_name) * jnp.int32(
+                    streams_per_shard
+                )
             return _collect(runner.env_states, runner.params["actor"], seed)
     else:
         from rware_tpu.models.networks import sample_action
@@ -238,7 +252,7 @@ def build_mappo_train_step(
 
         step_fn = jax.vmap(env._step_fn)
         reset_fn = env._reset_fn
-        rb_c = cfg.n_envs // LANE
+        rb_c = n_local // LANE
 
         def native(x):  # (T, B, N, ...) -> (T, N, ..., RB, LANE)
             x = jnp.moveaxis(x, 1, -1)  # (T, N, ..., B)
@@ -265,6 +279,10 @@ def build_mappo_train_step(
                 )
                 return (params, nxt, obs_fn(nxt)), t
 
+            if axis_name is not None:
+                k_roll = jax.random.fold_in(
+                    k_roll, jax.lax.axis_index(axis_name)
+                )
             keys = jax.random.split(k_roll, cfg.rollout_len)
             (_, env_states, _), t = jax.lax.scan(
                 one,
@@ -315,11 +333,11 @@ def build_mappo_train_step(
         values = _critic_native_forward(
             runner.params["critic"], _joint_native(traj["obs"])
         )  # (T, N, RB, LANE)
-        last_joint = obs.reshape(cfg.n_envs, n_agents * obs_dim)
+        last_joint = obs.reshape(n_local, n_agents * obs_dim)
         last_value = critic.apply(
             runner.params["critic"], last_joint
         )  # (B, N)
-        rb = cfg.n_envs // LANE
+        rb = n_local // LANE
         last_value_native = jnp.swapaxes(last_value, 0, 1).reshape(
             n_agents, rb, LANE
         )
@@ -334,11 +352,16 @@ def build_mappo_train_step(
             dataset = dataset + (traj["bits"],)
         (params, opt_state), metrics = ppo_update_epochs_native(
             cfg, tx, runner.params, runner.opt_state, dataset, k_perm,
-            grads_fn=grads_fn,
+            axis_name=axis_name, grads_fn=grads_fn,
         )
+        reward_sum = traj["reward"].sum()
+        episodes = traj["done"].sum()
+        if axis_name is not None:
+            reward_sum = jax.lax.psum(reward_sum, axis_name)
+            episodes = jax.lax.psum(episodes, axis_name)
         out_metrics = {
-            "reward_per_env": traj["reward"].sum() / cfg.n_envs,
-            "episodes_done": traj["done"].sum(),
+            "reward_per_env": reward_sum / cfg.n_envs,
+            "episodes_done": episodes,
             **jax.tree.map(lambda x: x.mean(), metrics),
         }
         return (
@@ -353,4 +376,28 @@ def build_mappo_train_step(
             out_metrics,
         )
 
-    return train_step
+    if mesh is None:
+        return train_step
+    if collect_mode == "pallas" and n_local % ENV_BLOCK:
+        raise ValueError(
+            f"n_envs={cfg.n_envs} over {n_shards} shards gives {n_local} "
+            f"local envs; must be a multiple of ENV_BLOCK={ENV_BLOCK}"
+        )
+    from jax.sharding import PartitionSpec as P
+
+    env_p = P(mesh_axis)
+    runner_specs = RunnerState(
+        params=P(),
+        opt_state=P(),
+        env_states=env_p,
+        obs=env_p,
+        key=P(),
+        update_idx=P(),
+    )
+    return jax.shard_map(
+        train_step,
+        mesh=mesh,
+        in_specs=(runner_specs,),
+        out_specs=(runner_specs, P()),
+        check_vma=False,
+    )

@@ -160,6 +160,61 @@ def test_gru_native_replay_matches_flat_replay():
     )
 
 
+def test_sharded_rnn_train_step_matches_metrics():
+    """The shard_map'd recurrent train step over the 8-device CPU mesh:
+    runs, finite metrics, rollout statistics equal the single-device step
+    (same seed streams by construction; the recurrent analogue of
+    test_pallas_collect.test_sharded_native_train_step_matches_metrics)."""
+    import numpy as np
+
+    from rware_tpu.models.ippo_rnn import build_rnn_pallas_train_step
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+    from rware_tpu.parallel import make_mesh, replicate, shard_env_batch
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    n_dev = len(jax.devices())
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK * n_dev, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, model, tx = init_rnn_runner(env, cfg, jax.random.key(0))
+
+    ts_single = jax.jit(
+        build_rnn_pallas_train_step(
+            env, model, tx, cfg, interpret=True,
+            deterministic_collect=True,
+        )
+    )
+    r1, m1 = ts_single(runner)
+
+    mesh = make_mesh()
+    sharded = runner.replace(
+        env_states=shard_env_batch(runner.env_states, mesh),
+        obs=shard_env_batch(runner.obs, mesh),
+        carry=shard_env_batch(runner.carry, mesh),
+        params=replicate(runner.params, mesh),
+        opt_state=replicate(runner.opt_state, mesh),
+    )
+    ts_mesh = jax.jit(
+        build_rnn_pallas_train_step(
+            env, model, tx, cfg, interpret=True,
+            deterministic_collect=True, mesh=mesh,
+        )
+    )
+    r2, m2 = ts_mesh(sharded)
+    for k, v in m2.items():
+        assert np.isfinite(float(v)), k
+    assert float(m1["episodes_done"]) == float(m2["episodes_done"])
+    np.testing.assert_allclose(
+        float(m1["reward_per_env"]), float(m2["reward_per_env"]), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1.env_states.agent_x), np.asarray(r2.env_states.agent_x)
+    )
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(r2.params)
+    )
+
+
 def test_rnn_pallas_train_step_msg_bits():
     """msg_bits through the GRU collect kernel AND the native recurrent
     update (joint move+Bernoulli logp/entropy in rnn_ppo_loss_native)."""

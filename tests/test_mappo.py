@@ -66,6 +66,57 @@ def test_mappo_xla_collect_mode_runs():
     assert int(new_runner.update_idx) == 1
 
 
+def test_sharded_mappo_train_step_matches_metrics():
+    """shard_map'd MAPPO over the 8-device CPU mesh: runs, finite, and
+    rollout statistics equal the single-device step (same seed streams)."""
+    from rware_tpu.models.mappo import (
+        build_mappo_train_step,
+        init_mappo_runner,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+    from rware_tpu.parallel import make_mesh, replicate, shard_env_batch
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    n_dev = len(jax.devices())
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK * n_dev, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, actor, critic, tx = init_mappo_runner(
+        env, cfg, jax.random.key(0)
+    )
+    ts_single = jax.jit(
+        build_mappo_train_step(
+            env, actor, critic, tx, cfg, interpret=True,
+            deterministic_collect=True,
+        )
+    )
+    r1, m1 = ts_single(runner)
+
+    mesh = make_mesh()
+    sharded = runner.replace(
+        env_states=shard_env_batch(runner.env_states, mesh),
+        obs=shard_env_batch(runner.obs, mesh),
+        params=replicate(runner.params, mesh),
+        opt_state=replicate(runner.opt_state, mesh),
+    )
+    ts_mesh = jax.jit(
+        build_mappo_train_step(
+            env, actor, critic, tx, cfg, interpret=True,
+            deterministic_collect=True, mesh=mesh,
+        )
+    )
+    r2, m2 = ts_mesh(sharded)
+    for k, v in m2.items():
+        assert np.isfinite(float(v)), k
+    assert float(m1["episodes_done"]) == float(m2["episodes_done"])
+    np.testing.assert_allclose(
+        float(m1["reward_per_env"]), float(m2["reward_per_env"]), rtol=1e-5
+    )
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(r2.params)
+    )
+
+
 def test_central_critic_is_centralized():
     """The critic's value for agent 0 must depend on agent 1's observation
     — the property that separates MAPPO's critic from IPPO's."""

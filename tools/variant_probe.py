@@ -49,7 +49,8 @@ def main():
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument(
         "--variant",
-        choices=["mlp", "gru", "gru-msg", "image", "seac", "msg", "all"],
+        choices=["mlp", "gru", "gru-msg", "mappo", "image", "seac", "msg",
+                 "all"],
         default="all",
     )
     p.add_argument(
@@ -109,6 +110,20 @@ def main():
         runner, model, tx = init_rnn_runner(env, cfg, jax.random.key(0))
         ts = jax.jit(build_rnn_pallas_train_step(env, model, tx, cfg))
         probe("gru + msg_bits=2 recurrent IPPO (tiny-2ag)", ts, runner,
+              cfg.n_envs, cfg.rollout_len)
+
+    if "mappo" in want:
+        from rware_tpu.models.mappo import (
+            build_mappo_train_step,
+            init_mappo_runner,
+        )
+
+        env = rware_tpu.make("rware-tiny-2ag-v2")
+        runner, actor, critic, tx = init_mappo_runner(
+            env, cfg, jax.random.key(0)
+        )
+        ts = jax.jit(build_mappo_train_step(env, actor, critic, tx, cfg))
+        probe("MAPPO central-critic PPO (tiny-2ag)", ts, runner,
               cfg.n_envs, cfg.rollout_len)
 
     if "image" in want:

@@ -103,8 +103,12 @@ def main():
         )
         runner, model, tx = init_rnn_runner(env, cfg, key)
         if args.collect == "pallas" and jax.devices()[0].platform != "cpu":
+            mesh_rnn = None
+            if args.mesh and len(jax.devices()) > 1:
+                mesh_rnn = make_mesh()
             train_step = jax.jit(
-                build_rnn_pallas_train_step(env, model, tx, cfg)
+                build_rnn_pallas_train_step(env, model, tx, cfg,
+                                            mesh=mesh_rnn)
             )
         else:
             train_step = jax.jit(build_rnn_train_step(env, model, tx, cfg), donate_argnums=0)
@@ -162,9 +166,13 @@ def main():
             and jax.devices()[0].platform != "cpu"
             else "xla"
         )
+        mesh_mappo = None
+        if args.mesh and len(jax.devices()) > 1:
+            mesh_mappo = make_mesh()
         train_step = jax.jit(
             build_mappo_train_step(
-                env, actor, critic, tx, cfg, collect_mode=collect_mode
+                env, actor, critic, tx, cfg, collect_mode=collect_mode,
+                mesh=mesh_mappo,
             ),
             donate_argnums=0,
         )
@@ -221,6 +229,10 @@ def main():
             params=replicate(runner.params, mesh),
             opt_state=replicate(runner.opt_state, mesh),
         )
+        if hasattr(runner, "carry"):
+            runner = runner.replace(
+                carry=shard_env_batch(runner.carry, mesh)
+            )
         print(f"sharded {args.n_envs} envs over {mesh.devices.size} devices")
 
     ckpt = None
