@@ -55,24 +55,21 @@ def _pick_tc_len(t: int) -> int:
 _RB_AXES = (3, 2, 2, 2, 2, 2)
 
 
-def _native_forward(params, obs):
-    """ActorCritic forward on native-layout obs (..., L, N, RB, LANE).
-
-    Contracts the L axis (axis -4) against dense_0 without materialising a
-    transposed copy; hidden compute bf16 with f32 accumulation + f32 heads,
-    mirroring the in-kernel _policy_forward / models.networks.ActorCritic.
-    Returns logits (..., N, RB, LANE, A) f32 and value (..., N, RB, LANE)
-    f32.
-    """
-    p = params["params"]
-    nd = obs.ndim
-    w0 = p["dense_0"]["kernel"].astype(jnp.bfloat16)
+def _native_trunk(p, obs, contract_axis):
+    """Dense-stack (dense_0, dense_1, ...) walker on native-layout inputs:
+    contracts ``contract_axis`` of ``obs`` against dense_0 without
+    materialising a transposed copy, bf16 hidden compute with f32
+    accumulation and bf16-rounded tanh pre-activations — the numeric
+    recipe the in-kernel forward and the parity tests pin.  Shared by the
+    actor (_native_forward) and MAPPO's CentralCritic
+    (models/mappo._critic_native_forward).  Returns the f32 trunk
+    output with the contracted axis moved to the end."""
     x = jax.lax.dot_general(
         obs.astype(jnp.bfloat16),
-        w0,
-        (((nd - 4,), (0,)), ((), ())),
+        p["dense_0"]["kernel"].astype(jnp.bfloat16),
+        (((contract_axis,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (..., N, RB, LANE, H1)
+    )
     # bf16 tanh: flax Dense(dtype=bf16) emits bf16 pre-activations; the
     # fused update kernel computes the same way
     x = jnp.tanh((x + p["dense_0"]["bias"]).astype(jnp.bfloat16))
@@ -87,7 +84,20 @@ def _native_forward(params, obs):
         )
         x = jnp.tanh((x + d["bias"]).astype(jnp.bfloat16))
         i += 1
-    xf = x.astype(jnp.float32)
+    return x.astype(jnp.float32)
+
+
+def _native_forward(params, obs):
+    """ActorCritic forward on native-layout obs (..., L, N, RB, LANE).
+
+    Contracts the L axis (axis -4) against dense_0 without materialising a
+    transposed copy; hidden compute bf16 with f32 accumulation + f32 heads,
+    mirroring the in-kernel _policy_forward / models.networks.ActorCritic.
+    Returns logits (..., N, RB, LANE, A) f32 and value (..., N, RB, LANE)
+    f32.
+    """
+    p = params["params"]
+    xf = _native_trunk(p, obs, obs.ndim - 4)
 
     def head(name):
         return (
@@ -129,18 +139,18 @@ def compute_gae_native(cfg: IPPOConfig, reward, value, done, last_value):
     return advantages, advantages + value
 
 
-def ppo_loss_native(cfg: IPPOConfig, params, batch):
-    """Clipped-PPO loss on a native-layout minibatch.
+def clipped_ppo_terms(cfg: IPPOConfig, heads, value,
+                      action, old_logp, old_value, adv, target, bits=None):
+    """The clipped-PPO objective on native-layout tensors, given the
+    policy heads and value from ANY source: shared by IPPO
+    (ppo_loss_native — actor's own value head), recurrent IPPO
+    (models.ippo_rnn.rnn_ppo_loss_native — GRU replay outputs) and MAPPO
+    (models.mappo.mappo_loss_native — central-critic values), so the
+    surrogate / value-clip / entropy / KL algebra exists exactly once.
 
-    A 7th batch entry (message bits, (T, N*M, RB, LANE) agent-major rows
-    i*M + m) switches to the joint move+Bernoulli policy: joint ratio and
-    joint entropy, matching the msg collect kernel's stored logp."""
-    bits = None
-    if len(batch) == 7:
-        obs, action, old_logp, old_value, adv, target, bits = batch
-    else:
-        obs, action, old_logp, old_value, adv, target = batch
-    heads, value = _native_forward(params, obs)
+    ``bits`` (message bits, (T, N*M, RB, LANE) agent-major rows i*M + m)
+    switches to the joint move+Bernoulli policy: joint ratio and joint
+    entropy, matching the msg collect kernel's stored logp."""
     msg_entropy = 0.0
     if bits is not None:
         from rware_tpu.models.networks import bernoulli_logp
@@ -188,6 +198,22 @@ def ppo_loss_native(cfg: IPPOConfig, params, batch):
         "entropy": entropy,
         "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
     }
+
+
+def ppo_loss_native(cfg: IPPOConfig, params, batch):
+    """Clipped-PPO loss on a native-layout minibatch.
+
+    A 7th batch entry (message bits) switches to the joint
+    move+Bernoulli policy — see clipped_ppo_terms."""
+    bits = None
+    if len(batch) == 7:
+        obs, action, old_logp, old_value, adv, target, bits = batch
+    else:
+        obs, action, old_logp, old_value, adv, target = batch
+    heads, value = _native_forward(params, obs)
+    return clipped_ppo_terms(
+        cfg, heads, value, action, old_logp, old_value, adv, target, bits
+    )
 
 
 def ppo_update_epochs_native(
@@ -678,23 +704,11 @@ def build_pallas_train_step(
             f"local envs; must be a multiple of ENV_BLOCK={ENV_BLOCK}"
         )
 
-    from jax.sharding import PartitionSpec as P
+    from rware_tpu.parallel import shard_map_train_step
 
-    env_p = P(mesh_axis)
-    # pytree-prefix specs: env_p applies to every leaf of env_states
-    runner_specs = RunnerState(
-        params=P(),
-        opt_state=P(),
-        env_states=env_p,
-        obs=env_p,
-        key=P(),
-        update_idx=P(),
+    return shard_map_train_step(
+        train_step_native, mesh,
+        RunnerState(params=None, opt_state=None, env_states=None,
+                    obs=None, key=None, update_idx=None),
+        env_fields=("env_states", "obs"), axis=mesh_axis,
     )
-    sharded = jax.shard_map(
-        train_step_native,
-        mesh=mesh,
-        in_specs=(runner_specs,),
-        out_specs=(runner_specs, P()),
-        check_vma=False,
-    )
-    return sharded

@@ -590,53 +590,11 @@ def rnn_ppo_loss_native(cfg: IPPOConfig, model, params, batch):
     else:
         obs, done, action, logp_old, value_old, adv, target, h0n = batch
     heads, value = _gru_native_replay(model, params, obs, done, h0n)
-    msg_entropy = 0.0
-    if bits is not None:
-        from rware_tpu.models.networks import bernoulli_logp
+    from rware_tpu.models.ippo_pallas import clipped_ppo_terms
 
-        logits, msg_logits = heads  # msg_logits (T, N, RB, LANE, M)
-        t, nm, rb, lane = bits.shape
-        n = action.shape[1]
-        bitsf = jnp.moveaxis(
-            bits.reshape(t, n, nm // n, rb, lane), 2, -1
-        ).astype(jnp.float32)
-        logp_msg = bernoulli_logp(msg_logits, bitsf).sum(-1)
-        p_msg = jax.nn.sigmoid(msg_logits)
-        msg_entropy = -(
-            p_msg * jax.nn.log_sigmoid(msg_logits)
-            + (1.0 - p_msg) * jax.nn.log_sigmoid(-msg_logits)
-        ).sum(-1)
-    else:
-        logits = heads
-    logp_all = jax.nn.log_softmax(logits)
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
-        == action[..., None]
+    return clipped_ppo_terms(
+        cfg, heads, value, action, logp_old, value_old, adv, target, bits
     )
-    logp = jnp.sum(jnp.where(onehot, logp_all, 0.0), axis=-1)
-    if bits is not None:
-        logp = logp + logp_msg
-    ratio = jnp.exp(logp - logp_old)
-    adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
-    pg1 = ratio * adv_norm
-    pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
-    pg_loss = -jnp.minimum(pg1, pg2).mean()
-    v_clipped = value_old + jnp.clip(
-        value - value_old, -cfg.clip_eps, cfg.clip_eps
-    )
-    v_loss = 0.5 * jnp.maximum(
-        (value - target) ** 2, (v_clipped - target) ** 2
-    ).mean()
-    entropy = (
-        -(jnp.exp(logp_all) * logp_all).sum(-1) + msg_entropy
-    ).mean()
-    total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
-    return total, {
-        "pg_loss": pg_loss,
-        "v_loss": v_loss,
-        "entropy": entropy,
-        "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
-    }
 
 
 @functools.lru_cache(maxsize=None)
@@ -1092,22 +1050,11 @@ def build_rnn_pallas_train_step(
             f"n_envs={cfg.n_envs} over {n_shards} shards gives {n_local} "
             f"local envs; must be a multiple of ENV_BLOCK={ENV_BLOCK}"
         )
-    from jax.sharding import PartitionSpec as P
+    from rware_tpu.parallel import shard_map_train_step
 
-    env_p = P(mesh_axis)
-    runner_specs = RNNRunnerState(
-        params=P(),
-        opt_state=P(),
-        env_states=env_p,
-        obs=env_p,
-        carry=env_p,
-        key=P(),
-        update_idx=P(),
-    )
-    return jax.shard_map(
-        train_step_native,
-        mesh=mesh,
-        in_specs=(runner_specs,),
-        out_specs=(runner_specs, P()),
-        check_vma=False,
+    return shard_map_train_step(
+        train_step_native, mesh,
+        RNNRunnerState(params=None, opt_state=None, env_states=None,
+                       obs=None, carry=None, key=None, update_idx=None),
+        env_fields=("env_states", "obs", "carry"), axis=mesh_axis,
     )

@@ -36,7 +36,9 @@ from rware_tpu.models.ippo import (
 )
 from rware_tpu.models.ippo_pallas import (
     _native_forward,
+    _native_trunk,
     _pick_tc_len,
+    clipped_ppo_terms,
     compute_gae_native,
     ppo_update_epochs_native,
 )
@@ -52,31 +54,13 @@ def _joint_native(obs: jax.Array) -> jax.Array:
 
 def _critic_native_forward(critic_params, joint_obs: jax.Array) -> jax.Array:
     """CentralCritic forward on native-layout joint obs (T, N*L, RB, LANE):
-    contracts the joint-feature axis in place (no transposed copy), bf16
-    hidden compute with f32 accumulation, f32 head — mirroring
-    ippo_pallas._native_forward.  Returns per-agent values
-    (T, N, RB, LANE) f32."""
+    the shared dense-stack walker (ippo_pallas._native_trunk) contracting
+    the joint-feature axis in place, then the f32 per-agent value head.
+    Returns (T, N, RB, LANE) f32."""
     p = critic_params["params"]
-    x = jax.lax.dot_general(
-        joint_obs.astype(jnp.bfloat16),
-        p["dense_0"]["kernel"].astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, RB, LANE, H1)
-    x = jnp.tanh((x + p["dense_0"]["bias"]).astype(jnp.bfloat16))
-    i = 1
-    while f"dense_{i}" in p:
-        d = p[f"dense_{i}"]
-        x = jax.lax.dot_general(
-            x,
-            d["kernel"].astype(jnp.bfloat16),
-            (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        x = jnp.tanh((x + d["bias"]).astype(jnp.bfloat16))
-        i += 1
+    x = _native_trunk(p, joint_obs, 1)  # (T, RB, LANE, H)
     v = jax.lax.dot_general(
-        x.astype(jnp.float32),
+        x,
         p["value"]["kernel"].astype(jnp.float32),
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -98,54 +82,10 @@ def mappo_loss_native(cfg: IPPOConfig, params, batch):
     else:
         obs, action, old_logp, old_value, adv, target = batch
     heads, _ = _native_forward(params["actor"], obs)
-    msg_entropy = 0.0
-    if bits is not None:
-        from rware_tpu.models.networks import bernoulli_logp
-
-        logits, msg_logits = heads
-        t, nm, rb, lane = bits.shape
-        n = action.shape[1]
-        bitsf = jnp.moveaxis(
-            bits.reshape(t, n, nm // n, rb, lane), 2, -1
-        ).astype(jnp.float32)
-        logp_msg = bernoulli_logp(msg_logits, bitsf).sum(-1)
-        p_msg = jax.nn.sigmoid(msg_logits)
-        msg_entropy = -(
-            p_msg * jax.nn.log_sigmoid(msg_logits)
-            + (1.0 - p_msg) * jax.nn.log_sigmoid(-msg_logits)
-        ).sum(-1)
-    else:
-        logits = heads
-    logp_all = jax.nn.log_softmax(logits)
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
-        == action[..., None]
-    )
-    logp = jnp.sum(jnp.where(onehot, logp_all, 0.0), axis=-1)
-    if bits is not None:
-        logp = logp + logp_msg
-    ratio = jnp.exp(logp - old_logp)
-    adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
-    pg1 = ratio * adv_norm
-    pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_norm
-    pg_loss = -jnp.minimum(pg1, pg2).mean()
-
     value = _critic_native_forward(params["critic"], _joint_native(obs))
-    v_clipped = old_value + jnp.clip(
-        value - old_value, -cfg.clip_eps, cfg.clip_eps
+    return clipped_ppo_terms(
+        cfg, heads, value, action, old_logp, old_value, adv, target, bits
     )
-    v_loss = 0.5 * jnp.maximum(
-        (value - target) ** 2, (v_clipped - target) ** 2
-    ).mean()
-
-    entropy = (-(jnp.exp(logp_all) * logp_all).sum(-1) + msg_entropy).mean()
-    total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
-    return total, {
-        "pg_loss": pg_loss,
-        "v_loss": v_loss,
-        "entropy": entropy,
-        "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
-    }
 
 
 def init_mappo_runner(
@@ -252,6 +192,12 @@ def build_mappo_train_step(
 
         step_fn = jax.vmap(env._step_fn)
         reset_fn = env._reset_fn
+        if n_local % LANE:
+            raise ValueError(
+                f"n_envs={cfg.n_envs} over {n_shards} shard(s) gives "
+                f"{n_local} local envs; must be a multiple of LANE={LANE} "
+                f"for the native trajectory layout"
+            )
         rb_c = n_local // LANE
 
         def native(x):  # (T, B, N, ...) -> (T, N, ..., RB, LANE)
@@ -383,21 +329,11 @@ def build_mappo_train_step(
             f"n_envs={cfg.n_envs} over {n_shards} shards gives {n_local} "
             f"local envs; must be a multiple of ENV_BLOCK={ENV_BLOCK}"
         )
-    from jax.sharding import PartitionSpec as P
+    from rware_tpu.parallel import shard_map_train_step
 
-    env_p = P(mesh_axis)
-    runner_specs = RunnerState(
-        params=P(),
-        opt_state=P(),
-        env_states=env_p,
-        obs=env_p,
-        key=P(),
-        update_idx=P(),
-    )
-    return jax.shard_map(
-        train_step,
-        mesh=mesh,
-        in_specs=(runner_specs,),
-        out_specs=(runner_specs, P()),
-        check_vma=False,
+    return shard_map_train_step(
+        train_step, mesh,
+        RunnerState(params=None, opt_state=None, env_states=None,
+                    obs=None, key=None, update_idx=None),
+        env_fields=("env_states", "obs"), axis=mesh_axis,
     )

@@ -404,11 +404,16 @@ def build_gru_obs_fwd(t: int, n: int, rb: int, hg: int, emb: int,
         obs_b = r * lpad * 2
         out_b = r * hg * 2
         iall_b = r * 3 * hg * 2  # scratch, not double-buffered
-        return 2 * (obs_b + out_b) + iall_b
+        # f32 dot intermediates live in VMEM before the bf16 stores:
+        # e (f32 + bf16) and the fused-gate dot output (f32)
+        epi_b = r * (emb * 6 + 3 * hg * 4)
+        return 2 * (obs_b + out_b) + iall_b + epi_b
 
     # both obs kernels measured DMA-orchestration-bound (~13 us/cell,
     # tools/gru_update_probe.py) — budget for the fewest cells that fit
-    tc, rbc = _pick_chunks_bytes(t, rb, cell_bytes, 32 * 1024 * 1024)
+    # (72 MB keeps the measured tc*rbc=64 pick at hg=emb=128, lf=71
+    # under the 120 MB Mosaic limit, now with the intermediates counted)
+    tc, rbc = _pick_chunks_bytes(t, rb, cell_bytes, 72 * 1024 * 1024)
     n_tc = t // tc
     rows = n * rbc * LANE
     trows = tc * rows

@@ -13,6 +13,7 @@ from rware_tpu.parallel.sharding import (
     replicate,
     replicated,
     shard_env_batch,
+    shard_map_train_step,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_env_batch",
+    "shard_map_train_step",
 ]

@@ -49,3 +49,31 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (e.g. model parameters) on every device."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_map_train_step(train_step, mesh: Mesh, runner_template: Any,
+                         env_fields: Sequence[str],
+                         axis: str = ENV_AXIS):
+    """shard_map a (runner) -> (runner, metrics) train step over ``axis``:
+    the runner fields named in ``env_fields`` are sharded on their leading
+    env-batch dimension, everything else (params, optimizer state, key,
+    counters) is replicated.  Shared by the IPPO, recurrent-IPPO and MAPPO
+    builders so the wrapper exists once.
+
+    ``runner_template`` is an INSTANCE of the runner dataclass (values are
+    ignored — only the field set matters); pytree-prefix specs apply each
+    field's PartitionSpec to every leaf under it."""
+    fields = type(runner_template).__dataclass_fields__
+    specs = type(runner_template)(
+        **{
+            f: (P(axis) if f in env_fields else P())
+            for f in fields
+        }
+    )
+    return jax.shard_map(
+        train_step,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(specs, P()),
+        check_vma=False,
+    )
