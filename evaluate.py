@@ -20,6 +20,11 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--env", default="rware-tiny-2ag-v2")
+    p.add_argument(
+        "--msg-bits", type=int, default=None,
+        help="override the env's message-channel width (ids cannot "
+        "express it); must match the checkpointed policy's message head",
+    )
     p.add_argument("--algo", choices=["ippo", "seac"], default="ippo")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--episodes", type=int, default=128)
@@ -40,7 +45,11 @@ def main():
     import rware_tpu
     from rware_tpu.models import ActorCritic, sample_action
 
-    env = rware_tpu.make(args.env)
+    env = (
+        rware_tpu.make(args.env, msg_bits=args.msg_bits)
+        if args.msg_bits is not None
+        else rware_tpu.make(args.env)
+    )
     B = args.episodes
     n = env.n_agents
 
