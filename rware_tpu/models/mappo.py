@@ -135,6 +135,7 @@ def build_mappo_train_step(
     interpret: bool = False,
     deterministic_collect: bool = False,
     collect_mode: str = "pallas",
+    fused_actor_update: Optional[bool] = None,
     mesh=None,
     mesh_axis: str = "env",
 ):
@@ -263,11 +264,56 @@ def build_mappo_train_step(
                 )
             return env_states, traj
 
-    def grads_fn(params, batch):
-        (loss, metrics), grads = jax.value_and_grad(
-            mappo_loss_native, argnums=1, has_aux=True
-        )(cfg, params, batch)
-        return grads, metrics
+    # Actor gradients through the fused PPO kernel (ops/pallas_update)
+    # with vf_coef=0 — the actor's unused local value head gets exactly
+    # zero gradient, and the policy/entropy terms are the same clipped
+    # objective MAPPO's loss takes.  Only the central critic's value
+    # gradients (a short dense stack over the joint obs) stay in XLA.
+    # Resolved per collect mode: the kernel needs TPU (or interpret).
+    if fused_actor_update is None:
+        fused_actor_update = collect_mode == "pallas"
+
+    if fused_actor_update:
+        from rware_tpu.ops.pallas_update import build_fused_ppo_grads
+
+        akernel = build_fused_ppo_grads(
+            obs_len=obs_dim,
+            hidden=tuple(actor.hidden),
+            n_actions=env.n_actions,
+            rollout_len=cfg.rollout_len // cfg.minibatches,
+            n_agents=n_agents,
+            mb_rows=n_local // LANE,
+            clip_eps=cfg.clip_eps,
+            vf_coef=0.0,
+            ent_coef=cfg.ent_coef,
+            interpret=interpret,
+            msg_bits=msg,
+        )
+
+        def critic_loss(cp, obs_mb, old_value, target):
+            value = _critic_native_forward(cp, _joint_native(obs_mb))
+            v_clipped = old_value + jnp.clip(
+                value - old_value, -cfg.clip_eps, cfg.clip_eps
+            )
+            v_loss = 0.5 * jnp.maximum(
+                (value - target) ** 2, (v_clipped - target) ** 2
+            ).mean()
+            return cfg.vf_coef * v_loss, v_loss
+
+        def grads_fn(params, batch):
+            obs_mb, _action, _logp, old_value, _adv, target = batch[:6]
+            ag, mets = akernel(params["actor"], batch)
+            (_closs, v_loss), cg = jax.value_and_grad(
+                critic_loss, has_aux=True
+            )(params["critic"], obs_mb, old_value, target)
+            mets = {**mets, "v_loss": v_loss}
+            return {"actor": ag, "critic": cg}, mets
+    else:
+        def grads_fn(params, batch):
+            (loss, metrics), grads = jax.value_and_grad(
+                mappo_loss_native, argnums=1, has_aux=True
+            )(cfg, params, batch)
+            return grads, metrics
 
     def train_step(runner: RunnerState) -> Tuple[RunnerState, dict]:
         key, k_perm, k_roll = jax.random.split(runner.key, 3)

@@ -66,6 +66,50 @@ def test_mappo_xla_collect_mode_runs():
     assert int(new_runner.update_idx) == 1
 
 
+def test_mappo_fused_actor_update_matches_autodiff():
+    """The fused-kernel actor path (build_fused_ppo_grads with vf_coef=0 +
+    XLA critic grads) produces the same update as jax.grad of
+    mappo_loss_native, within bf16 kernel tolerance — same deterministic
+    trajectory, one train step each."""
+    from rware_tpu.models.mappo import (
+        build_mappo_train_step,
+        init_mappo_runner,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, actor, critic, tx = init_mappo_runner(
+        env, cfg, jax.random.key(0)
+    )
+    outs = {}
+    for fused in (True, False):
+        ts = jax.jit(
+            build_mappo_train_step(
+                env, actor, critic, tx, cfg, interpret=True,
+                deterministic_collect=True, fused_actor_update=fused,
+            )
+        )
+        outs[fused] = ts(runner)
+    r_f, m_f = outs[True]
+    r_x, m_x = outs[False]
+    for k in ("pg_loss", "entropy", "approx_kl", "v_loss"):
+        np.testing.assert_allclose(
+            float(m_f[k]), float(m_x[k]), rtol=2e-2, atol=2e-3, err_msg=k
+        )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(r_f.params)[0],
+        jax.tree_util.tree_flatten_with_path(r_x.params)[0],
+    ):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        # Adam steps are ~lr-sized; bf16 kernel grads may flip near-zero
+        # directions, bounding agreement at a few lr
+        assert np.abs(a - b).max() < 5e-3, path
+
+
 def test_sharded_mappo_train_step_matches_metrics():
     """shard_map'd MAPPO over the 8-device CPU mesh: runs, finite, and
     rollout statistics equal the single-device step (same seed streams)."""
