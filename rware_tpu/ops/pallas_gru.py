@@ -361,10 +361,15 @@ def build_gru_seq_bwd(t: int, n: int, rb: int, hg: int,
 def _pick_chunks_bytes(t: int, rb: int, cell_bytes, budget: int
                        ) -> Tuple[int, int]:
     """(tc, rbc) maximising the cell volume under an exact per-cell VMEM
-    byte model (``cell_bytes(tc, rbc)``), preferring env rows on ties —
-    the obs-fused kernels' streams have different widths (obs lf vs
-    hidden hg vs gate 3hg) so the crude bytes-per-element knob of
-    _pick_chunks under- or over-counts them."""
+    byte model (``cell_bytes(tc, rbc)``), preferring ENV rows on ties —
+    rbc widens the per-step MXU dots of the sequential hidden recurrence
+    (rows = n*rbc*LANE), and the tc-first ordering measured 55% slower on
+    the tiny-2ag fwd+bwd pair (3.68 vs 2.38 ms/iter) at the same cell
+    volume.  The carry-sized blocks (hidden scratch / h0 / dh0 /
+    hboundary) scale with n*rbc but not tc, so at large n the byte model
+    itself forces rbc down; the exact model replaces the crude
+    bytes-per-element knob of _pick_chunks (the obs-fused kernels'
+    streams have different widths)."""
     best = (1, 1)
     for rbc in (16, 8, 4, 2, 1):
         if rb % rbc:
@@ -400,20 +405,36 @@ def build_gru_obs_fwd(t: int, n: int, rb: int, hg: int, emb: int,
     lpad = -(-lf // LANE) * LANE
 
     def cell_bytes(tc, rbc):
-        r = tc * n * rbc * LANE
-        obs_b = r * lpad * 2
-        out_b = r * hg * 2
-        iall_b = r * 3 * hg * 2  # scratch, not double-buffered
-        # f32 dot intermediates live in VMEM before the bf16 stores:
-        # e (f32 + bf16) and the fused-gate dot output (f32)
-        epi_b = r * (emb * 6 + 3 * hg * 4)
-        return 2 * (obs_b + out_b) + iall_b + epi_b
+        trows = tc * n * rbc * LANE
+        rows = n * rbc * LANE
+        rc = rows * hg  # carry-sized (tc-independent) elements
+        # -- pipeline blocks (changing blocks double-buffered by Mosaic)
+        blocks = (
+            2 * trows * lpad * 2        # obs in
+            + 2 * trows * hg * 2        # hseq out
+            + 2 * tc * rbc * LANE * LANE * 2  # done (lane dim pads 1->128)
+            + 2 * rc * 2                # h0 in
+            + rc * 2                    # h_s scratch
+            + trows * 3 * hg * 2        # iall_s scratch
+            + (lf * emb + emb * 3 * hg + hg * 3 * hg) * 2 + 4096  # weights
+        )
+        # -- scoped stack: the kernel's live f32/bf16 temporaries.  The
+        # batched gate dot's f32 result scales with trows; the per-step
+        # recurrence temporaries (hh f32 + gate intermediates) scale with
+        # rows = n*rbc*LANE — at 8 agents these dominated and overflowed
+        # the 120 MB limit (scoped 125.4M, /tmp/gru_large_triage) until
+        # counted here.
+        stack = (
+            trows * (3 * hg * 4 + emb * 2)   # iall f32 dot + e bf16 live
+            + rows * (3 * hg * 4 + 4 * hg * 2)  # hh f32 + r/z/nn/new_h
+        )
+        return blocks + stack
 
     # both obs kernels measured DMA-orchestration-bound (~13 us/cell,
-    # tools/gru_update_probe.py) — budget for the fewest cells that fit
-    # (72 MB keeps the measured tc*rbc=64 pick at hg=emb=128, lf=71
-    # under the 120 MB Mosaic limit, now with the intermediates counted)
-    tc, rbc = _pick_chunks_bytes(t, rb, cell_bytes, 72 * 1024 * 1024)
+    # tools/gru_update_probe.py) — budget for the fewest cells that fit.
+    # 112 MB = the 120 MB Mosaic scoped-vmem limit minus margin; the
+    # model keeps the measured-good (4,16) pick at hg=emb=128, lf=71, n=2
+    tc, rbc = _pick_chunks_bytes(t, rb, cell_bytes, 112 * 1024 * 1024)
     n_tc = t // tc
     rows = n * rbc * LANE
     trows = tc * rows
@@ -548,14 +569,33 @@ def build_gru_obs_bwd(t: int, n: int, rb: int, hg: int, emb: int,
     lpad = -(-lf // LANE) * LANE
 
     def cell_bytes(tc, rbc):
-        r = tc * n * rbc * LANE
-        obs_b = r * lpad * 2
-        h_b = r * hg * 2  # hseq and dhseq streams
-        iall_b = r * 3 * hg * 2  # scratch (reused for the cotangents)
-        epi_b = r * emb * 8  # e (f32 dot + bf16) / de / dpre liveness
-        return 2 * (obs_b + 2 * h_b) + iall_b + epi_b
+        trows = tc * n * rbc * LANE
+        rows = n * rbc * LANE
+        rc = rows * hg  # carry-sized (tc-independent) elements
+        # -- pipeline blocks (changing blocks double-buffered by Mosaic)
+        blocks = (
+            2 * trows * lpad * 2        # obs in
+            + 2 * 2 * trows * hg * 2    # hseq + dhseq in
+            + 2 * tc * rbc * LANE * LANE * 2  # done (lane dim pads 1->128)
+            + 2 * rc * 2                # hboundary in
+            + 2 * rc * 4                # dh0 out (f32)
+            + rc * 4                    # dc_s scratch (f32)
+            + trows * 3 * hg * 2        # iall_s scratch
+            + 2 * (lf * emb + emb * 3 * hg + hg * 3 * hg) * 6 + 8192
+        )
+        # -- scoped stack: batched-recompute f32 dot results (trows) plus
+        # the larger of the reverse-step temporaries (hh f32, 8 gate
+        # cotangent f32 planes, dg3 — all rows-sized) and the batched
+        # input-side epilogue (dg2/de/dpre — trows-sized).  At 8 agents
+        # the rows-sized loop temporaries alone were ~105 MB at rbc=16
+        # and overflowed the 120 MB limit (scoped 125.4M,
+        # /tmp/gru_large_triage) until counted here.
+        loop = rows * (3 * hg * 4 + 8 * hg * 4 + 3 * hg * 2)
+        epi = trows * (3 * hg * 2 + emb * 4 + emb * 2)
+        stack = trows * (3 * hg * 4 + emb * 2) + max(loop, epi)
+        return blocks + stack
 
-    tc, rbc = _pick_chunks_bytes(t, rb, cell_bytes, 56 * 1024 * 1024)
+    tc, rbc = _pick_chunks_bytes(t, rb, cell_bytes, 112 * 1024 * 1024)
     n_tc = t // tc
     rows = n * rbc * LANE
     trows = tc * rows
