@@ -385,6 +385,22 @@ def _arrays_to_params(arrays, like):
     }
 
 
+def phase_window_starts(cfg, t_full: int, tb: int, key) -> jax.Array:
+    """(P,) int32 per-pass minibatch window starts: a fresh random rotation
+    per epoch (drawn in ``tb`` time-block units, see
+    ops/pallas_update.phase_time_block) then M contiguous windows — the
+    schedule both the whole-phase kernel and any side-by-side XLA pass
+    loop (e.g. MAPPO's critic) must share to see identical minibatches."""
+    mb_t = t_full // cfg.minibatches
+    offs = jax.vmap(
+        lambda k: jax.random.randint(k, (), 0, t_full // tb) * tb
+    )(jax.random.split(key, cfg.epochs))  # (E,)
+    m_idx = jnp.arange(cfg.minibatches, dtype=jnp.int32)
+    return (
+        (m_idx[None, :] * mb_t - offs[:, None]) % t_full
+    ).reshape(cfg.epochs * cfg.minibatches)
+
+
 def ppo_update_phase_fused(cfg, params, opt_state, dataset, key, update_fn):
     """Run the whole-update-phase kernel
     (ops/pallas_update.build_fused_ppo_update_phase) and rebuild the optax
@@ -405,13 +421,7 @@ def ppo_update_phase_fused(cfg, params, opt_state, dataset, key, update_fn):
     # per-epoch rotation is drawn in time_block units (statistically the
     # same decorrelation, TB-aligned starts)
     tb = getattr(update_fn, "time_block", 1)
-    offs = jax.vmap(
-        lambda k: jax.random.randint(k, (), 0, t_full // tb) * tb
-    )(jax.random.split(key, cfg.epochs))  # (E,)
-    m_idx = jnp.arange(cfg.minibatches, dtype=jnp.int32)
-    starts = (
-        (m_idx[None, :] * mb_t - offs[:, None]) % t_full
-    ).reshape(P)
+    starts = phase_window_starts(cfg, t_full, tb, key)
 
     # per-pass advantage stats over each window (population std, as
     # jnp.std of the sliced window computes)

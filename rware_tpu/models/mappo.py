@@ -88,6 +88,39 @@ def mappo_loss_native(cfg: IPPOConfig, params, batch):
     )
 
 
+def make_mappo_optimizer(cfg: IPPOConfig) -> optax.GradientTransformation:
+    """Split per-part optimizer: the actor and the central critic each get
+    their own clip_by_global_norm -> adam chain (the standard MAPPO recipe
+    — Yu et al. 2022 run independent actor/critic optimizers), operating
+    on {"actor": ..., "critic": ...} grad/param pytrees.  Per-part clipping
+    is also what lets the actor ride the whole-phase fused update kernel
+    (its in-kernel global-norm clip sees exactly the actor gradient)."""
+    tx_a = make_optimizer(cfg)
+    tx_c = make_optimizer(cfg)
+
+    def init(params):
+        return {
+            "actor": tx_a.init(params["actor"]),
+            "critic": tx_c.init(params["critic"]),
+        }
+
+    def update(grads, state, params=None):
+        ua, sa = tx_a.update(
+            grads["actor"], state["actor"],
+            None if params is None else params["actor"],
+        )
+        uc, sc = tx_c.update(
+            grads["critic"], state["critic"],
+            None if params is None else params["critic"],
+        )
+        return (
+            {"actor": ua, "critic": uc},
+            {"actor": sa, "critic": sc},
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
 def init_mappo_runner(
     env: Warehouse,
     cfg: IPPOConfig,
@@ -96,7 +129,8 @@ def init_mappo_runner(
     critic: Optional[CentralCritic] = None,
 ) -> Tuple[RunnerState, ActorCritic, CentralCritic,
            optax.GradientTransformation]:
-    """params = {"actor": ..., "critic": ...} under one optimizer."""
+    """params = {"actor": ..., "critic": ...} under the split per-part
+    optimizer (make_mappo_optimizer)."""
     if actor is None:
         actor = ActorCritic(
             n_actions=env.n_actions, msg_bits=env.config.msg_bits
@@ -110,7 +144,7 @@ def init_mappo_runner(
         "actor": actor.init(k_actor, jnp.zeros((1, n, obs_dim))),
         "critic": critic.init(k_critic, jnp.zeros((1, n * obs_dim))),
     }
-    tx = make_optimizer(cfg)
+    tx = make_mappo_optimizer(cfg)
     env_states = jax.vmap(env._reset_fn)(
         jax.random.split(k_env, cfg.n_envs)
     )
@@ -288,7 +322,9 @@ def build_mappo_train_step(
             ent_coef=cfg.ent_coef,
             interpret=interpret,
             msg_bits=msg,
+            dataset_len=cfg.rollout_len,
         )
+        tmb = cfg.rollout_len // cfg.minibatches
 
         def critic_loss(cp, obs_mb, old_value, target):
             value = _critic_native_forward(cp, _joint_native(obs_mb))
@@ -300,14 +336,23 @@ def build_mappo_train_step(
             ).mean()
             return cfg.vf_coef * v_loss, v_loss
 
-        def grads_fn(params, batch):
-            obs_mb, _action, _logp, old_value, _adv, target = batch[:6]
-            ag, mets = akernel(params["actor"], batch)
+        def grads_fn(params, batch, start):
+            # zero-copy: the actor kernel reads rows (start+t) % T straight
+            # from the full trajectory; the critic's (much smaller) window
+            # is gathered with the same wrapped indices — no per-epoch
+            # jnp.roll of the dataset, no per-minibatch slice copy
+            ag, mets = akernel(params["actor"], batch, start)
+            idx = (start + jnp.arange(tmb)) % cfg.rollout_len
+            obs_mb = jnp.take(batch[0], idx, axis=0)
+            old_value = jnp.take(batch[3], idx, axis=0)
+            target = jnp.take(batch[5], idx, axis=0)
             (_closs, v_loss), cg = jax.value_and_grad(
                 critic_loss, has_aux=True
             )(params["critic"], obs_mb, old_value, target)
             mets = {**mets, "v_loss": v_loss}
             return {"actor": ag, "critic": cg}, mets
+
+        grads_fn.dataset_len = cfg.rollout_len
     else:
         def grads_fn(params, batch):
             (loss, metrics), grads = jax.value_and_grad(
