@@ -68,6 +68,35 @@ def _critic_native_forward(critic_params, joint_obs: jax.Array) -> jax.Array:
     return jnp.moveaxis(v, -1, 1)
 
 
+def _joint_rowmajor(obs: jax.Array) -> jax.Array:
+    """Native-layout obs (T, L, N, RB, LANE) -> row-major joint rows
+    (T, RB, LANE, N*L), agent-major features MINOR.  One full relayout
+    per update so that every critic matmul afterwards contracts the
+    minor axis — MXU-native, no per-pass transposes.  The (T, N*L, RB,
+    LANE) form (_joint_native) keeps LANE minor and forces XLA to copy
+    each minibatch window into contraction layout inside every one of
+    the E x M passes: bisected at 47.7 ms per update phase at B=16384
+    vs 4.9 ms at B=4096 (tools/mappo_bisect.py stage D)."""
+    t, l, n, rb, lane = obs.shape
+    return jnp.transpose(obs, (0, 3, 4, 2, 1)).reshape(t, rb, lane, n * l)
+
+
+def _critic_rowmajor_forward(critic_params, joint: jax.Array) -> jax.Array:
+    """CentralCritic forward on row-major joint obs (T, RB, LANE, N*L):
+    every dot contracts the minor axis.  Returns (T, N, RB, LANE) f32 —
+    identical math to _critic_native_forward (same bf16 dot recipe),
+    only the input layout differs."""
+    p = critic_params["params"]
+    x = _native_trunk(p, joint, joint.ndim - 1)  # (T, RB, LANE, H)
+    v = jax.lax.dot_general(
+        x,
+        p["value"]["kernel"].astype(jnp.float32),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + p["value"]["bias"]  # (T, RB, LANE, N)
+    return jnp.transpose(v, (0, 3, 1, 2))
+
+
 def mappo_loss_native(cfg: IPPOConfig, params, batch):
     """Clipped MAPPO loss on a native-layout minibatch.
 
@@ -170,6 +199,7 @@ def build_mappo_train_step(
     deterministic_collect: bool = False,
     collect_mode: str = "pallas",
     fused_actor_update: Optional[bool] = None,
+    fused_actor_phase: Optional[bool] = None,
     mesh=None,
     mesh_axis: str = "env",
 ):
@@ -326,8 +356,10 @@ def build_mappo_train_step(
         )
         tmb = cfg.rollout_len // cfg.minibatches
 
-        def critic_loss(cp, obs_mb, old_value, target):
-            value = _critic_native_forward(cp, _joint_native(obs_mb))
+        def critic_loss(cp, joint_mb, old_value, target):
+            # joint_mb is row-major (T_mb, RB, LANE, N*L): the trunk dots
+            # contract the minor axis straight off HBM (_joint_rowmajor)
+            value = _critic_rowmajor_forward(cp, joint_mb)
             v_clipped = old_value + jnp.clip(
                 value - old_value, -cfg.clip_eps, cfg.clip_eps
             )
@@ -336,24 +368,101 @@ def build_mappo_train_step(
             ).mean()
             return cfg.vf_coef * v_loss, v_loss
 
-        def grads_fn(params, batch, start):
-            # zero-copy: the actor kernel reads rows (start+t) % T straight
-            # from the full trajectory; the critic's (much smaller) window
-            # is gathered with the same wrapped indices — no per-epoch
-            # jnp.roll of the dataset, no per-minibatch slice copy
-            ag, mets = akernel(params["actor"], batch, start)
-            idx = (start + jnp.arange(tmb)) % cfg.rollout_len
-            obs_mb = jnp.take(batch[0], idx, axis=0)
-            old_value = jnp.take(batch[3], idx, axis=0)
-            target = jnp.take(batch[5], idx, axis=0)
-            (_closs, v_loss), cg = jax.value_and_grad(
-                critic_loss, has_aux=True
-            )(params["critic"], obs_mb, old_value, target)
-            mets = {**mets, "v_loss": v_loss}
-            return {"actor": ag, "critic": cg}, mets
+        def make_grads_fn(joint_ext, values_ext, targets_ext):
+            """Per-update grads_fn closing over the critic's self-concat
+            minibatch sources.  The actor kernel reads rows (start+t) % T
+            straight from the full trajectory; the critic's window is a
+            CONTIGUOUS dynamic_slice of the (T+T/M)-row self-concat of
+            the once-per-update joint-obs transpose — the bisected
+            per-pass jnp.take gather + _joint_native transpose
+            (~2/3 of the measured 8.5 ms critic phase at B=4096,
+            tools/mappo_bisect.py) are gone from the E x M loop."""
 
-        grads_fn.dataset_len = cfg.rollout_len
+            def grads_fn(params, batch, start):
+                ag, mets = akernel(params["actor"], batch, start)
+                joint_mb = jax.lax.dynamic_slice_in_dim(
+                    joint_ext, start, tmb, 0
+                )
+                old_value = jax.lax.dynamic_slice_in_dim(
+                    values_ext, start, tmb, 0
+                )
+                target = jax.lax.dynamic_slice_in_dim(
+                    targets_ext, start, tmb, 0
+                )
+                (_closs, v_loss), cg = jax.value_and_grad(
+                    critic_loss, has_aux=True
+                )(params["critic"], joint_mb, old_value, target)
+                mets = {**mets, "v_loss": v_loss}
+                return {"actor": ag, "critic": cg}, mets
+
+            grads_fn.dataset_len = cfg.rollout_len
+            return grads_fn
+
+        # Whole-phase actor update (OPT-IN): every E x M actor pass plus
+        # its Adam chain as ONE Pallas program (the IPPO update-phase
+        # kernel with vf_coef=0), the critic's E x M passes as an XLA
+        # scan over the SAME window starts
+        # (ippo_pallas.phase_window_starts — both sides see identical
+        # minibatches).  Measured slightly SLOWER than the per-pass
+        # default (20.2 vs 19.1 ms/update at B=4096, 114.7 vs 110.1 ms
+        # at B=16384, tools/mappo_bisect.py E vs F): unlike IPPO, the
+        # launch/glue the phase kernel removes is already hidden behind
+        # the critic's XLA work here, and the serial phase program
+        # cannot overlap the critic scan.  Kept selectable for configs
+        # where the tradeoff flips (more epochs, deeper actors).  Same
+        # exclusions as IPPO's phase kernel: no message head, no mesh
+        # (the optimizer is in-kernel, so there is no per-minibatch
+        # gradient to pmean).
+        if fused_actor_phase is None:
+            fused_actor_phase = False
+        if fused_actor_phase and (mesh is not None or msg != 0):
+            raise ValueError(
+                "fused_actor_phase requires mesh=None and msg_bits=0"
+            )
+        phase_fn = None
+        if fused_actor_phase:
+            from rware_tpu.ops.pallas_update import (
+                build_fused_ppo_update_phase,
+            )
+
+            phase_fn = build_fused_ppo_update_phase(
+                obs_len=obs_dim,
+                hidden=tuple(actor.hidden),
+                n_actions=env.n_actions,
+                dataset_len=cfg.rollout_len,
+                n_agents=n_agents,
+                mb_rows=n_local // LANE,
+                epochs=cfg.epochs,
+                minibatches=cfg.minibatches,
+                clip_eps=cfg.clip_eps,
+                vf_coef=0.0,
+                ent_coef=cfg.ent_coef,
+                max_grad_norm=cfg.max_grad_norm,
+                interpret=interpret,
+            )
+            tx_c = make_optimizer(cfg)
+
+        def critic_phase(cp, copt, exts, starts):
+            """E x M critic passes (clip -> Adam) over the shared window
+            starts, scanned in XLA while the actor phase runs in-kernel."""
+            joint_ext, values_ext, targets_ext = exts
+
+            def cpass(carry, start):
+                cp, copt = carry
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, start, tmb, 0
+                )
+                (_cl, v_loss), cg = jax.value_and_grad(
+                    critic_loss, has_aux=True
+                )(cp, sl(joint_ext), sl(values_ext), sl(targets_ext))
+                u, copt = tx_c.update(cg, copt, cp)
+                return (optax.apply_updates(cp, u), copt), v_loss
+
+            (cp, copt), v_losses = jax.lax.scan(cpass, (cp, copt), starts)
+            return cp, copt, v_losses
     else:
+        phase_fn = None
+
         def grads_fn(params, batch):
             (loss, metrics), grads = jax.value_and_grad(
                 mappo_loss_native, argnums=1, has_aux=True
@@ -366,10 +475,20 @@ def build_mappo_train_step(
         obs = obs_fn(env_states)  # (B, N, L)
 
         # critic values over the stored trajectory (one batched dot) and
-        # the bootstrap value from the post-rollout joint observation
-        values = _critic_native_forward(
-            runner.params["critic"], _joint_native(traj["obs"])
-        )  # (T, N, RB, LANE)
+        # the bootstrap value from the post-rollout joint observation;
+        # the row-major joint-obs relayout happens ONCE here and is
+        # reused by every critic minibatch window (make_grads_fn /
+        # critic_phase) — each pass then contracts the minor axis
+        if fused_actor_update:
+            joint = _joint_rowmajor(traj["obs"])  # (T, RB, LANE, N*L)
+            values = _critic_rowmajor_forward(
+                runner.params["critic"], joint
+            )  # (T, N, RB, LANE)
+        else:
+            joint = _joint_native(traj["obs"])  # (T, N*L, RB, LANE)
+            values = _critic_native_forward(
+                runner.params["critic"], joint
+            )
         last_joint = obs.reshape(n_local, n_agents * obs_dim)
         last_value = critic.apply(
             runner.params["critic"], last_joint
@@ -387,10 +506,40 @@ def build_mappo_train_step(
         )
         if "bits" in traj:
             dataset = dataset + (traj["bits"],)
-        (params, opt_state), metrics = ppo_update_epochs_native(
-            cfg, tx, runner.params, runner.opt_state, dataset, k_perm,
-            axis_name=axis_name, grads_fn=grads_fn,
-        )
+        if fused_actor_update:
+            def ext(x):  # wrap rows so start in [0, T) slices contiguously
+                return jnp.concatenate([x, x[: tmb]], axis=0)
+
+            exts = (ext(joint), ext(values), ext(targets))
+        if fused_actor_update and phase_fn is not None:
+            from rware_tpu.models.ippo_pallas import (
+                phase_window_starts,
+                ppo_update_phase_fused,
+            )
+
+            (aparams, aopt), ametrics = ppo_update_phase_fused(
+                cfg, runner.params["actor"], runner.opt_state["actor"],
+                dataset, k_perm, phase_fn,
+            )
+            # the SAME starts ppo_update_phase_fused derived from k_perm
+            starts = phase_window_starts(
+                cfg, cfg.rollout_len, phase_fn.time_block, k_perm
+            )
+            cparams, copt, v_losses = critic_phase(
+                runner.params["critic"], runner.opt_state["critic"],
+                exts, starts,
+            )
+            params = {"actor": aparams, "critic": cparams}
+            opt_state = {"actor": aopt, "critic": copt}
+            metrics = {**ametrics, "v_loss": v_losses}
+        else:
+            upd_grads_fn = (
+                make_grads_fn(*exts) if fused_actor_update else grads_fn
+            )
+            (params, opt_state), metrics = ppo_update_epochs_native(
+                cfg, tx, runner.params, runner.opt_state, dataset, k_perm,
+                axis_name=axis_name, grads_fn=upd_grads_fn,
+            )
         reward_sum = traj["reward"].sum()
         episodes = traj["done"].sum()
         if axis_name is not None:

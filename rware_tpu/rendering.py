@@ -7,6 +7,11 @@ idle shelves, orange agents (red when loaded) with a heading tick — but
 rasterises with numpy, so it runs identically on headless hosts, notebooks
 and CI.  ``render_mode="human"`` displays via matplotlib when a display
 exists and silently no-ops otherwise.
+
+Visual parity note: the reference's ``_draw_badge`` (rendering.py:335-369,
+numbered agent badges) is dead code — never invoked from ``render()``
+(rendering.py:121-137) — so the live visual surface is goals+labels,
+shelves, hexagonal agents and heading ticks, all reproduced here.
 """
 from __future__ import annotations
 

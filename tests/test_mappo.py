@@ -84,30 +84,40 @@ def test_mappo_fused_actor_update_matches_autodiff():
     runner, actor, critic, tx = init_mappo_runner(
         env, cfg, jax.random.key(0)
     )
+    # phase: whole-update-phase actor kernel + XLA critic scan over the
+    # shared window starts; perpass: per-minibatch fused actor kernel;
+    # xla: jax.grad of mappo_loss_native
+    modes = {
+        "phase": dict(fused_actor_update=True, fused_actor_phase=True),
+        "perpass": dict(fused_actor_update=True),
+        "xla": dict(fused_actor_update=False),
+    }
     outs = {}
-    for fused in (True, False):
+    for name, kw in modes.items():
         ts = jax.jit(
             build_mappo_train_step(
                 env, actor, critic, tx, cfg, interpret=True,
-                deterministic_collect=True, fused_actor_update=fused,
+                deterministic_collect=True, **kw,
             )
         )
-        outs[fused] = ts(runner)
-    r_f, m_f = outs[True]
-    r_x, m_x = outs[False]
-    for k in ("pg_loss", "entropy", "approx_kl", "v_loss"):
-        np.testing.assert_allclose(
-            float(m_f[k]), float(m_x[k]), rtol=2e-2, atol=2e-3, err_msg=k
-        )
-    for (path, a), (_, b) in zip(
-        jax.tree_util.tree_flatten_with_path(r_f.params)[0],
-        jax.tree_util.tree_flatten_with_path(r_x.params)[0],
-    ):
-        a = np.asarray(a, np.float32)
-        b = np.asarray(b, np.float32)
-        # Adam steps are ~lr-sized; bf16 kernel grads may flip near-zero
-        # directions, bounding agreement at a few lr
-        assert np.abs(a - b).max() < 5e-3, path
+        outs[name] = ts(runner)
+    r_x, m_x = outs["xla"]
+    for name in ("phase", "perpass"):
+        r_f, m_f = outs[name]
+        for k in ("pg_loss", "entropy", "approx_kl", "v_loss"):
+            np.testing.assert_allclose(
+                float(jnp.mean(m_f[k])), float(jnp.mean(m_x[k])),
+                rtol=2e-2, atol=2e-3, err_msg=f"{name}:{k}",
+            )
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(r_f.params)[0],
+            jax.tree_util.tree_flatten_with_path(r_x.params)[0],
+        ):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            # Adam steps are ~lr-sized; bf16 kernel grads may flip
+            # near-zero directions, bounding agreement at a few lr
+            assert np.abs(a - b).max() < 5e-3, (name, path)
 
 
 def test_sharded_mappo_train_step_matches_metrics():
@@ -203,6 +213,32 @@ def test_mappo_loss_native_matches_apply():
     np.testing.assert_allclose(
         np.asarray(v_native), np.asarray(v_flat_native),
         atol=5e-2,
+    )
+
+
+def test_mappo_rowmajor_forward_matches_native():
+    """_critic_rowmajor_forward on (T, RB, LANE, N*L) rows (the fused
+    path's minor-axis-contraction layout) == _critic_native_forward on
+    the (T, N*L, RB, LANE) form — same math, different layout."""
+    from rware_tpu.models.mappo import (
+        _critic_native_forward,
+        _critic_rowmajor_forward,
+        _joint_native,
+        _joint_rowmajor,
+    )
+    from rware_tpu.models.networks import CentralCritic
+
+    T, L, N, RB, LANE = 3, 31, 2, 2, 128
+    critic = CentralCritic(n_agents=N)
+    params = critic.init(jax.random.key(0), jnp.zeros((1, N * L)))
+    obs = jax.random.normal(
+        jax.random.key(1), (T, L, N, RB, LANE)
+    ).astype(jnp.bfloat16)
+    v_native = _critic_native_forward(params, _joint_native(obs))
+    v_row = _critic_rowmajor_forward(params, _joint_rowmajor(obs))
+    assert v_row.shape == v_native.shape == (T, N, RB, LANE)
+    np.testing.assert_allclose(
+        np.asarray(v_row), np.asarray(v_native), atol=5e-2,
     )
 
 

@@ -6,8 +6,10 @@ Stages (per-iteration cost):
   A collect kernel only
   B collect + central-critic trajectory values + native GAE (dataset build)
   C E x M fused ACTOR passes only (zero-copy window starts, actor adam)
-  D E x M CRITIC passes only (window gathers + XLA autodiff, critic adam)
-  E the full MAPPO train step
+  D E x M CRITIC passes only (contiguous self-concat windows + XLA
+    autodiff, critic adam)
+  E the full MAPPO train step (per-pass actor kernel)
+  F the full MAPPO train step (whole-phase actor kernel + critic scan)
 E - B - C - D ~= glue; D is the XLA critic cost the actor kernel avoids.
 """
 import os
@@ -26,7 +28,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-envs", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--stages", default="ABCDE")
+    ap.add_argument("--stages", default="ABCDEF")
     args = ap.parse_args()
 
     import rware_tpu
@@ -36,8 +38,8 @@ def main():
         compute_gae_native,
     )
     from rware_tpu.models.mappo import (
-        _critic_native_forward,
-        _joint_native,
+        _critic_rowmajor_forward,
+        _joint_rowmajor,
         build_mappo_train_step,
         init_mappo_runner,
         make_mappo_optimizer,
@@ -68,9 +70,8 @@ def main():
 
     def make_dataset(states, params, seed):
         st, traj = collect(states, params["actor"], seed)
-        values = _critic_native_forward(
-            params["critic"], _joint_native(traj["obs"])
-        )
+        joint = _joint_rowmajor(traj["obs"])
+        values = _critic_rowmajor_forward(params["critic"], joint)
         obs = obs_fn(st)
         last_joint = obs.reshape(cfg.n_envs, n * obs_dim)
         last_value = critic.apply(params["critic"], last_joint)
@@ -78,13 +79,16 @@ def main():
         adv, tgt = compute_gae_native(
             cfg, traj["reward"], values, traj["done"], lv
         )
+        def ext(x):  # prod train_step's self-concat minibatch sources
+            return jnp.concatenate([x, x[:mb_t]], axis=0)
+
         return st, (
             traj["obs"], traj["action"], traj["logp"], values, adv, tgt
-        )
+        ), (ext(joint), ext(values), ext(tgt))
 
     def b_body(i, carry):
         states, acc = carry
-        st, ds = make_dataset(states, runner.params, i)
+        st, ds, _ = make_dataset(states, runner.params, i)
         return st, acc + ds[4].sum() + ds[5].sum()
 
     akernel = build_fused_ppo_grads(
@@ -95,8 +99,8 @@ def main():
         dataset_len=cfg.rollout_len,
     )
 
-    def critic_loss(cp, obs_mb, old_value, target):
-        value = _critic_native_forward(cp, _joint_native(obs_mb))
+    def critic_loss(cp, joint_mb, old_value, target):
+        value = _critic_rowmajor_forward(cp, joint_mb)
         v_clipped = old_value + jnp.clip(
             value - old_value, -cfg.clip_eps, cfg.clip_eps
         )
@@ -107,7 +111,9 @@ def main():
 
     def phase_body(use_actor, use_critic):
         def body(i, carry):
-            params, opt_state, ds = carry
+            # exts ride the carry: baked-as-constants they blow the remote
+            # compile helper's request-size limit at B=16384 (HTTP 413)
+            params, opt_state, ds, exts = carry
 
             def epoch(carry_eo, _):
                 params, opt_state = carry_eo
@@ -122,13 +128,13 @@ def main():
                     else:
                         ag = jax.tree.map(jnp.zeros_like, params["actor"])
                     if use_critic:
-                        idx = (start + jnp.arange(mb_t)) % cfg.rollout_len
-                        obs_mb = jnp.take(ds[0], idx, axis=0)
-                        old_value = jnp.take(ds[3], idx, axis=0)
-                        target = jnp.take(ds[5], idx, axis=0)
+                        sl = lambda x: jax.lax.dynamic_slice_in_dim(
+                            x, start, mb_t, 0
+                        )
                         (_l, _vl), cg = jax.value_and_grad(
                             critic_loss, has_aux=True
-                        )(params["critic"], obs_mb, old_value, target)
+                        )(params["critic"], sl(exts[0]), sl(exts[1]),
+                          sl(exts[2]))
                     else:
                         cg = jax.tree.map(jnp.zeros_like, params["critic"])
                     u, o = tx_parts.update(
@@ -144,14 +150,20 @@ def main():
             (params, opt_state), _ = jax.lax.scan(
                 epoch, (params, opt_state), None, length=cfg.epochs
             )
-            return params, opt_state, ds
+            return params, opt_state, ds, exts
 
         return body
 
-    e_full = build_mappo_train_step(env, actor, critic, tx, cfg)
+    e_full = build_mappo_train_step(
+        env, actor, critic, tx, cfg, fused_actor_phase=False
+    )
+    f_full = build_mappo_train_step(env, actor, critic, tx, cfg)
 
     def e_body(i, carry):
         return e_full(carry)[0]
+
+    def f_body(i, carry):
+        return f_full(carry)[0]
 
     def leaf0(tree):
         # one scalar per part: a single-part stage's work must not be DCE'd
@@ -161,7 +173,7 @@ def main():
             for part in (tree["actor"], tree["critic"])
         )
 
-    _, ds0 = jax.jit(make_dataset, static_argnums=2)(
+    _, ds0, exts0 = jax.jit(make_dataset, static_argnums=2)(
         runner.env_states, runner.params, 0
     )
     opt0 = tx_parts.init(runner.params)
@@ -175,11 +187,15 @@ def main():
               (runner.env_states, jnp.float32(0))),
         "C": ("actor-kernel passes", phase_body(True, False),
               lambda c: leaf0(c[0]),
-              (runner.params, opt0, ds0)),
+              (runner.params, opt0, ds0, exts0)),
         "D": ("critic-xla passes", phase_body(False, True),
               lambda c: leaf0(c[0]),
-              (runner.params, opt0, ds0)),
-        "E": ("full", e_body,
+              (runner.params, opt0, ds0, exts0)),
+        "E": ("full per-pass", e_body,
+              lambda r: leaf0(r.params)
+              + r.env_states.agent_x.sum().astype(jnp.float32),
+              runner),
+        "F": ("full phase-kernel", f_body,
               lambda r: leaf0(r.params)
               + r.env_states.agent_x.sum().astype(jnp.float32),
               runner),
