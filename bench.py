@@ -65,7 +65,10 @@ def main():
 
     _ensure_backend()
     import rware_tpu
+    from rware_tpu.compile_cache import enable_persistent_cache
     from rware_tpu.parallel import batched_reset, build_rollout_fn
+
+    enable_persistent_cache()
 
     env = rware_tpu.make(args.env)
     B, T = args.batch, args.steps

@@ -6,8 +6,14 @@ surface: --env/--max_steps/--display_info; TAB cycles the controlled agent,
 arrows/WASD move, SPACE toggles load, R resets) rendered as a curses TUI so
 it works over SSH and in containers with no display.
 
-Keys: arrows/WASD = rotate-or-forward, SPACE = toggle load, TAB = next agent,
-R = reset, Q = quit.  The controlled agent acts; all others NOOP.
+Key bindings (``--keys``):
+  reference (default) — the reference's exact map (rware human_play.py
+    _key_press): UP = forward, LEFT/RIGHT = rotate, P/L = toggle load,
+    SPACE = noop, TAB = next agent, R = reset, H = help, D = toggle info,
+    ESC/Q = quit.
+  friendly — arrows/WASD rotate-toward-or-forward, SPACE = toggle load,
+    TAB = next agent, R = reset, Q = quit.
+The controlled agent acts; all others NOOP.
 """
 from __future__ import annotations
 
@@ -31,13 +37,88 @@ def parse_args():
         "the reference's pyglet-window equivalent); curses = terminal TUI; "
         "auto tries window, falls back to curses",
     )
+    p.add_argument(
+        "--keys", choices=["reference", "friendly"], default="reference",
+        help="key map: 'reference' matches the reference human_play.py "
+        "(UP forward, LEFT/RIGHT rotate, P/L load, SPACE noop, H help, "
+        "D info); 'friendly' = arrows/WASD rotate-toward-or-forward, "
+        "SPACE load",
+    )
     return p.parse_args()
+
+
+HELP_REFERENCE = (
+    "UP forward | LEFT/RIGHT rotate | P/L toggle load | SPACE noop | "
+    "TAB next agent | R reset | H help | D info | ESC/Q quit"
+)
+HELP_FRIENDLY = (
+    "arrows/WASD rotate-toward-or-forward | SPACE toggle load | "
+    "TAB next agent | R reset | Q quit"
+)
+
+# friendly mode: rotation order UP -> RIGHT -> DOWN -> LEFT (clockwise)
+_CLOCK = {0: 3, 3: 1, 1: 2, 2: 0}
+
+
+def dispatch_key(mode: str, key: str, cur_dir: int):
+    """Map a normalised key name to a play command, shared by both
+    backends.  Returns ("action", int_action) | ("cycle",) | ("reset",) |
+    ("quit",) | ("help",) | ("toggle_info",) | None.
+
+    ``mode="reference"`` reproduces the reference's _key_press map
+    (/root/reference/human_play.py:114-147) exactly; ``"friendly"`` keeps
+    the rotate-toward-or-forward scheme.  ``key`` is lowercase: "up",
+    "down", "left", "right", "tab", "escape", " ", or a letter."""
+    from rware_tpu.types import Action, Direction
+
+    if key == "tab":
+        return ("cycle",)
+    if key == "r":
+        return ("reset",)
+    if mode == "reference":
+        if key in ("escape", "q"):
+            return ("quit",)
+        if key == "up":
+            return ("action", int(Action.FORWARD))
+        if key == "left":
+            return ("action", int(Action.LEFT))
+        if key == "right":
+            return ("action", int(Action.RIGHT))
+        if key in ("p", "l"):
+            return ("action", int(Action.TOGGLE_LOAD))
+        if key == " ":
+            return ("action", int(Action.NOOP))
+        if key == "h":
+            return ("help",)
+        if key == "d":
+            return ("toggle_info",)
+        return None
+    # friendly
+    if key == "q":
+        return ("quit",)
+    if key == " ":
+        return ("action", int(Action.TOGGLE_LOAD))
+    want = {
+        "up": Direction.UP, "w": Direction.UP,
+        "down": Direction.DOWN, "s": Direction.DOWN,
+        "left": Direction.LEFT, "a": Direction.LEFT,
+        "right": Direction.RIGHT, "d": Direction.RIGHT,
+    }.get(key)
+    if want is None:
+        return None
+    want = int(want)
+    if cur_dir == want:
+        return ("action", int(Action.FORWARD))
+    if _CLOCK[cur_dir] == want:
+        return ("action", int(Action.RIGHT))
+    return ("action", int(Action.LEFT))
 
 
 DIR_GLYPH = {0: "^", 1: "v", 2: "<", 3: ">"}
 
 
-def draw(stdscr, env, state, selected, msg, display_info, last):
+def draw(stdscr, env, state, selected, msg, display_info, last,
+         help_line=HELP_FRIENDLY):
     import rware_tpu
 
     stdscr.erase()
@@ -80,7 +161,10 @@ def draw(stdscr, env, state, selected, msg, display_info, last):
                 row.append("   ")
         stdscr.addstr(y, 0, "".join(row))
 
-    stdscr.addstr(h + 1, 0, f"agent {selected} selected | TAB switch, arrows/WASD move, SPACE toggle, R reset, Q quit")
+    stdscr.addstr(
+        h + 1, 0,
+        f"agent {selected} selected | {help_line}"[: curses.COLS - 1],
+    )
     if msg:
         stdscr.addstr(h + 2, 0, msg[: curses.COLS - 1])
     if display_info and last is not None:
@@ -101,7 +185,6 @@ def main(stdscr, args):
     import jax.numpy as jnp
     import rware_tpu
     from rware_tpu.gym_adapter import make_gym
-    from rware_tpu.types import Action, Direction
 
     curses.curs_set(0)
     stdscr.nodelay(False)
@@ -111,45 +194,45 @@ def main(stdscr, args):
     selected = 0
     steps = 0
     last = None
+    display_info = args.display_info
+    help_line = HELP_REFERENCE if args.keys == "reference" else HELP_FRIENDLY
     msg = f"{args.env}: {env.n_agents} agents, grid {env.grid_size}"
 
-    # A key either rotates the selected agent toward the wanted direction or,
-    # if already facing it, moves forward — friendlier than raw L/R keys.
-    KEYMAP = {
-        curses.KEY_UP: Direction.UP, ord("w"): Direction.UP,
-        curses.KEY_DOWN: Direction.DOWN, ord("s"): Direction.DOWN,
-        curses.KEY_LEFT: Direction.LEFT, ord("a"): Direction.LEFT,
-        curses.KEY_RIGHT: Direction.RIGHT, ord("d"): Direction.RIGHT,
+    NAMES = {
+        curses.KEY_UP: "up", curses.KEY_DOWN: "down",
+        curses.KEY_LEFT: "left", curses.KEY_RIGHT: "right",
+        ord("\t"): "tab", 27: "escape", ord(" "): " ",
     }
-    # rotation order UP -> RIGHT -> DOWN -> LEFT (clockwise)
-    CLOCK = {0: 3, 3: 1, 1: 2, 2: 0}
 
     while True:
-        draw(stdscr, env, env.state, selected, msg, args.display_info, last)
+        draw(stdscr, env, env.state, selected, msg, display_info, last,
+             help_line)
         key = stdscr.getch()
-        action = None
-        if key in (ord("q"), ord("Q")):
+        name = NAMES.get(key)
+        if name is None and 0 <= key < 256 and chr(key).isprintable():
+            name = chr(key).lower()
+        if name is None:
+            continue
+        cur = int(np.asarray(env.state.agent_dir)[selected])
+        cmd = dispatch_key(args.keys, name, cur)
+        if cmd is None:
+            continue
+        if cmd[0] == "quit":
             break
-        elif key == ord("\t"):
+        if cmd[0] == "cycle":
             selected = (selected + 1) % env.n_agents
             continue
-        elif key in (ord("r"), ord("R")):
+        if cmd[0] == "reset":
             env.reset(seed=args.seed + steps)
             last = None
             continue
-        elif key == ord(" "):
-            action = int(Action.TOGGLE_LOAD)
-        elif key in KEYMAP:
-            want = int(KEYMAP[key])
-            cur = int(np.asarray(env.state.agent_dir)[selected])
-            if cur == want:
-                action = int(Action.FORWARD)
-            elif CLOCK[cur] == want:
-                action = int(Action.RIGHT)
-            else:
-                action = int(Action.LEFT)
-        if action is None:
+        if cmd[0] == "help":
+            msg = help_line
             continue
+        if cmd[0] == "toggle_info":
+            display_info = not display_info
+            continue
+        action = cmd[1]
         acts = [0] * env.n_agents
         acts[selected] = action
         obs, rew, done, trunc, info = env.step(acts)
@@ -177,7 +260,6 @@ def main_window(args) -> bool:
 
     from rware_tpu.gym_adapter import make_gym
     from rware_tpu.rendering import InteractiveViewer
-    from rware_tpu.types import Action, Direction
 
     env = make_gym(
         args.env, max_steps=args.max_steps or 500, render_mode="rgb_array"
@@ -188,55 +270,44 @@ def main_window(args) -> bool:
         print(f"windowed viewer unavailable ({e})")
         return False
     env.reset(seed=args.seed)
-    state = {"selected": 0, "steps": 0}
-
-    KEYMAP = {
-        "up": Direction.UP, "w": Direction.UP,
-        "down": Direction.DOWN, "s": Direction.DOWN,
-        "left": Direction.LEFT, "a": Direction.LEFT,
-        "right": Direction.RIGHT, "d": Direction.RIGHT,
-    }
-    CLOCK = {0: 3, 3: 1, 1: 2, 2: 0}
+    state = {"selected": 0, "steps": 0, "info": args.display_info}
+    help_line = HELP_REFERENCE if args.keys == "reference" else HELP_FRIENDLY
 
     def on_key(key):
-        action = None
-        if key in ("q", "escape"):
+        cur = int(np.asarray(env.state.agent_dir)[state["selected"]])
+        cmd = dispatch_key(args.keys, key, cur)
+        if cmd is None:
+            # friendly mode keeps q/escape as quit even when unmapped
+            if key == "escape":
+                viewer.close()
+            return
+        if cmd[0] == "quit":
             viewer.close()
             return
-        if key == "tab":
+        if cmd[0] == "cycle":
             state["selected"] = (state["selected"] + 1) % env.n_agents
             return
-        if key == "r":
+        if cmd[0] == "reset":
             env.reset(seed=args.seed + state["steps"])
             viewer.show(env.state)
             return
-        if key == " ":
-            action = int(Action.TOGGLE_LOAD)
-        elif key in KEYMAP:
-            want = int(KEYMAP[key])
-            cur = int(np.asarray(env.state.agent_dir)[state["selected"]])
-            if cur == want:
-                action = int(Action.FORWARD)
-            elif CLOCK[cur] == want:
-                action = int(Action.RIGHT)
-            else:
-                action = int(Action.LEFT)
-        if action is None:
+        if cmd[0] == "help":
+            print(help_line)
+            return
+        if cmd[0] == "toggle_info":
+            state["info"] = not state["info"]
             return
         acts = [0] * env.n_agents
-        acts[state["selected"]] = action
+        acts[state["selected"]] = cmd[1]
         obs, rew, done, trunc, info = env.step(acts)
         state["steps"] += 1
-        if args.display_info:
+        if state["info"]:
             print(f"rewards={rew} done={done} info={info}")
         viewer.show(env.state)
 
     viewer.on_key_press = on_key
     viewer.show(env.state)
-    print(
-        f"{args.env}: arrows/WASD move, SPACE toggle, TAB agent, R reset, "
-        "Q quit (focus the window)"
-    )
+    print(f"{args.env}: {help_line} (focus the window)")
     while viewer.open:
         viewer._fig.canvas.flush_events()
         time.sleep(0.03)

@@ -554,6 +554,7 @@ def build_pallas_rollout(
     interpret: bool = False,
     debug_level: int = 0,
     max_envs_per_call: Optional[int] = None,
+    _unsafe_bisect: bool = False,
 ):
     """Returns ``rollout(state_batch, seed[, actions]) -> (state_batch,
     rewards_sum (B, N), episodes (B,))``.
@@ -568,6 +569,15 @@ def build_pallas_rollout(
     N^2-sized tensors, so vector work is O(N^3) but compile time stays
     flat in N) and any ``msg_bits`` (messages ride as extra state rows).
     """
+    if debug_level != 0 and not _unsafe_bisect:
+        # debug_level >= 3 silently removes the pre-cancel dynamics rule
+        # and >= 5 drops resolver pieces — perf-bisect scaffolding only.
+        # Production builders must construct level-0 kernels; bisect tools
+        # opt in explicitly.
+        raise ValueError(
+            "debug_level != 0 alters env dynamics (perf-bisect only); "
+            "pass _unsafe_bisect=True if you really want a partial kernel"
+        )
     layout = config.compile_layout()
     H, W = layout.grid_size
     N = config.n_agents

@@ -257,6 +257,7 @@ def build_fused_ppo_grads(
     debug_level: int = 0,
     msg_bits: int = 0,
     dataset_len: int = 0,
+    _unsafe_bisect: bool = False,
 ):
     """Returns ``grads(params, batch) -> (grads_pytree, metrics_dict)``.
 
@@ -280,6 +281,13 @@ def build_fused_ppo_grads(
     jnp.roll of the dataset, no dynamic-slice copy per minibatch (the two
     dominated the update phase's HBM traffic; tools/native_bisect.py).
     """
+    if debug_level != 0 and not _unsafe_bisect:
+        # level >= 1 drops weight-gradient matmuls, >= 2 the whole backward
+        # — perf-bisect scaffolding that must never reach production
+        raise ValueError(
+            "debug_level != 0 drops gradient terms (perf-bisect only); "
+            "pass _unsafe_bisect=True if you really want a partial kernel"
+        )
     L, (H1, H2), A = obs_len, hidden, n_actions
     T, N = rollout_len, n_agents
     MB = msg_bits

@@ -340,3 +340,22 @@ def test_update_phase_kernel_with_lr_schedule():
     for a, b in zip(fa, fb):
         if np.asarray(a).ndim == 0:
             assert int(a) == int(b)
+
+
+def test_debug_level_pinned_out_of_production_reach():
+    """debug_level != 0 alters dynamics/gradients (perf-bisect only): the
+    public builders refuse it unless _unsafe_bisect=True is passed, so no
+    production path can ship a partial kernel via a defaulted kwarg."""
+    from rware_tpu.ops.pallas_rollout import build_pallas_rollout
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    with pytest.raises(ValueError, match="_unsafe_bisect"):
+        build_pallas_rollout(env.config, 8, debug_level=3)
+    with pytest.raises(ValueError, match="_unsafe_bisect"):
+        build_fused_ppo_grads(
+            obs_len=71, hidden=(128, 128), n_actions=5, rollout_len=4,
+            n_agents=2, mb_rows=8, clip_eps=0.2, vf_coef=0.5,
+            ent_coef=0.01, debug_level=1,
+        )
+    # the bisect escape hatch still constructs
+    build_pallas_rollout(env.config, 8, debug_level=3, _unsafe_bisect=True)

@@ -11,6 +11,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent XLA executable cache: second-process compiles deserialize
+# instead of recompiling (rware_tpu/compile_cache; RWARE_TPU_NO_CACHE=1 opts out)
+from rware_tpu.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax
 import jax.numpy as jnp
 

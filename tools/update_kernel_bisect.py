@@ -42,7 +42,7 @@ def main():
         g = build_fused_ppo_grads(
             obs_len=71, hidden=(128, 128), n_actions=5, rollout_len=T_mb,
             n_agents=2, mb_rows=rb, clip_eps=0.2, vf_coef=0.5, ent_coef=0.01,
-            debug_level=lvl,
+            debug_level=lvl, _unsafe_bisect=True,
         )
 
         def make_looped(k):

@@ -70,6 +70,10 @@ def main():
     if args.distributed:
         jax.distributed.initialize()
 
+    from rware_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import rware_tpu
     from rware_tpu.metrics import MetricLogger
     from rware_tpu.parallel import make_mesh, replicate, shard_env_batch
