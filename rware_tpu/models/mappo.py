@@ -200,13 +200,24 @@ def build_mappo_train_step(
     collect_mode: str = "pallas",
     fused_actor_update: Optional[bool] = None,
     fused_actor_phase: Optional[bool] = None,
+    fused_critic_update: Optional[bool] = None,
     mesh=None,
     mesh_axis: str = "env",
 ):
     """One jitted MAPPO update: fused Pallas collect (actor in-kernel) ->
     critic values over the stored trajectory -> native GAE -> E x M
-    clipped updates of {actor, critic} via XLA autodiff on the native
-    layout.
+    clipped updates of {actor, critic}.
+
+    The DEFAULT update path (``fused_critic_update``, on for pallas
+    collect without message bits) runs the combined actor+critic Pallas
+    gradient kernel (ops/pallas_update.build_fused_mappo_grads): both
+    networks' forward+backward from ONE read of the native obs block per
+    pass, trajectory values from the native-layout critic forward kernel
+    (build_fused_critic_values) — no `_joint_rowmajor` relayout, no XLA
+    critic autodiff (the round-3 3x-under-IPPO straggler;
+    tools/mappo_bisect.py stage D).  ``fused_critic_update=False`` keeps
+    the split path: actor through the vf_coef=0 PPO kernel, critic via
+    XLA autodiff on row-major joint windows (required for msg configs).
 
     ``collect_mode="xla"`` swaps the Pallas collector for a vmap+scan XLA
     collect that emits the SAME native-layout trajectory (CPU-runnable —
@@ -328,6 +339,24 @@ def build_mappo_train_step(
                 )
             return env_states, traj
 
+    # Combined actor+critic kernel: the default for kernel-capable
+    # backends without message bits (the msg head stays on the split
+    # path).  Resolved per collect mode: the kernels need TPU/interpret.
+    if fused_critic_update is None:
+        # explicit split-path knobs (fused_actor_update/_phase) opt out of
+        # the combined default
+        fused_critic_update = (
+            collect_mode == "pallas" and msg == 0
+            and fused_actor_update is None and not fused_actor_phase
+        )
+    if fused_critic_update and msg != 0:
+        raise ValueError("fused_critic_update requires msg_bits=0")
+    if fused_critic_update and fused_actor_phase:
+        raise ValueError(
+            "fused_actor_phase applies to the split path only "
+            "(fused_critic_update=False)"
+        )
+
     # Actor gradients through the fused PPO kernel (ops/pallas_update)
     # with vf_coef=0 — the actor's unused local value head gets exactly
     # zero gradient, and the policy/entropy terms are the same clipped
@@ -337,7 +366,33 @@ def build_mappo_train_step(
     if fused_actor_update is None:
         fused_actor_update = collect_mode == "pallas"
 
-    if fused_actor_update:
+    if fused_critic_update:
+        from rware_tpu.ops.pallas_update import (
+            build_fused_critic_values,
+            build_fused_mappo_grads,
+        )
+
+        phase_fn = None
+        traj_values_fn = build_fused_critic_values(
+            obs_len=obs_dim, n_agents=n_agents,
+            rollout_len=cfg.rollout_len, mb_rows=n_local // LANE,
+            hidden=tuple(critic.hidden), interpret=interpret,
+        )
+        grads_fn = build_fused_mappo_grads(
+            obs_len=obs_dim,
+            hidden=tuple(actor.hidden),
+            n_actions=env.n_actions,
+            rollout_len=cfg.rollout_len // cfg.minibatches,
+            n_agents=n_agents,
+            mb_rows=n_local // LANE,
+            clip_eps=cfg.clip_eps,
+            vf_coef=cfg.vf_coef,
+            ent_coef=cfg.ent_coef,
+            critic_hidden=tuple(critic.hidden),
+            interpret=interpret,
+            dataset_len=cfg.rollout_len,
+        )
+    elif fused_actor_update:
         from rware_tpu.ops.pallas_update import build_fused_ppo_grads
 
         akernel = build_fused_ppo_grads(
@@ -474,12 +529,16 @@ def build_mappo_train_step(
         env_states, traj = collect(runner, k_roll)
         obs = obs_fn(env_states)  # (B, N, L)
 
-        # critic values over the stored trajectory (one batched dot) and
-        # the bootstrap value from the post-rollout joint observation;
-        # the row-major joint-obs relayout happens ONCE here and is
-        # reused by every critic minibatch window (make_grads_fn /
-        # critic_phase) — each pass then contracts the minor axis
-        if fused_actor_update:
+        # critic values over the stored trajectory and the bootstrap value
+        # from the post-rollout joint observation.  Default: the native-
+        # layout critic forward kernel — no joint-obs relayout at all.
+        # Split paths relayout ONCE here and reuse it per minibatch window
+        # (make_grads_fn / critic_phase), contracting the minor axis.
+        if fused_critic_update:
+            values = traj_values_fn(
+                runner.params["critic"], traj["obs"]
+            )  # (T, N, RB, LANE)
+        elif fused_actor_update:
             joint = _joint_rowmajor(traj["obs"])  # (T, RB, LANE, N*L)
             values = _critic_rowmajor_forward(
                 runner.params["critic"], joint
@@ -506,7 +565,7 @@ def build_mappo_train_step(
         )
         if "bits" in traj:
             dataset = dataset + (traj["bits"],)
-        if fused_actor_update:
+        if fused_actor_update and not fused_critic_update:
             def ext(x):  # wrap rows so start in [0, T) slices contiguously
                 return jnp.concatenate([x, x[: tmb]], axis=0)
 
@@ -534,7 +593,9 @@ def build_mappo_train_step(
             metrics = {**ametrics, "v_loss": v_losses}
         else:
             upd_grads_fn = (
-                make_grads_fn(*exts) if fused_actor_update else grads_fn
+                make_grads_fn(*exts)
+                if fused_actor_update and not fused_critic_update
+                else grads_fn
             )
             (params, opt_state), metrics = ppo_update_epochs_native(
                 cfg, tx, runner.params, runner.opt_state, dataset, k_perm,

@@ -90,6 +90,7 @@ def test_mappo_fused_actor_update_matches_autodiff():
     modes = {
         "phase": dict(fused_actor_update=True, fused_actor_phase=True),
         "perpass": dict(fused_actor_update=True),
+        "combined": dict(fused_critic_update=True),  # the default path
         "xla": dict(fused_actor_update=False),
     }
     outs = {}
@@ -102,7 +103,7 @@ def test_mappo_fused_actor_update_matches_autodiff():
         )
         outs[name] = ts(runner)
     r_x, m_x = outs["xla"]
-    for name in ("phase", "perpass"):
+    for name in ("phase", "perpass", "combined"):
         r_f, m_f = outs[name]
         for k in ("pg_loss", "entropy", "approx_kl", "v_loss"):
             np.testing.assert_allclose(

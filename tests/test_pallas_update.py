@@ -359,3 +359,170 @@ def test_debug_level_pinned_out_of_production_reach():
         )
     # the bisect escape hatch still constructs
     build_pallas_rollout(env.config, 8, debug_level=3, _unsafe_bisect=True)
+
+
+# ---------------------------------------------------------------------------
+# MAPPO combined actor+critic kernel (interpret mode)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mappo_case():
+    from rware_tpu.models.networks import CentralCritic
+
+    T, N, L, RB = 4, 2, 71, 8
+    cfg = IPPOConfig(minibatches=1)
+    actor = ActorCritic(n_actions=5)
+    critic = CentralCritic(n_agents=N)
+    key = jax.random.key(1)
+    ka, kc, *ks = jax.random.split(key, 8)
+    params = {
+        "actor": actor.init(ka, jnp.zeros((1, N, L))),
+        "critic": critic.init(kc, jnp.zeros((1, N * L))),
+    }
+    batch = (
+        jax.random.normal(ks[0], (T, L, N, RB, LANE)).astype(jnp.bfloat16),
+        jax.random.randint(ks[1], (T, N, RB, LANE), 0, 5, dtype=jnp.int32),
+        jax.random.normal(ks[2], (T, N, RB, LANE)) * 0.1 - 1.6,
+        jax.random.normal(ks[3], (T, N, RB, LANE)),
+        jax.random.normal(ks[4], (T, N, RB, LANE)),
+        jax.random.normal(ks[5], (T, N, RB, LANE)),
+    )
+    return cfg, params, batch
+
+
+def test_fused_mappo_grads_match_autodiff(mappo_case):
+    """The combined actor+critic kernel's gradients equal jax.grad of
+    models.mappo.mappo_loss_native for BOTH parts (the critic through the
+    in-place joint-feature flatten + permuted dense_0 rows)."""
+    from rware_tpu.models.mappo import mappo_loss_native
+    from rware_tpu.ops.pallas_update import build_fused_mappo_grads
+
+    cfg, params, batch = mappo_case
+    T, L, N, RB, _ = batch[0].shape
+    grads_fn = build_fused_mappo_grads(
+        obs_len=L, hidden=(128, 128), n_actions=5, rollout_len=T,
+        n_agents=N, mb_rows=RB, clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=True,
+    )
+    fused_grads, fused_metrics = jax.jit(grads_fn)(params, batch)
+
+    (loss, ref_metrics), ref_grads = jax.jit(
+        lambda p, b: jax.value_and_grad(
+            mappo_loss_native, argnums=1, has_aux=True
+        )(cfg, p, b)
+    )(params, batch)
+
+    for k in ("pg_loss", "v_loss", "entropy", "approx_kl"):
+        np.testing.assert_allclose(
+            float(fused_metrics[k]), float(ref_metrics[k]),
+            rtol=2e-2, atol=2e-3, err_msg=k,
+        )
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(fused_grads)
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(ref_grads)[0])
+    assert len(flat_f) == len(flat_r)
+    for path, g in flat_f:
+        r = np.asarray(flat_r[path])
+        g = np.asarray(g)
+        assert g.shape == r.shape, path
+        scale = max(np.abs(r).max(), 1e-6)
+        np.testing.assert_allclose(
+            g, r, atol=0.05 * scale, err_msg=str(path)
+        )
+
+
+def test_fused_mappo_zero_copy_window_matches_sliced(mappo_case):
+    from rware_tpu.ops.pallas_update import (
+        build_fused_mappo_grads,
+        phase_time_block,
+    )
+
+    cfg, params, batch = mappo_case
+    T, L, N, RB, _ = batch[0].shape
+    mbt = T // 2
+    kw = dict(
+        obs_len=L, hidden=(128, 128), n_actions=5, rollout_len=mbt,
+        n_agents=N, mb_rows=RB, clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=True,
+    )
+    zc = build_fused_mappo_grads(dataset_len=T, **kw)
+    sliced = build_fused_mappo_grads(**kw)
+    tb = phase_time_block(mbt)
+    for start in (0, tb, T - tb):  # TB-aligned starts, incl. a wrap
+        idx = [(start + t) % T for t in range(mbt)]
+        window = tuple(jnp.take(x, jnp.asarray(idx), axis=0) for x in batch)
+        g1, m1 = jax.jit(zc)(params, batch, jnp.int32(start))
+        g2, m2 = jax.jit(sliced)(params, window)
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g2)[0],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
+                err_msg=f"start={start} {p1}",
+            )
+
+
+def test_fused_critic_only_grads_match_autodiff(mappo_case):
+    """with_actor=False (the recurrent-MAPPO critic path) matches jax.grad
+    of the clipped value loss on the joint observation."""
+    from rware_tpu.models.mappo import (
+        _critic_native_forward,
+        _joint_native,
+    )
+    from rware_tpu.ops.pallas_update import build_fused_mappo_grads
+
+    cfg, params, batch = mappo_case
+    obs = batch[0]
+    old_value, target = batch[3], batch[5]
+    T, L, N, RB, _ = obs.shape
+
+    def loss(cp):
+        value = _critic_native_forward(cp, _joint_native(obs))
+        v_clipped = old_value + jnp.clip(
+            value - old_value, -cfg.clip_eps, cfg.clip_eps
+        )
+        return cfg.vf_coef * 0.5 * jnp.maximum(
+            (value - target) ** 2, (v_clipped - target) ** 2
+        ).mean()
+
+    ref_grads = jax.jit(jax.grad(loss))(params["critic"])
+    grads_fn = build_fused_mappo_grads(
+        obs_len=L, hidden=(128, 128), n_actions=5, rollout_len=T,
+        n_agents=N, mb_rows=RB, clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=True, with_actor=False,
+    )
+    fused, mets = jax.jit(grads_fn)(params["critic"], (obs, old_value, target))
+    flat_f = jax.tree_util.tree_flatten_with_path(fused)[0]
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(ref_grads)[0])
+    for path, g in flat_f:
+        r = np.asarray(flat_r[path])
+        scale = max(np.abs(r).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g), r, atol=0.05 * scale, err_msg=str(path)
+        )
+    assert float(mets["v_loss"]) > 0
+
+
+def test_fused_critic_values_match_native_forward(mappo_case):
+    from rware_tpu.models.mappo import (
+        _critic_native_forward,
+        _joint_native,
+    )
+    from rware_tpu.ops.pallas_update import build_fused_critic_values
+
+    cfg, params, batch = mappo_case
+    obs = batch[0]
+    T, L, N, RB, _ = obs.shape
+    vfn = build_fused_critic_values(
+        obs_len=L, n_agents=N, rollout_len=T, mb_rows=RB, interpret=True,
+    )
+    got = jax.jit(vfn)(params["critic"], obs)
+    want = jax.jit(
+        lambda cp, o: _critic_native_forward(cp, _joint_native(o))
+    )(params["critic"], obs)
+    assert got.shape == want.shape
+    scale = max(float(jnp.abs(want).max()), 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2 * scale,
+    )
