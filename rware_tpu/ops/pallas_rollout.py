@@ -137,30 +137,43 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
             jnp.clip(ay[i] + jnp.where(fwd, dy, 0), 0, H - 1)
         )
 
+    # ---- packed cell ids -------------------------------------------
+    # Every coordinate-pair scan below compares ONE int (y*W + x, unique
+    # in [0, HW)) instead of two eqs + and — the same idiom the obs
+    # builders' slot_cid already uses.  This halves the O(N*S) shelf
+    # scans and cuts each O(N^2) resolver adjacency to one eq per pair.
+    scell = sy * W + sx  # (S, SUB, LANE) — pre-move shelf cells
+
     # ---- pre-cancel: loaded agent into a standing shelf -----------
-    for i in range(N) if st.debug_level < 3 else []:
-        shelf_at_t = jnp.any(
-            (sx == tx[i]) & (sy == ty[i]), axis=0
-        )
-        tgt_loaded = jnp.zeros_like(shelf_at_t)
-        for j in range(N):
-            tgt_loaded |= (
-                (tx[i] == ax[j]) & (ty[i] == ay[j]) & (carrying[j] >= 0)
-            )
-        moving = (tx[i] != ax[i]) | (ty[i] != ay[i])
-        cancel = (carrying[i] >= 0) & moving & shelf_at_t & ~tgt_loaded
-        acts[i] = jnp.where(cancel, Action.NOOP, acts[i])
-        tx[i] = jnp.where(cancel, ax[i], tx[i])
-        ty[i] = jnp.where(cancel, ay[i], ty[i])
+    if st.debug_level < 3:
+        acell0 = [ay[i] * W + ax[i] for i in range(N)]
+        tcell0 = [ty[i] * W + tx[i] for i in range(N)]
+        loaded_acell = jnp.stack(
+            [
+                jnp.where(carrying[j] >= 0, acell0[j], -1)
+                for j in range(N)
+            ]
+        )  # (N, SUB, LANE): loaded agents' cells, -1 otherwise
+        for i in range(N):
+            shelf_at_t = jnp.any(scell == tcell0[i], axis=0)
+            tgt_loaded = jnp.any(loaded_acell == tcell0[i][None], axis=0)
+            moving = tcell0[i] != acell0[i]
+            cancel = (carrying[i] >= 0) & moving & shelf_at_t & ~tgt_loaded
+            acts[i] = jnp.where(cancel, Action.NOOP, acts[i])
+            tx[i] = jnp.where(cancel, ax[i], tx[i])
+            ty[i] = jnp.where(cancel, ay[i], ty[i])
 
     # ---- resolver (same rules as ops/resolver.py) -----------------
-    # Stacked (N, SUB, LANE) / pairwise (N, N, SUB, LANE) formulation: the
-    # op COUNT is O(N) (each op over N- or N^2-sized tensors), not the
-    # round-1 O(N^3) per-agent unrolling — compile time stays flat across
-    # the full registered 1..19-agent range while the vector work is
-    # identical.  Dynamic cross-agent selects (successor walk etc.) use
-    # one-hot sums over the leading axis instead of gathers, which Mosaic
-    # cannot lower along untiled axes.
+    # Stacked packed-cell formulation with POINTER-DOUBLING walks: op
+    # count O(log N) per concept and vector work O(N^2 log N) — down from
+    # the round-3 O(N)-pass / O(N^3)-work form whose superlinear growth
+    # set the >12-agent throughput cliff (tiny-16ag carried 44.6k VPU
+    # elem-ops/env-step at flat ~30% utilization; tools/roofline.py).
+    # Semantics are unchanged: the functional-graph fixed point with
+    # self-loop commits, 2-cycle poisoning, longest-chain priority and
+    # the pinned lowest-index tie.  Dynamic cross-agent selects use
+    # one-hot sums over the leading axis instead of gathers, which
+    # Mosaic cannot lower along untiled axes.
     if st.debug_level >= 5:
         committed_s = jnp.stack(
             [acts[i] == Action.FORWARD for i in range(N)]
@@ -169,6 +182,8 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
     ays = jnp.stack(ay)
     txs = jnp.stack(tx)
     tys = jnp.stack(ty)
+    acells = ays * W + axs  # packed current cells
+    tcells = tys * W + txs  # packed target cells
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, SUB, LANE), 0)
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (N, N, SUB, LANE), 0)
     iota_j = jax.lax.broadcasted_iota(jnp.int32, (N, N, SUB, LANE), 1)
@@ -176,39 +191,17 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
 
     # match[i, j]: agent i's target cell is agent j's current cell
     # (positions are unique, so at most one j per i)
-    match = (txs[:, None] == axs[None, :]) & (tys[:, None] == ays[None, :])
+    match = tcells[:, None] == acells[None, :]
     match_t = jnp.swapaxes(match, 0, 1)
     has_next = jnp.any(match, axis=1)  # (N, SUB, LANE)
     nxt = jnp.sum(jnp.where(match, iota_j, 0), axis=1)
 
-    # cycle membership: walk successor pointers N steps
-    on_cycle = jnp.zeros((N, SUB, LANE), dtype=jnp.bool_)
-    cur = nxt
-    valid = has_next
-    for _ in range(N):
-        on_cycle |= valid & (cur == iota_n)
-        at = cur[:, None] == iota_j  # (Ni, Nj, SUB, LANE): cur[i] == j
-        cur = jnp.sum(jnp.where(at, nxt[None, :], 0), axis=1)
-        valid = valid & jnp.any(at & has_next[None, :], axis=1)
-
     # head-on swaps poison their whole weak component
     two_cycle = jnp.any(match & match_t & off_diag, axis=1)
 
-    # weak-component flags by direct propagation along the adjacency
-    # (diameter <= N - 1 hops)
-    shared = (txs[:, None] == txs[None, :]) & (tys[:, None] == tys[None, :])
-    adj1 = (shared | match | match_t) & off_diag
-    comp_poison = two_cycle
-    comp_cycle = on_cycle
-    for _ in range(max(1, N - 1)):
-        comp_poison = comp_poison | jnp.any(
-            adj1 & comp_poison[None, :], axis=1
-        )
-        comp_cycle = comp_cycle | jnp.any(
-            adj1 & comp_cycle[None, :], axis=1
-        )
-
-    # longest-chain priority with lowest-index tie-break
+    # longest-chain priority with lowest-index tie-break (computed first:
+    # the doubling chain below folds `chosen` along the walk)
+    shared = tcells[:, None] == tcells[None, :]
     depth = jnp.ones((N, SUB, LANE), dtype=jnp.int32)
     for _ in range(N):
         depth = 1 + jnp.max(
@@ -220,14 +213,49 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
     chosen = jnp.all(
         ~(shared & off_diag) | beats, axis=1
     )
-    cc = chosen & ~has_next
-    for _ in range(N):
-        follow = jnp.any(
-            (nxt[:, None] == iota_j) & cc[None, :], axis=1
+
+    # ONE pointer-doubling chain over the absorbing successor function
+    # (terminals self-loop), ceil(log2 N) one-hot composes, computing:
+    #   fin   = succ^(2^K), 2^K >= N — a node on the path's cycle, or
+    #           the absorbing terminal
+    #   mpath = min agent index over the 2^K-step path; gathered at a
+    #           cycle node it is the min over the WHOLE cycle, i.e. a
+    #           canonical cycle id
+    #   allch = AND of `chosen` over the path — for terminal trees this
+    #           IS the old cc chain-follow fixed point (cycle-bound paths
+    #           are masked by comp_cycle below, exactly as cc was)
+    succ = jnp.where(has_next, nxt, iota_n)
+    cur, mpath, allch = succ, iota_n, chosen
+    for _ in range((N - 1).bit_length()):
+        at = cur[:, None] == iota_j  # one-hot row: x[cur] gathers below
+        mpath = jnp.minimum(
+            mpath, jnp.sum(jnp.where(at, mpath[None, :], 0), axis=1)
         )
-        cc = chosen & (follow | ~has_next)
+        allch = allch & jnp.any(at & allch[None, :], axis=1)
+        cur = jnp.sum(jnp.where(at, cur[None, :], 0), axis=1)
+    fin = cur
+
+    # on a cycle <=> some agent's 2^K-step walk lands on you: succ^(2^K)
+    # always sits on a cycle or a terminal, and only cycle nodes keep a
+    # successor there
+    at_fin = fin[:, None] == iota_j  # (Ni, Nj, ...): fin[i] == j
+    on_cycle = has_next & jnp.any(at_fin, axis=0)
+
+    # canonical weak-component key: same key <=> connected under
+    # (shared | match | match_t).  Cycle-bound components key on the min
+    # agent index of their cycle; terminal trees key on the terminal's
+    # target cell (terminals sharing a target cell are shared-adjacent,
+    # so the cell id IS the component), offset by N to stay disjoint.
+    m_fin = jnp.sum(jnp.where(at_fin, mpath[None, :], 0), axis=1)
+    hn_fin = jnp.any(at_fin & has_next[None, :], axis=1)
+    tc_fin = jnp.sum(jnp.where(at_fin, tcells[None, :], 0), axis=1)
+    key = jnp.where(hn_fin, m_fin, N + tc_fin)
+    key_eq = key[:, None] == key[None, :]
+    comp_poison = jnp.any(key_eq & two_cycle[None, :], axis=1)
+    comp_cycle = jnp.any(key_eq & on_cycle[None, :], axis=1)
+
     if st.debug_level < 5:
-        committed_s = (on_cycle & ~comp_poison) | (cc & ~comp_cycle)
+        committed_s = (on_cycle & ~comp_poison) | (allch & ~comp_cycle)
     committed = [committed_s[i] for i in range(N)]
     acts = [
         jnp.where(committed[i], acts[i], Action.NOOP) for i in range(N)
@@ -235,8 +263,8 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
 
     # ---- execute movement / rotation ------------------------------
     # toggle-load below must see PRE-move shelf positions (the
-    # reference reads a stale grid, warehouse.py:889-892)
-    pre_sx, pre_sy = sx, sy
+    # reference reads a stale grid, warehouse.py:889-892) — `scell`
+    # above packed them before any shelf moved
     new_ax, new_ay, new_ad = [], [], []
     for i in range(N):
         moved = committed[i] & (acts[i] == Action.FORWARD)
@@ -259,21 +287,23 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
     # ---- toggle load ----------------------------------------------
     rewards = [jnp.zeros((SUB, LANE), dtype=jnp.float32) for _ in range(N)]
     new_carrying, new_hd = [], []
+    acell_new = [new_ay[i] * W + new_ax[i] for i in range(N)]
+    slot_cell = slots_y * W + slots_x  # (S, SUB, LANE) rack-slot cells
     if st.debug_level >= 3:
         new_carrying = list(carrying)
         new_hd = list(hd)
     for i in range(N) if st.debug_level < 3 else []:
         toggling = acts[i] == Action.TOGGLE_LOAD
-        under = (pre_sx == new_ax[i]) & (pre_sy == new_ay[i])
+        # toggle-load sees PRE-move shelf cells (stale grid; `scell`
+        # was packed before any carried shelf moved)
+        under = scell == acell_new[i][None]
         has_under = jnp.any(under, axis=0)
         shelf_under = jnp.max(
             jnp.where(under, shelf_rows, -1), axis=0
         )
         pickup = toggling & (carrying[i] < 0) & has_under
         # on_highway = not a rack slot
-        on_rack = jnp.any(
-            (slots_x == new_ax[i]) & (slots_y == new_ay[i]), axis=0
-        )
+        on_rack = jnp.any(slot_cell == acell_new[i][None], axis=0)
         drop = toggling & (carrying[i] >= 0) & on_rack
         if st.reward_type == RewardType.TWO_STAGE:
             rewards[i] += jnp.where(drop & hd[i], 0.5, 0.0)
@@ -285,8 +315,9 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
     # ---- deliveries, queue resample, rewards ----------------------
     any_delivered = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
     if R and st.debug_level < 2:
+        scell_new = sy * W + sx  # post-move shelf cells
         for gx, gy in goals:
-            at_goal = (sx == gx) & (sy == gy)
+            at_goal = scell_new == (gy * W + gx)
             has_shelf = jnp.any(at_goal, axis=0)
             sid = jnp.max(
                 jnp.where(at_goal, shelf_rows, -1), axis=0
@@ -335,8 +366,7 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
                     rewards[i] += jnp.where(delivered, 1.0, 0.0)
             else:
                 on_goal = [
-                    (new_ax[i] == gx) & (new_ay[i] == gy)
-                    for i in range(N)
+                    acell_new[i] == (gy * W + gx) for i in range(N)
                 ]
                 none_on = ~functools.reduce(jnp.logical_or, on_goal)
                 amount = (

@@ -234,3 +234,33 @@ def test_chunked_rollout_matches_unchunked():
         )
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_scripted_dynamics_match_xla_16_agents_contended():
+    """Forward-biased fuzz at 16 agents on the tiny grid: dense chains,
+    rotating cycles and head-on swaps stress the pointer-doubling
+    resolver (round-4 rewrite) against the XLA engine bit-for-bit."""
+    env = rware_tpu.make("rware-tiny-16ag-v2")
+    B, T = ENV_BLOCK, 10
+    states, _ = batched_reset(env, jax.random.key(3), B)
+    rng = np.random.default_rng(11)
+    # ~60% FORWARD maximises resolver contention
+    raw = rng.integers(0, 10, (T, B, 16))
+    actions = jnp.asarray(
+        np.where(raw < 6, 1, raw - 5), dtype=jnp.int32
+    )
+
+    roll = build_pallas_rollout(env.config, T, scripted=True, interpret=True)
+    pallas_state, rew, epis = roll(states, 0, actions)
+    final, (rews, dones) = xla_rollout(env, states, actions)
+
+    for f in DYNAMICS_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pallas_state, f)),
+            np.asarray(getattr(final, f)),
+            err_msg=f,
+        )
+    # xla_rollout's vmap puts the batch axis first: rews is (B, T, N)
+    np.testing.assert_allclose(
+        np.asarray(rew), np.asarray(rews).sum(1), atol=1e-6
+    )

@@ -8,9 +8,12 @@ Stages (per-iteration cost):
   C E x M fused ACTOR passes only (zero-copy window starts, actor adam)
   D E x M CRITIC passes only (contiguous self-concat windows + XLA
     autodiff, critic adam)
-  E the full MAPPO train step (per-pass actor kernel)
-  F the full MAPPO train step (whole-phase actor kernel + critic scan)
-E - B - C - D ~= glue; D is the XLA critic cost the actor kernel avoids.
+  E the full MAPPO train step (split: per-pass actor kernel + XLA critic)
+  F the full MAPPO train step (split: whole-phase actor kernel + critic scan)
+  G the full MAPPO train step (COMBINED actor+critic kernel — the default)
+  V collect + kernel-native critic values + GAE (the combined path's
+    dataset build; B's relayout+XLA-forward counterpart)
+E - B - C - D ~= glue; D is the XLA critic cost the combined kernel kills.
 """
 import os
 import sys
@@ -34,7 +37,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-envs", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--stages", default="ABCDEF")
+    ap.add_argument("--stages", default="ABCDEFGV")
     args = ap.parse_args()
 
     import rware_tpu
@@ -161,15 +164,43 @@ def main():
         return body
 
     e_full = build_mappo_train_step(
-        env, actor, critic, tx, cfg, fused_actor_phase=False
+        env, actor, critic, tx, cfg, fused_actor_update=True,
+        fused_actor_phase=False,
     )
-    f_full = build_mappo_train_step(env, actor, critic, tx, cfg)
+    f_full = build_mappo_train_step(
+        env, actor, critic, tx, cfg, fused_actor_update=True,
+        fused_actor_phase=True,
+    )
+    g_full = build_mappo_train_step(env, actor, critic, tx, cfg)
 
     def e_body(i, carry):
         return e_full(carry)[0]
 
     def f_body(i, carry):
         return f_full(carry)[0]
+
+    def g_body(i, carry):
+        return g_full(carry)[0]
+
+    from rware_tpu.ops.pallas_update import build_fused_critic_values
+
+    values_kernel = build_fused_critic_values(
+        obs_len=obs_dim, n_agents=n, rollout_len=cfg.rollout_len,
+        mb_rows=rb,
+    )
+
+    def v_body(i, carry):
+        states, acc = carry
+        st, traj = collect(states, runner.params["actor"], i)
+        values = values_kernel(runner.params["critic"], traj["obs"])
+        obs = obs_fn(st)
+        last_joint = obs.reshape(cfg.n_envs, n * obs_dim)
+        last_value = critic.apply(runner.params["critic"], last_joint)
+        lv = jnp.swapaxes(last_value, 0, 1).reshape(n, rb, LANE)
+        adv, tgt = compute_gae_native(
+            cfg, traj["reward"], values, traj["done"], lv
+        )
+        return st, acc + adv.sum() + tgt.sum()
 
     def leaf0(tree):
         # one scalar per part: a single-part stage's work must not be DCE'd
@@ -205,6 +236,13 @@ def main():
               lambda r: leaf0(r.params)
               + r.env_states.agent_x.sum().astype(jnp.float32),
               runner),
+        "G": ("full combined-kernel", g_body,
+              lambda r: leaf0(r.params)
+              + r.env_states.agent_x.sum().astype(jnp.float32),
+              runner),
+        "V": ("+kernel-values+gae", v_body,
+              lambda c: c[1] + c[0].agent_x.sum().astype(jnp.float32),
+              (runner.env_states, jnp.float32(0))),
     }
 
     for tag in args.stages:

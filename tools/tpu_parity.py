@@ -318,6 +318,61 @@ def check_update_phase(B=1024, T=16):
     }
 
 
+def check_mappo_combined_update(B=1024, T=16):
+    """Combined actor+critic MAPPO kernel (build_fused_mappo_grads +
+    build_fused_critic_values) == XLA autodiff of mappo_loss_native,
+    COMPILED on hardware: one full train step from the same runner (same
+    deterministic trajectory), params compared within bf16 bound."""
+    import rware_tpu
+    from rware_tpu.models import IPPOConfig
+    from rware_tpu.models.mappo import (
+        build_mappo_train_step,
+        init_mappo_runner,
+    )
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = IPPOConfig(n_envs=B, rollout_len=T, epochs=2, minibatches=2)
+    runner, actor, critic, tx = init_mappo_runner(
+        env, cfg, jax.random.key(0)
+    )
+    t0 = time.time()
+    outs = {}
+    for name, kw in (
+        ("combined", dict(fused_critic_update=True)),
+        ("xla", dict(fused_actor_update=False)),
+    ):
+        ts = jax.jit(
+            build_mappo_train_step(
+                env, actor, critic, tx, cfg, deterministic_collect=True,
+                **kw,
+            )
+        )
+        r1, _ = ts(runner)
+        outs[name] = jax.tree_util.tree_flatten_with_path(
+            jax.tree.map(np.asarray, r1.params)
+        )[0]
+    compile_s = round(time.time() - t0, 1)
+    mismatches = []
+    worst = 0.0
+    for (path, a), (_, b) in zip(outs["combined"], outs["xla"]):
+        # Adam steps are ~lr-sized; bf16 kernel grads may flip near-zero
+        # directions, bounding agreement at a few lr (3e-4 default)
+        err = float(
+            np.abs(a.astype(np.float32) - b.astype(np.float32)).max()
+        )
+        worst = max(worst, err)
+        if err > 5e-3:
+            mismatches.append({"field": str(path), "abs_err": err})
+    return {
+        "ok": not mismatches,
+        "mismatches": mismatches,
+        "worst_param_abs_diff": round(worst, 6),
+        "B": B,
+        "T": T,
+        "compile_s": compile_s,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="TPUPARITY.json")
@@ -349,6 +404,16 @@ def main():
     except Exception as e:  # noqa: BLE001
         results["gru-obs-update"] = {"ok": False, "error": repr(e)[:500]}
     print("gru-obs-update", results["gru-obs-update"], flush=True)
+    try:
+        results["mappo-combined-update"] = check_mappo_combined_update()
+    except Exception as e:  # noqa: BLE001
+        results["mappo-combined-update"] = {
+            "ok": False, "error": repr(e)[:500]
+        }
+    print(
+        "mappo-combined-update", results["mappo-combined-update"],
+        flush=True,
+    )
     for name, kw in (
         ("collect-tiny-2ag", {}),
         ("collect-msg-bits-2ag", {"msg_bits": 2}),
