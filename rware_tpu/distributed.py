@@ -30,8 +30,23 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> Tuple[int, int]:
     """``jax.distributed.initialize`` with env-var fallback; returns
-    (process_index, process_count)."""
-    if num_processes is not None and num_processes > 1 or coordinator_address:
+    (process_index, process_count).
+
+    Explicit args win; otherwise ``RWARE_COORD_ADDR`` / ``RWARE_NUM_PROCS``
+    / ``RWARE_PROC_ID`` configure a manual process group (the localhost
+    multi-process harness, tools/multiproc_verify.py, uses these); with
+    neither, Cloud TPU / cluster auto-detection applies when the
+    environment provides it."""
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("RWARE_COORD_ADDR")
+        if num_processes is None and "RWARE_NUM_PROCS" in os.environ:
+            num_processes = int(os.environ["RWARE_NUM_PROCS"])
+        if process_id is None and "RWARE_PROC_ID" in os.environ:
+            process_id = int(os.environ["RWARE_PROC_ID"])
+    if (num_processes is not None and num_processes > 1) or \
+            coordinator_address:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

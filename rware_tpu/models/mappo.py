@@ -638,3 +638,308 @@ def build_mappo_train_step(
                     obs=None, key=None, update_idx=None),
         env_fields=("env_states", "obs"), axis=mesh_axis,
     )
+
+
+# ---------------------------------------------------------------------------
+# Recurrent MAPPO: GRU actor (fused collect kernel) + central critic.
+# ---------------------------------------------------------------------------
+
+
+def init_rnn_mappo_runner(
+    env: Warehouse,
+    cfg: IPPOConfig,
+    key: jax.Array,
+    actor=None,
+    critic: Optional[CentralCritic] = None,
+):
+    """Recurrent MAPPO runner: ``params = {"actor": RecurrentActorCritic
+    pytree, "critic": CentralCritic pytree}`` on an RNNRunnerState (the
+    GRU carry rides the runner exactly as in recurrent IPPO), under the
+    split per-part optimizer.
+
+    This is the literature's strongest RWARE config (MAPPO as in Yu et
+    al. 2022 is recurrent); both halves existed separately since round 3
+    — the GRU collect kernel and the central-critic machinery — and this
+    composes them."""
+    from rware_tpu.models.ippo import policy_obs_fn
+    from rware_tpu.models.networks import RecurrentActorCritic
+
+    if actor is None:
+        actor = RecurrentActorCritic(
+            n_actions=env.n_actions, msg_bits=env.config.msg_bits
+        )
+    if critic is None:
+        critic = CentralCritic(n_agents=env.n_agents)
+    from rware_tpu.models.ippo_rnn import RNNRunnerState
+
+    k_actor, k_critic, k_env, k_run = jax.random.split(key, 4)
+    obs_dim = env.config.policy_obs_length
+    n = env.n_agents
+    carry0 = actor.initialize_carry((1, n))
+    params = {
+        "actor": actor.init(k_actor, carry0, jnp.zeros((1, n, obs_dim))),
+        "critic": critic.init(k_critic, jnp.zeros((1, n * obs_dim))),
+    }
+    tx = make_mappo_optimizer(cfg)
+    env_states = jax.vmap(env._reset_fn)(
+        jax.random.split(k_env, cfg.n_envs)
+    )
+    obs = jax.vmap(policy_obs_fn(env))(env_states)
+    runner = RNNRunnerState(
+        params=params,
+        opt_state=tx.init(params),
+        env_states=env_states,
+        obs=obs,
+        carry=actor.initialize_carry((cfg.n_envs, n)),
+        key=k_run,
+        update_idx=jnp.zeros((), jnp.int32),
+    )
+    return runner, actor, critic, tx
+
+
+def build_rnn_mappo_train_step(
+    env: Warehouse,
+    actor,
+    critic: CentralCritic,
+    tx: optax.GradientTransformation,
+    cfg: IPPOConfig,
+    interpret: bool = False,
+    deterministic_collect: bool = False,
+    fused_critic_update: Optional[bool] = None,
+    mesh=None,
+    mesh_axis: str = "env",
+):
+    """One jitted recurrent-MAPPO update: GRU-fused Pallas collect (actor
+    recurrence in-kernel, episode-boundary carry resets) -> central-critic
+    trajectory values via the native-layout forward kernel -> native GAE
+    -> E x M env-band minibatch updates: the GRU actor through XLA
+    autodiff of the replay loss with vf_coef=0 (its local value head
+    takes exactly zero gradient — MAPPO's value term is the critic's),
+    the critic through the critic-only fused kernel
+    (ops/pallas_update.build_fused_mappo_grads(with_actor=False)).
+
+    Minibatches are env bands (recurrent replay cannot slice time), so
+    the critic kernel is built per-band (mb_rows = RB/M) rather than in
+    the zero-copy time-window mode the MLP path uses."""
+    import dataclasses as _dc
+
+    from rware_tpu.models.ippo_pallas import compute_gae_native
+    from rware_tpu.models.ippo import policy_obs_fn
+    from rware_tpu.models.ippo_rnn import (
+        RNNRunnerState,
+        _pick_tc_len_gru_default,
+        rnn_ppo_loss_native,
+    )
+    from rware_tpu.ops.pallas_rollout import (
+        ENV_BLOCK,
+        LANE,
+        build_pallas_collect,
+    )
+    from rware_tpu.ops.pallas_update import (
+        build_fused_critic_values,
+        build_fused_mappo_grads,
+    )
+
+    if env.config.msg_bits:
+        raise NotImplementedError(
+            "recurrent MAPPO with message bits is not wired yet; use "
+            "--algo mappo (MLP) or --net gru (IPPO) for msg configs"
+        )
+    hidden = (int(actor.embed), int(actor.hidden))
+    hg = int(actor.hidden)
+    collect = build_pallas_collect(
+        env.config,
+        cfg.rollout_len,
+        hidden=hidden,
+        tc_len=_pick_tc_len_gru_default(cfg.rollout_len),
+        interpret=interpret,
+        deterministic=deterministic_collect,
+        policy="gru",
+        native_traj=True,
+    )
+    obs_fn = jax.vmap(policy_obs_fn(env))
+    n_agents = env.n_agents
+    obs_dim = env.config.policy_obs_length
+    n_tc = max(
+        1, cfg.rollout_len // _pick_tc_len_gru_default(cfg.rollout_len)
+    )
+    streams_per_update = (cfg.n_envs // ENV_BLOCK) * n_tc
+    n_shards = int(mesh.shape[mesh_axis]) if mesh is not None else 1
+    n_local = cfg.n_envs // n_shards
+    streams_per_shard = (n_local // ENV_BLOCK) * n_tc
+    axis_name = mesh_axis if mesh is not None else None
+    rb = n_local // LANE
+    if rb % cfg.minibatches:
+        raise ValueError(
+            f"minibatches={cfg.minibatches} must divide the {rb} env rows"
+        )
+    mb = rb // cfg.minibatches
+
+    if fused_critic_update is None:
+        fused_critic_update = True
+
+    traj_values_fn = build_fused_critic_values(
+        obs_len=obs_dim, n_agents=n_agents, rollout_len=cfg.rollout_len,
+        mb_rows=rb, hidden=tuple(critic.hidden), interpret=interpret,
+    )
+    critic_grads_fn = None
+    if fused_critic_update:
+        critic_grads_fn = build_fused_mappo_grads(
+            obs_len=obs_dim,
+            hidden=(128, 128),  # unused (with_actor=False)
+            n_actions=env.n_actions,
+            rollout_len=cfg.rollout_len,
+            n_agents=n_agents,
+            mb_rows=mb,
+            clip_eps=cfg.clip_eps,
+            vf_coef=cfg.vf_coef,
+            ent_coef=cfg.ent_coef,
+            critic_hidden=tuple(critic.hidden),
+            interpret=interpret,
+            with_actor=False,
+        )
+
+    # the actor trains on the clipped surrogate + entropy only
+    actor_cfg = _dc.replace(cfg, vf_coef=0.0)
+
+    def actor_loss(aparams, batch):
+        return rnn_ppo_loss_native(actor_cfg, actor, aparams, batch)
+
+    def critic_loss_xla(cparams, obs_band, old_value, target):
+        # CPU-testable fallback: same clipped value loss via XLA autodiff
+        value = _critic_native_forward(cparams, _joint_native(obs_band))
+        v_clipped = old_value + jnp.clip(
+            value - old_value, -cfg.clip_eps, cfg.clip_eps
+        )
+        v_loss = 0.5 * jnp.maximum(
+            (value - target) ** 2, (v_clipped - target) ** 2
+        ).mean()
+        return cfg.vf_coef * v_loss, v_loss
+
+    # env-row axis per dataset entry: (obs_native, obs_replay, done,
+    # action, logp, value, adv, target, h0n)
+    _RB_AXES = (3, 2, 2, 2, 2, 2, 2, 2, 1)
+
+    def train_step(runner: RNNRunnerState):
+        key, k_perm = jax.random.split(runner.key, 2)
+        seed = runner.update_idx * jnp.int32(streams_per_update)
+        if axis_name is not None:
+            seed = seed + jax.lax.axis_index(axis_name) * jnp.int32(
+                streams_per_shard
+            )
+        h0 = runner.carry  # (B_local, N, Hg)
+        env_states, new_carry, traj = collect(
+            runner.env_states, runner.params["actor"], seed, h0=h0
+        )
+        values = traj_values_fn(
+            runner.params["critic"], traj["obs"]
+        )  # (T, N, RB, LANE)
+        obs = obs_fn(env_states)
+        last_joint = obs.reshape(n_local, n_agents * obs_dim)
+        last_value = critic.apply(runner.params["critic"], last_joint)
+        last_value_native = jnp.swapaxes(last_value, 0, 1).reshape(
+            n_agents, rb, LANE
+        )
+        advantages, targets = compute_gae_native(
+            cfg, traj["reward"], values, traj["done"], last_value_native
+        )
+        h0n = jnp.transpose(h0, (1, 0, 2)).reshape(
+            n_agents, rb, LANE, hg
+        )
+        obs_replay = jnp.transpose(traj["obs"], (0, 2, 3, 4, 1))
+        dataset = (
+            traj["obs"], obs_replay, traj["done"], traj["action"],
+            traj["logp"], values, advantages, targets, h0n,
+        )
+        # wrapped env-band minibatches without per-epoch rolls (the
+        # recurrent-IPPO self-concat trick)
+        doubled = tuple(
+            jnp.concatenate([x, x], axis=ax)
+            for x, ax in zip(dataset, _RB_AXES)
+        )
+
+        def epoch(carry_es, k):
+            params, opt_state = carry_es
+            off = jax.random.randint(k, (), 0, rb)
+
+            def minibatch(carry_es, i):
+                params, opt_state = carry_es
+                start = (i * mb - off) % rb
+                (obs_nat, obs_rep, done_b, act_b, logp_b, val_b, adv_b,
+                 tgt_b, h0_b) = tuple(
+                    jax.lax.dynamic_slice_in_dim(x, start, mb, ax)
+                    for x, ax in zip(doubled, _RB_AXES)
+                )
+                abatch = (
+                    obs_rep, done_b, act_b, logp_b, val_b, adv_b, tgt_b,
+                    h0_b,
+                )
+                (_l, ametrics), ag = jax.value_and_grad(
+                    actor_loss, has_aux=True
+                )(params["actor"], abatch)
+                if critic_grads_fn is not None:
+                    cg, cmets = critic_grads_fn(
+                        params["critic"], (obs_nat, val_b, tgt_b)
+                    )
+                else:
+                    (_cl, v_loss), cg = jax.value_and_grad(
+                        critic_loss_xla, has_aux=True
+                    )(params["critic"], obs_nat, val_b, tgt_b)
+                    cmets = {"v_loss": v_loss}
+                grads = {"actor": ag, "critic": cg}
+                metrics = {**ametrics, "v_loss": cmets["v_loss"]}
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name)
+                    metrics = jax.lax.pmean(metrics, axis_name)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            return jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(cfg.minibatches)
+            )
+
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch,
+            (runner.params, runner.opt_state),
+            jax.random.split(k_perm, cfg.epochs),
+        )
+        reward_sum = traj["reward"].sum()
+        episodes = traj["done"].sum()
+        if axis_name is not None:
+            reward_sum = jax.lax.psum(reward_sum, axis_name)
+            episodes = jax.lax.psum(episodes, axis_name)
+        out_metrics = {
+            "reward_per_env": reward_sum / cfg.n_envs,
+            "episodes_done": episodes,
+            **jax.tree.map(lambda x: x.mean(), metrics),
+        }
+        return (
+            RNNRunnerState(
+                params=params,
+                opt_state=opt_state,
+                env_states=env_states,
+                obs=obs,
+                carry=new_carry.astype(runner.carry.dtype),
+                key=key,
+                update_idx=runner.update_idx + 1,
+            ),
+            out_metrics,
+        )
+
+    if mesh is None:
+        return train_step
+    if n_local % ENV_BLOCK:
+        raise ValueError(
+            f"n_envs={cfg.n_envs} over {n_shards} shards gives {n_local} "
+            f"local envs; must be a multiple of ENV_BLOCK={ENV_BLOCK}"
+        )
+    from rware_tpu.parallel import shard_map_train_step
+    from rware_tpu.models.ippo_rnn import RNNRunnerState as _RS
+
+    return shard_map_train_step(
+        train_step, mesh,
+        _RS(params=None, opt_state=None, env_states=None, obs=None,
+            carry=None, key=None, update_idx=None),
+        env_fields=("env_states", "obs", "carry"), axis=mesh_axis,
+    )

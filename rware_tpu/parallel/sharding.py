@@ -40,15 +40,63 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_env_batch(tree: Any, mesh: Mesh, axis: str = ENV_AXIS) -> Any:
     """Place every leaf of an env-batched pytree with its leading axis split
-    across the mesh.  Leaf shapes must be divisible by the mesh size."""
+    across the mesh.  Leaf shapes must be divisible by the mesh size.
+
+    Multi-process safe: when the mesh spans devices of several processes
+    (``jax.process_count() > 1``), each process contributes its own slice
+    of the (host-identical) full-size leaves via
+    ``make_array_from_process_local_data`` — device_put cannot address the
+    other hosts' devices.  Every process must hold the same full batch
+    (same seeds); for host-memory-flat assembly from per-host slices use
+    rware_tpu.distributed.global_env_batch instead."""
     sharding = env_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+
+    def leaf(x):
+        # typed PRNG keys can't cross the numpy boundary: ship the raw
+        # uint32 key data and rewrap
+        if jax.dtypes.issubdtype(
+            getattr(x, "dtype", None), jax.dtypes.prng_key
+        ):
+            g = leaf(jax.random.key_data(x))
+            return jax.random.wrap_key_data(
+                g, impl=jax.random.key_impl(x)
+            )
+        x = np.asarray(x)
+        per = x.shape[0] // n_proc
+        return jax.make_array_from_process_local_data(
+            sharding, x[pid * per:(pid + 1) * per], global_shape=x.shape
+        )
+
+    return jax.tree.map(leaf, tree)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (e.g. model parameters) on every device."""
+    """Replicate a pytree (e.g. model parameters) on every device.
+
+    Multi-process safe: each process supplies the (identical) host value
+    as its local shard."""
     sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    def leaf(x):
+        if jax.dtypes.issubdtype(
+            getattr(x, "dtype", None), jax.dtypes.prng_key
+        ):
+            g = leaf(jax.random.key_data(x))
+            return jax.random.wrap_key_data(
+                g, impl=jax.random.key_impl(x)
+            )
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=x.shape
+        )
+
+    return jax.tree.map(leaf, tree)
 
 
 def shard_map_train_step(train_step, mesh: Mesh, runner_template: Any,

@@ -275,3 +275,47 @@ def test_mappo_msg_bits_joint_policy():
         new_runner.params["actor"]["params"]["message"],
     )
     assert max(jax.tree.leaves(msg_diff)) > 0
+
+
+def test_rnn_mappo_train_step_runs_and_critic_matches_xla():
+    """Recurrent MAPPO (GRU actor via the fused collect kernel + central
+    critic): the step runs in interpret mode, metrics are finite, the
+    carry advances, and the fused-critic path produces the same update as
+    the XLA critic autodiff fallback (same deterministic trajectory)."""
+    from rware_tpu.models.mappo import (
+        build_rnn_mappo_train_step,
+        init_rnn_mappo_runner,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, actor, critic, tx = init_rnn_mappo_runner(
+        env, cfg, jax.random.key(0)
+    )
+    outs = {}
+    for fused in (True, False):
+        ts = jax.jit(
+            build_rnn_mappo_train_step(
+                env, actor, critic, tx, cfg, interpret=True,
+                deterministic_collect=True, fused_critic_update=fused,
+            )
+        )
+        r1, m1 = ts(runner)
+        outs[fused] = (r1, m1)
+        for k, v in m1.items():
+            assert np.isfinite(float(v)), k
+        assert int(r1.update_idx) == 1
+        assert not np.array_equal(
+            np.asarray(r1.carry, np.float32),
+            np.asarray(runner.carry, np.float32),
+        )
+    for (p1, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(outs[True][0].params)[0],
+        jax.tree_util.tree_flatten_with_path(outs[False][0].params)[0],
+    ):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.abs(a - b).max() < 5e-3, p1

@@ -29,7 +29,7 @@ def parse_args():
     )
     p.add_argument(
         "--net", choices=["mlp", "gru"], default="mlp",
-        help="policy network (gru = recurrent IPPO; ippo only)",
+        help="policy network (gru = recurrent actor; ippo and mappo)",
     )
     p.add_argument(
         "--minibatch-mode", choices=["shuffle", "block"], default="shuffle",
@@ -68,7 +68,10 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.distributed:
-        jax.distributed.initialize()
+        from rware_tpu.distributed import initialize
+
+        pid, nproc = initialize()
+        print(f"distributed: process {pid}/{nproc}", flush=True)
 
     from rware_tpu.compile_cache import enable_persistent_cache
 
@@ -149,6 +152,34 @@ def main():
             )
         else:
             train_step = jax.jit(build_train_step(env, model, tx, cfg), donate_argnums=0)
+        env_steps_per_update = cfg.n_envs * cfg.rollout_len
+    elif args.algo == "mappo" and args.net == "gru":
+        from rware_tpu.models import IPPOConfig
+        from rware_tpu.models.mappo import (
+            build_rnn_mappo_train_step,
+            init_rnn_mappo_runner,
+        )
+
+        cfg = IPPOConfig(
+            n_envs=args.n_envs,
+            rollout_len=args.rollout_len or 128,
+            lr=args.lr,
+            ent_coef=args.ent_coef,
+        )
+        if jax.devices()[0].platform == "cpu":
+            raise SystemExit(
+                "recurrent MAPPO rides the GRU collect kernel (TPU only)"
+            )
+        runner, actor, critic, tx = init_rnn_mappo_runner(env, cfg, key)
+        mesh_rmappo = None
+        if args.mesh and len(jax.devices()) > 1:
+            mesh_rmappo = make_mesh()
+        train_step = jax.jit(
+            build_rnn_mappo_train_step(
+                env, actor, critic, tx, cfg, mesh=mesh_rmappo,
+            ),
+            donate_argnums=0,
+        )
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
     elif args.algo == "mappo":
         from rware_tpu.models import IPPOConfig
