@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--minibatches", type=int, default=4)
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--stages", default="K,KB,VG,G")
+    ap.add_argument("--env", default="rware-tiny-2ag-v2")
     args = ap.parse_args()
 
     import optax
@@ -57,7 +58,7 @@ def main():
     )
     from rware_tpu.ops.pallas_rollout import LANE, build_pallas_collect
 
-    env = rware_tpu.make("rware-tiny-2ag-v2")
+    env = rware_tpu.make(args.env)
     cfg = IPPOConfig(
         n_envs=args.n_envs, rollout_len=args.rollout_len,
         minibatches=args.minibatches,

