@@ -556,22 +556,28 @@ def build_pallas_train_step(
             and env.config.msg_bits == 0:
         from rware_tpu.ops.pallas_update import build_fused_ppo_update_phase
 
-        update_phase_fn = build_fused_ppo_update_phase(
-            obs_len=env.config.policy_obs_length,
-            hidden=hidden,
-            n_actions=env.n_actions,
-            dataset_len=cfg.rollout_len,
-            n_agents=env.n_agents,
-            mb_rows=n_local // LANE,
-            epochs=cfg.epochs,
-            minibatches=cfg.minibatches,
-            clip_eps=cfg.clip_eps,
-            vf_coef=cfg.vf_coef,
-            ent_coef=cfg.ent_coef,
-            max_grad_norm=cfg.max_grad_norm,
-            interpret=interpret,
-        )
-    elif native and fused_update:
+        try:
+            update_phase_fn = build_fused_ppo_update_phase(
+                obs_len=env.config.policy_obs_length,
+                hidden=hidden,
+                n_actions=env.n_actions,
+                dataset_len=cfg.rollout_len,
+                n_agents=env.n_agents,
+                mb_rows=n_local // LANE,
+                epochs=cfg.epochs,
+                minibatches=cfg.minibatches,
+                clip_eps=cfg.clip_eps,
+                vf_coef=cfg.vf_coef,
+                ent_coef=cfg.ent_coef,
+                max_grad_norm=cfg.max_grad_norm,
+                interpret=interpret,
+            )
+        except ValueError:
+            # no Mosaic-legal agent-folded chunk at this (N, B) — the
+            # per-pass kernel below never folds agents, so it always has
+            # a legal chunking (e.g. 19 agents at small batches)
+            update_phase_fn = None
+    if native and fused_update and update_phase_fn is None:
         from rware_tpu.ops.pallas_update import build_fused_ppo_grads
 
         # time-axis minibatches: each is a T/M window over the FULL local

@@ -201,12 +201,18 @@ def build_mappo_train_step(
     fused_actor_update: Optional[bool] = None,
     fused_actor_phase: Optional[bool] = None,
     fused_critic_update: Optional[bool] = None,
+    fused_critic_phase: bool = False,
     mesh=None,
     mesh_axis: str = "env",
 ):
     """One jitted MAPPO update: fused Pallas collect (actor in-kernel) ->
     critic values over the stored trajectory -> native GAE -> E x M
     clipped updates of {actor, critic}.
+
+    ``fused_critic_phase=True`` (combined path only, no mesh/msg) runs
+    the WHOLE update phase — every pass for both parts plus both
+    clip->Adam chains — as one Pallas program
+    (ops/pallas_update.build_fused_mappo_update_phase).
 
     The DEFAULT update path (``fused_critic_update``, on for pallas
     collect without message bits) runs the combined actor+critic Pallas
@@ -349,6 +355,17 @@ def build_mappo_train_step(
             collect_mode == "pallas" and msg == 0
             and fused_actor_update is None and not fused_actor_phase
         )
+        if fused_critic_update:
+            # the combined kernel folds the agent axis; configs with no
+            # Mosaic-legal fold (e.g. 19 agents at small batches) default
+            # back to the split path, whose per-pass actor kernel never
+            # folds
+            from rware_tpu.ops.pallas_update import _pick_fold_rb_chunk
+
+            try:
+                _pick_fold_rb_chunk(n_local // LANE, n_agents)
+            except ValueError:
+                fused_critic_update = False
     if fused_critic_update and msg != 0:
         raise ValueError("fused_critic_update requires msg_bits=0")
     if fused_critic_update and fused_actor_phase:
@@ -366,8 +383,18 @@ def build_mappo_train_step(
     if fused_actor_update is None:
         fused_actor_update = collect_mode == "pallas"
 
+    if fused_critic_phase and not fused_critic_update:
+        raise ValueError("fused_critic_phase requires the combined path")
+    if fused_critic_phase and (mesh is not None or msg != 0):
+        raise ValueError(
+            "fused_critic_phase requires mesh=None and msg_bits=0 (the "
+            "optimizer runs in-kernel, so there is no per-minibatch "
+            "gradient to pmean)"
+        )
+
     if fused_critic_update:
         from rware_tpu.ops.pallas_update import (
+            _critic_perm,
             build_fused_critic_values,
             build_fused_mappo_grads,
         )
@@ -378,6 +405,30 @@ def build_mappo_train_step(
             rollout_len=cfg.rollout_len, mb_rows=n_local // LANE,
             hidden=tuple(critic.hidden), interpret=interpret,
         )
+        mappo_phase_fn = None
+        perm = inv_perm = None
+        if fused_critic_phase:
+            from rware_tpu.ops.pallas_update import (
+                build_fused_mappo_update_phase,
+            )
+
+            perm, inv_perm = _critic_perm(obs_dim, n_agents)
+            mappo_phase_fn = build_fused_mappo_update_phase(
+                obs_len=obs_dim,
+                hidden=tuple(actor.hidden),
+                n_actions=env.n_actions,
+                dataset_len=cfg.rollout_len,
+                n_agents=n_agents,
+                mb_rows=n_local // LANE,
+                epochs=cfg.epochs,
+                minibatches=cfg.minibatches,
+                clip_eps=cfg.clip_eps,
+                vf_coef=cfg.vf_coef,
+                ent_coef=cfg.ent_coef,
+                max_grad_norm=cfg.max_grad_norm,
+                critic_hidden=tuple(critic.hidden),
+                interpret=interpret,
+            )
         grads_fn = build_fused_mappo_grads(
             obs_len=obs_dim,
             hidden=tuple(actor.hidden),
@@ -468,6 +519,7 @@ def build_mappo_train_step(
         # exclusions as IPPO's phase kernel: no message head, no mesh
         # (the optimizer is in-kernel, so there is no per-minibatch
         # gradient to pmean).
+        mappo_phase_fn = None
         if fused_actor_phase is None:
             fused_actor_phase = False
         if fused_actor_phase and (mesh is not None or msg != 0):
@@ -517,6 +569,7 @@ def build_mappo_train_step(
             return cp, copt, v_losses
     else:
         phase_fn = None
+        mappo_phase_fn = None
 
         def grads_fn(params, batch):
             (loss, metrics), grads = jax.value_and_grad(
@@ -570,7 +623,12 @@ def build_mappo_train_step(
                 return jnp.concatenate([x, x[: tmb]], axis=0)
 
             exts = (ext(joint), ext(values), ext(targets))
-        if fused_actor_update and phase_fn is not None:
+        if fused_critic_update and mappo_phase_fn is not None:
+            (params, opt_state), metrics = mappo_update_phase_fused(
+                cfg, runner.params, runner.opt_state, dataset, k_perm,
+                mappo_phase_fn, perm, inv_perm,
+            )
+        elif fused_actor_update and phase_fn is not None:
             from rware_tpu.models.ippo_pallas import (
                 phase_window_starts,
                 ppo_update_phase_fused,
@@ -943,3 +1001,144 @@ def build_rnn_mappo_train_step(
             carry=None, key=None, update_idx=None),
         env_fields=("env_states", "obs", "carry"), axis=mesh_axis,
     )
+
+
+def _critic_params_to_arrays(cparams, perm):
+    """CentralCritic params -> the kernel-layout blocks of
+    build_fused_mappo_grads / build_fused_mappo_update_phase (dense_0
+    rows permuted to the joint-feature order l*N + n)."""
+    p = cparams["params"]
+    return [
+        p["dense_0"]["kernel"][perm], p["dense_0"]["bias"][None, :],
+        p["dense_1"]["kernel"], p["dense_1"]["bias"][None, :],
+        p["value"]["kernel"], p["value"]["bias"][None, :],
+    ]
+
+
+def _arrays_to_critic_params(arrays, like, inv_perm):
+    c0, cb0, c1, cb1, cv, cbv = arrays
+    tpl = like["params"]
+
+    def leaf(new, old):
+        return new.astype(old.dtype)
+
+    return {
+        "params": {
+            "dense_0": {
+                "kernel": leaf(c0[inv_perm], tpl["dense_0"]["kernel"]),
+                "bias": leaf(cb0[0], tpl["dense_0"]["bias"]),
+            },
+            "dense_1": {
+                "kernel": leaf(c1, tpl["dense_1"]["kernel"]),
+                "bias": leaf(cb1[0], tpl["dense_1"]["bias"]),
+            },
+            "value": {
+                "kernel": leaf(cv, tpl["value"]["kernel"]),
+                "bias": leaf(cbv[0], tpl["value"]["bias"]),
+            },
+        }
+    }
+
+
+def mappo_update_phase_fused(cfg, params, opt_state, dataset, key,
+                             update_fn, perm, inv_perm):
+    """Run the whole-phase MAPPO kernel
+    (ops/pallas_update.build_fused_mappo_update_phase) and rebuild the
+    split optax state around it — the MAPPO analogue of
+    ippo_pallas.ppo_update_phase_fused (same window starts / advantage
+    stats / Adam hyper rows; the kernel owns both clip->Adam chains)."""
+    from rware_tpu.models.ippo import make_lr_schedule
+    from rware_tpu.models.ippo_pallas import (
+        _arrays_to_params,
+        _params_to_arrays,
+        phase_window_starts,
+    )
+
+    obs, action, logp_old, value_old, adv, target = dataset
+    t_full = action.shape[0]
+    mb_t = t_full // cfg.minibatches
+    P = cfg.epochs * cfg.minibatches
+
+    tb = getattr(update_fn, "time_block", 1)
+    starts = phase_window_starts(cfg, t_full, tb, key)
+
+    t_mean = adv.astype(jnp.float32).mean(axis=(1, 2, 3))
+    t_sqmean = (adv.astype(jnp.float32) ** 2).mean(axis=(1, 2, 3))
+    widx = (starts[:, None] + jnp.arange(mb_t)[None, :]) % t_full
+    w_mean = t_mean[widx].mean(axis=1)
+    w_var = jnp.maximum(t_sqmean[widx].mean(axis=1) - w_mean**2, 0.0)
+    advstats = jnp.stack(
+        [w_mean, 1.0 / (jnp.sqrt(w_var) + 1e-8)], axis=1
+    )
+
+    a_adam = opt_state["actor"][1][0]
+    c_adam = opt_state["critic"][1][0]
+    count = a_adam.count
+    sched = make_lr_schedule(cfg)
+    q = jnp.arange(P, dtype=jnp.int32)
+    t_adam = (count + q + 1).astype(jnp.float32)
+    hyper = jnp.stack(
+        [
+            jax.vmap(lambda c: jnp.asarray(sched(c), jnp.float32))(
+                count + q
+            ),
+            1.0 / (1.0 - jnp.power(0.9, t_adam)),
+            1.0 / (1.0 - jnp.power(0.999, t_adam)),
+        ],
+        axis=1,
+    )
+
+    new_a, new_amu, new_anu, new_c, new_cmu, new_cnu, mets = update_fn(
+        _params_to_arrays(params["actor"]),
+        _params_to_arrays(a_adam.mu),
+        _params_to_arrays(a_adam.nu),
+        _critic_params_to_arrays(params["critic"], perm),
+        _critic_params_to_arrays(c_adam.mu, perm),
+        _critic_params_to_arrays(c_adam.nu, perm),
+        (obs, action, logp_old, value_old, adv, target),
+        starts, advstats, hyper,
+    )
+    new_params = {
+        "actor": _arrays_to_params(new_a, params["actor"]),
+        "critic": _arrays_to_critic_params(
+            new_c, params["critic"], inv_perm
+        ),
+    }
+
+    def bump(part_state, adam, mu, nu, like, to_params):
+        new_adam = adam._replace(
+            count=adam.count + P,
+            mu=to_params(mu, like),
+            nu=to_params(nu, like),
+        )
+        sched_state = part_state[1][1]
+        if "count" in getattr(sched_state, "_fields", ()):
+            sched_state = sched_state._replace(
+                count=sched_state.count + P
+            )
+        return (part_state[0], (new_adam, sched_state))
+
+    new_opt_state = {
+        "actor": bump(
+            opt_state["actor"], a_adam, new_amu, new_anu,
+            params["actor"], _arrays_to_params,
+        ),
+        "critic": bump(
+            opt_state["critic"], c_adam, new_cmu, new_cnu,
+            params["critic"],
+            lambda arrs, like: _arrays_to_critic_params(
+                arrs, like, inv_perm
+            ),
+        ),
+    }
+
+    inv_n = 1.0 / (
+        mb_t * action.shape[1] * action.shape[2] * action.shape[3]
+    )
+    metrics = {
+        "pg_loss": -(mets[:, 0] * inv_n),
+        "v_loss": mets[:, 1] * inv_n,
+        "entropy": mets[:, 2] * inv_n,
+        "approx_kl": mets[:, 3] * inv_n,
+    }
+    return (new_params, new_opt_state), metrics

@@ -343,6 +343,18 @@ def build_seac_ppo_train_step(
         update_mode = (
             "fused" if collect_mode == "pallas" and not msg_mode else "xla"
         )
+        if update_mode == "fused":
+            # the per-agent SEAC kernel folds the N_j sharing axis into
+            # each cell; configs with no Mosaic-legal fold fall back
+            from rware_tpu.ops.pallas_rollout import LANE as _LANE
+            from rware_tpu.ops.pallas_update import _pick_fold_rb_chunk
+
+            try:
+                _pick_fold_rb_chunk(
+                    cfg.n_envs // _LANE, env.n_agents
+                )
+            except ValueError:
+                update_mode = "xla"
     if update_mode == "fused":
         if collect_mode != "pallas" or msg_mode:
             raise ValueError(

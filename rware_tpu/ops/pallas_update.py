@@ -32,6 +32,35 @@ from rware_tpu.ops.pallas_rollout import LANE
 _METRICS = ("pg_sum", "v_sum", "ent_sum", "kl_sum")
 
 
+def _pick_fold_rb_chunk(mb_rows: int, n_fold: int, cap: int = 64) -> int:
+    """Env-row chunk for kernels that FOLD the agent axis into each grid
+    cell (blocks shaped (..., N, rb_chunk, LANE)).
+
+    Mosaic requires a block's last two dims be divisible by (8, 128) or
+    equal to the array dims, so rb_chunk must be a multiple of 8 (or the
+    whole mb_rows).  Among legal divisors of ``mb_rows``, prefer the
+    largest with n_fold * rb_chunk <= 64 (the activation-VMEM sweet
+    spot); fall back to the smallest with n_fold * rb_chunk <= 128
+    (bigger fold, more VMEM — the 12/16-agent configs).  Raises
+    ValueError when no legal chunk exists (callers fall back to
+    per-agent-grid kernels, which never fold)."""
+    legal = [
+        rb for rb in range(1, mb_rows + 1)
+        if mb_rows % rb == 0 and (rb % 8 == 0 or rb == mb_rows)
+    ]
+    small = [rb for rb in legal if n_fold * rb <= cap]
+    if small:
+        return max(small)
+    big = [rb for rb in legal if n_fold * rb <= 2 * cap]
+    if big:
+        return min(big)
+    raise ValueError(
+        f"no Mosaic-legal env-row chunk for mb_rows={mb_rows}, "
+        f"n_fold={n_fold} (agent-folded kernels need rb_chunk % 8 == 0 "
+        f"or rb_chunk == mb_rows, and n_fold * rb_chunk <= 128)"
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class _UpdStatic:
     l: int  # obs length
@@ -292,10 +321,9 @@ def build_fused_ppo_grads(
     T, N = rollout_len, n_agents
     MB = msg_bits
     T_full = dataset_len or T
-    # chunk the env-rows axis so M = rb_chunk*LANE stays <= 4096 (VMEM cap)
-    rb_chunk = mb_rows
-    while rb_chunk > 32 or mb_rows % rb_chunk:
-        rb_chunk -= 1
+    # chunk the env-rows axis so M = rb_chunk*LANE stays <= 4096 (VMEM
+    # cap), Mosaic-legally (rb_chunk % 8 == 0 or == mb_rows)
+    rb_chunk = _pick_fold_rb_chunk(mb_rows, 1, cap=32)
     st = _UpdStatic(
         l=L, h1=H1, h2=H2, a=A, t=T, n=N, mb_rows=mb_rows,
         rb_chunk=rb_chunk,
@@ -701,9 +729,7 @@ def build_fused_seac_ppo_grads(
     """
     L, (H1, H2), A = obs_len, hidden, n_actions
     T, N = rollout_len, n_agents
-    rb_chunk = mb_rows
-    while rb_chunk * N > 64 or mb_rows % rb_chunk:
-        rb_chunk -= 1
+    rb_chunk = _pick_fold_rb_chunk(mb_rows, N)
     TB = phase_time_block(T)
     st = _SeacStatic(
         l=L, h1=H1, h2=H2, a=A, t=T, n=N, mb_rows=mb_rows,
@@ -810,7 +836,7 @@ def build_fused_seac_ppo_grads(
             # folded cells (TB time rows x N_j slabs) exceed the 16 MB
             # default changing-block budget
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024
+                vmem_limit_bytes=112 * 1024 * 1024
             ),
             interpret=interpret,
         )(*inputs)
@@ -909,9 +935,7 @@ def build_fused_ppo_update_phase(
     # dots also grow to M = N*rb_chunk*LANE columns.  TB requires every
     # pass start to be TB-aligned — build returns ``update.time_block``
     # and ppo_update_phase_fused quantises the per-epoch rotation to it.
-    rb_chunk = mb_rows
-    while rb_chunk * N > 64 or mb_rows % rb_chunk:
-        rb_chunk -= 1
+    rb_chunk = _pick_fold_rb_chunk(mb_rows, N)
     C = mb_rows // rb_chunk
     M = N * rb_chunk * LANE
     TB = phase_time_block(T_mb)
@@ -1171,7 +1195,7 @@ def build_fused_ppo_update_phase(
         # folded cells (TB time rows x N agents) push the double-buffered
         # changing blocks past the 16 MB default
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=112 * 1024 * 1024
         ),
         interpret=interpret,
     )
@@ -1501,10 +1525,11 @@ def build_fused_mappo_grads(
     CH1, CH2 = critic_hidden or hidden
     T, N = rollout_len, n_agents
     T_full = dataset_len or T
-    rb_chunk = mb_rows
-    cap = 64 // N if with_actor else 32
-    while rb_chunk > max(cap, 1) or mb_rows % rb_chunk:
-        rb_chunk -= 1
+    rb_chunk = (
+        _pick_fold_rb_chunk(mb_rows, N)
+        if with_actor
+        else _pick_fold_rb_chunk(mb_rows, 1, cap=32)
+    )
     TB = phase_time_block(T)
     st = _MappoStatic(
         l=L, h1=H1, h2=H2, ch1=CH1, ch2=CH2, a=A, t=T, n=N,
@@ -1589,7 +1614,7 @@ def build_fused_mappo_grads(
             ),
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024
+                vmem_limit_bytes=112 * 1024 * 1024
             ),
             interpret=interpret,
         )
@@ -1601,7 +1626,7 @@ def build_fused_mappo_grads(
             out_specs=out_specs,
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024
+                vmem_limit_bytes=112 * 1024 * 1024
             ),
             interpret=interpret,
         )
@@ -1732,9 +1757,7 @@ def build_fused_critic_values(
     L, N = obs_len, n_agents
     CH1, CH2 = hidden
     T = rollout_len
-    rb_chunk = mb_rows
-    while rb_chunk > 32 or mb_rows % rb_chunk:
-        rb_chunk -= 1
+    rb_chunk = _pick_fold_rb_chunk(mb_rows, 1, cap=32)
     TB = phase_time_block(T)
     Mc = rb_chunk * LANE
     perm, _ = _critic_perm(L, N)
@@ -1786,7 +1809,7 @@ def build_fused_critic_values(
         ),
         out_shape=jax.ShapeDtypeStruct((T, N, mb_rows, LANE), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=112 * 1024 * 1024
         ),
         interpret=interpret,
     )
@@ -1804,3 +1827,378 @@ def build_fused_critic_values(
         )
 
     return values
+
+
+def build_fused_mappo_update_phase(
+    obs_len: int,
+    hidden: Tuple[int, int],
+    n_actions: int,
+    dataset_len: int,
+    n_agents: int,
+    mb_rows: int,
+    epochs: int,
+    minibatches: int,
+    clip_eps: float,
+    vf_coef: float,
+    ent_coef: float,
+    max_grad_norm: float,
+    critic_hidden: Optional[Tuple[int, int]] = None,
+    interpret: bool = False,
+):
+    """The ENTIRE MAPPO update phase as ONE Pallas program: every
+    epoch x minibatch pass computes actor AND centralized-critic
+    gradients from one native-obs read (the build_fused_mappo_grads
+    cell), and at each pass boundary BOTH parts step through their own
+    clip_by_global_norm -> Adam chain in-kernel (the split per-part
+    optimizer of models.mappo.make_mappo_optimizer, exact optax
+    semantics).  HBM traffic for the phase = E x M dataset reads + one
+    parameter write per part.
+
+    Returns ``update(aparams, amu, anu, cparams, cmu, cnu, batch, starts,
+    advstats, hyper) -> (new_a, new_amu, new_anu, new_c, new_cmu,
+    new_cnu, metrics (P, 4))`` with the actor arrays in the kernel
+    layout of ippo_pallas._params_to_arrays and the critic arrays in
+    build_fused_mappo_grads' layout (dense_0 rows PRE-PERMUTED by
+    _critic_perm — the caller owns the permute/unpermute, once per
+    phase).  ``starts`` must be multiples of ``update.time_block``.
+    """
+    L, (H1, H2), A = obs_len, hidden, n_actions
+    CH1, CH2 = critic_hidden or hidden
+    T_full, N = dataset_len, n_agents
+    T_mb = T_full // minibatches
+    P = epochs * minibatches
+    rb_chunk = _pick_fold_rb_chunk(mb_rows, N)
+    C = mb_rows // rb_chunk
+    Mc = rb_chunk * LANE
+    Ma = N * Mc
+    TB = phase_time_block(T_mb)
+    cpp = (T_mb // TB) * C
+    total = P * cpp + 1
+    inv_n = 1.0 / (T_mb * N * mb_rows * LANE)
+    eps = clip_eps
+    b1, b2 = 0.9, 0.999
+    adam_eps = 1e-5
+
+    AC = A + 1
+    ashapes = [(L, H1), (1, H1), (H1, H2), (1, H2), (H2, AC), (1, AC)]
+    cshapes = [
+        (L * N, CH1), (1, CH1), (CH1, CH2), (1, CH2), (CH2, N), (1, N),
+    ]
+    pshapes = ashapes + cshapes
+    NA = len(ashapes)
+    NP = len(pshapes)
+
+    def decode(i):
+        p = jnp.minimum(i // cpp, P - 1)
+        local = jnp.minimum(i - p * cpp, cpp - 1)
+        t = local // C
+        c = local % C
+        return p, t, c
+
+    def kernel(*refs):
+        refs = list(refs)
+        starts_ref = refs.pop(0)  # scalar-prefetch (P,)
+        advstats_ref = refs.pop(0)  # SMEM (P, 2)
+        hyper_ref = refs.pop(0)  # SMEM (P, 3)
+        data_refs = [refs.pop(0) for _ in range(6)]
+        win = [refs.pop(0) for _ in range(NP)]
+        muin = [refs.pop(0) for _ in range(NP)]
+        nuin = [refs.pop(0) for _ in range(NP)]
+        wout = [refs.pop(0) for _ in range(NP)]
+        muout = [refs.pop(0) for _ in range(NP)]
+        nuout = [refs.pop(0) for _ in range(NP)]
+        mets = refs.pop(0)  # SMEM (P, 4)
+        gacc = refs  # NP scratch blocks
+
+        i = pl.program_id(0)
+        p, t, c = decode(i)
+
+        @pl.when(i == 0)
+        def _():
+            for k in range(NP):
+                wout[k][:] = win[k][:]
+                muout[k][:] = muin[k][:]
+                nuout[k][:] = nuin[k][:]
+                gacc[k][:] = jnp.zeros_like(gacc[k])
+
+        # ---- pass boundary: per-PART clip + Adam for the finished pass
+        @pl.when((i > 0) & (i % cpp == 0))
+        def _():
+            q = i // cpp - 1
+            lr = hyper_ref[q, 0]
+            bc1 = hyper_ref[q, 1]
+            bc2 = hyper_ref[q, 2]
+            for lo, hi in ((0, NA), (NA, NP)):
+                sq = jnp.float32(0.0)
+                for k in range(lo, hi):
+                    sq += jnp.sum(gacc[k][:] * gacc[k][:])
+                gn = jnp.sqrt(sq)
+                big = (gn >= max_grad_norm).astype(jnp.float32)
+                scale = big * (
+                    max_grad_norm / jnp.maximum(gn, jnp.float32(1e-30))
+                ) + (1.0 - big)
+                for k in range(lo, hi):
+                    g = gacc[k][:] * scale
+                    mu = b1 * muout[k][:] + (1.0 - b1) * g
+                    nu = b2 * nuout[k][:] + (1.0 - b2) * g * g
+                    muout[k][:] = mu
+                    nuout[k][:] = nu
+                    wout[k][:] = wout[k][:] - lr * (mu * bc1) / (
+                        jnp.sqrt(nu * bc2) + adam_eps
+                    )
+                    gacc[k][:] = jnp.zeros_like(gacc[k])
+
+        @pl.when((i % cpp == 0) & (i < P * cpp))
+        def _():
+            for k in range(4):
+                mets[p, k] = 0.0
+
+        @pl.when(i < P * cpp)
+        def _():
+            (obs_ref, act_ref, logp_ref, oldv_ref, adv_ref,
+             tgt_ref) = data_refs
+            adv_mean = advstats_ref[p, 0]
+            adv_inv_std = advstats_ref[p, 1]
+            dn00 = (((0,), (0,)), ((), ()))
+            dn10 = (((1,), (0,)), ((), ()))
+            dn11 = (((1,), (1,)), ((), ()))
+            one = jnp.bfloat16(1.0)
+            aw0 = wout[0][:].astype(jnp.bfloat16)
+            ab0 = wout[1][:]
+            aw1 = wout[2][:].astype(jnp.bfloat16)
+            ab1 = wout[3][:]
+            awc = wout[4][:]
+            abc = wout[5][:]
+            cw0 = wout[6][:].astype(jnp.bfloat16)
+            cb0 = wout[7][:]
+            cw1 = wout[8][:].astype(jnp.bfloat16)
+            cb1 = wout[9][:]
+            cwv = wout[10][:]
+            cbv = wout[11][:]
+
+            for lt in range(TB):
+                # ---- critic on the joint-feature flatten ----
+                xc = obs_ref[lt].reshape(L * N, Mc)
+                z1c = jax.lax.dot_general(
+                    cw0, xc, dn00, preferred_element_type=jnp.float32
+                )
+                h1c = jnp.tanh((z1c + cb0.T).astype(jnp.bfloat16))
+                z2c = jax.lax.dot_general(
+                    cw1, h1c, dn00, preferred_element_type=jnp.float32
+                )
+                h2c = jnp.tanh((z2c + cb1.T).astype(jnp.bfloat16))
+                h2cf = h2c.astype(jnp.float32)
+                value = (
+                    jax.lax.dot_general(
+                        cwv, h2cf, dn00,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + cbv.T
+                )  # (N, Mc)
+                old_value = oldv_ref[lt].reshape(N, Mc)
+                target = tgt_ref[lt].reshape(N, Mc)
+                vdiff = value - old_value
+                v_clip = old_value + jnp.clip(vdiff, -eps, eps)
+                e1 = value - target
+                e2 = v_clip - target
+                use_e1 = (e1 * e1) >= (e2 * e2)
+                inside_v = ((vdiff > -eps) & (vdiff < eps)).astype(
+                    jnp.float32
+                )
+                dvalue = (vf_coef * inv_n) * jnp.where(
+                    use_e1, e1, e2 * inside_v
+                )
+                dh2c = jax.lax.dot_general(
+                    cwv, dvalue, dn10, preferred_element_type=jnp.float32
+                )
+                dz2c = dh2c.astype(jnp.bfloat16) * (one - h2c * h2c)
+                dh1c = jax.lax.dot_general(
+                    cw1, dz2c, dn10, preferred_element_type=jnp.float32
+                )
+                dz1c = dh1c.astype(jnp.bfloat16) * (one - h1c * h1c)
+                gacc[6][:] += jax.lax.dot_general(
+                    xc, dz1c, dn11, preferred_element_type=jnp.float32
+                )
+                gacc[7][:] += jnp.sum(
+                    dz1c.astype(jnp.float32), axis=1, keepdims=True
+                ).T
+                gacc[8][:] += jax.lax.dot_general(
+                    h1c, dz2c, dn11, preferred_element_type=jnp.float32
+                )
+                gacc[9][:] += jnp.sum(
+                    dz2c.astype(jnp.float32), axis=1, keepdims=True
+                ).T
+                gacc[10][:] += jax.lax.dot_general(
+                    h2cf, dvalue, dn11, preferred_element_type=jnp.float32
+                )
+                gacc[11][:] += jnp.sum(dvalue, axis=1, keepdims=True).T
+                mets[p, 1] += jnp.sum(0.5 * jnp.maximum(e1 * e1, e2 * e2))
+
+                # ---- actor (agents folded into Ma columns; zero local
+                # value-head gradient) ----
+                xa = obs_ref[lt].reshape(L, Ma)
+                z1 = jax.lax.dot_general(
+                    aw0, xa, dn00, preferred_element_type=jnp.float32
+                )
+                h1b = jnp.tanh((z1 + ab0.T).astype(jnp.bfloat16))
+                z2 = jax.lax.dot_general(
+                    aw1, h1b, dn00, preferred_element_type=jnp.float32
+                )
+                h2b = jnp.tanh((z2 + ab1.T).astype(jnp.bfloat16))
+                h2f = h2b.astype(jnp.float32)
+                hcat = (
+                    jax.lax.dot_general(
+                        awc, h2f, dn00,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + abc.T
+                )
+                logits = hcat[:A]
+                action = act_ref[lt].reshape(1, Ma)
+                old_logp = logp_ref[lt].reshape(1, Ma)
+                adv = adv_ref[lt].reshape(1, Ma)
+                mx = jnp.max(logits, axis=0, keepdims=True)
+                sm = jnp.exp(logits - mx)
+                z = jnp.sum(sm, axis=0, keepdims=True)
+                lsm = logits - mx - jnp.log(z)
+                pr = sm / z
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (A, Ma), 0)
+                    == action
+                )
+                logp = jnp.sum(
+                    jnp.where(onehot, lsm, 0.0), axis=0, keepdims=True
+                )
+                ratio = jnp.exp(logp - old_logp)
+                advn = (adv - adv_mean) * adv_inv_std
+                ratio_c = jnp.clip(ratio, 1.0 - eps, 1.0 + eps)
+                pg1 = ratio * advn
+                pg2 = ratio_c * advn
+                obj = jnp.minimum(pg1, pg2)
+                use1 = pg1 <= pg2
+                inside = ((ratio > 1.0 - eps) & (ratio < 1.0 + eps)).astype(
+                    jnp.float32
+                )
+                dobj_dratio = jnp.where(use1, advn, advn * inside)
+                dlogp = -inv_n * dobj_dratio * ratio
+                ent = -jnp.sum(pr * lsm, axis=0, keepdims=True)
+                dlogits = dlogp * (onehot.astype(jnp.float32) - pr) + (
+                    ent_coef * inv_n
+                ) * pr * (lsm + ent)
+                dcat = jnp.concatenate(
+                    [dlogits, jnp.zeros((1, Ma), jnp.float32)], axis=0
+                )
+                dh2 = jax.lax.dot_general(
+                    awc, dcat, dn10, preferred_element_type=jnp.float32
+                )
+                dz2b = dh2.astype(jnp.bfloat16) * (one - h2b * h2b)
+                dh1 = jax.lax.dot_general(
+                    aw1, dz2b, dn10, preferred_element_type=jnp.float32
+                )
+                dz1b = dh1.astype(jnp.bfloat16) * (one - h1b * h1b)
+                gacc[0][:] += jax.lax.dot_general(
+                    xa, dz1b, dn11, preferred_element_type=jnp.float32
+                )
+                gacc[1][:] += jnp.sum(
+                    dz1b.astype(jnp.float32), axis=1, keepdims=True
+                ).T
+                gacc[2][:] += jax.lax.dot_general(
+                    h1b, dz2b, dn11, preferred_element_type=jnp.float32
+                )
+                gacc[3][:] += jnp.sum(
+                    dz2b.astype(jnp.float32), axis=1, keepdims=True
+                ).T
+                gacc[4][:] += jax.lax.dot_general(
+                    h2f, dcat, dn11, preferred_element_type=jnp.float32
+                )
+                gacc[5][:] += jnp.sum(dcat, axis=1, keepdims=True).T
+                mets[p, 0] += jnp.sum(obj)
+                mets[p, 2] += jnp.sum(ent)
+                mets[p, 3] += jnp.sum((ratio - 1.0) - (logp - old_logp))
+
+    def tblk(i, sel):
+        p, t, c = decode(i)
+        return (sel[p] // TB + t) % (T_full // TB)
+
+    def obs_map(i, sel):
+        p, t, c = decode(i)
+        return (tblk(i, sel), 0, 0, c, 0)
+
+    def vec_map(i, sel):
+        p, t, c = decode(i)
+        return (tblk(i, sel), 0, c, 0)
+
+    def cmap(shape):
+        return lambda i, sel: tuple(0 for _ in shape)
+
+    def cblock(shape):
+        return pl.BlockSpec(shape, cmap(shape), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # advstats (P, 2)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # hyper (P, 3)
+        pl.BlockSpec(
+            (TB, L, N, rb_chunk, LANE), obs_map, memory_space=pltpu.VMEM
+        ),
+    ]
+    in_specs += [
+        pl.BlockSpec(
+            (TB, N, rb_chunk, LANE), vec_map, memory_space=pltpu.VMEM
+        )
+        for _ in range(5)
+    ]
+    in_specs += [cblock(s) for s in pshapes] * 3
+    out_specs = [cblock(s) for s in pshapes] * 3
+    out_specs.append(
+        pl.BlockSpec((P, 4), lambda i, sel: (0, 0),
+                     memory_space=pltpu.SMEM)
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct(s, jnp.float32) for s in pshapes] * 3
+        + [jax.ShapeDtypeStruct((P, 4), jnp.float32)]
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(total,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM(s, jnp.float32) for s in pshapes],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def update(aparams, amu, anu, cparams, cmu, cnu, batch, starts,
+               advstats, hyper):
+        obs, action, old_logp, old_value, adv, target = batch
+        arrays = (
+            list(aparams) + list(cparams)
+            + list(amu) + list(cmu)
+            + list(anu) + list(cnu)
+        )
+        inputs = (
+            [jnp.asarray(starts, jnp.int32),
+             advstats.astype(jnp.float32), hyper.astype(jnp.float32),
+             obs.astype(jnp.bfloat16), action.astype(jnp.int32),
+             old_logp.astype(jnp.float32), old_value.astype(jnp.float32),
+             adv.astype(jnp.float32), target.astype(jnp.float32)]
+            + [a.astype(jnp.float32) for a in arrays]
+        )
+        outs = list(call(*inputs))
+        new_w = outs[:NP]
+        new_mu = outs[NP:2 * NP]
+        new_nu = outs[2 * NP:3 * NP]
+        mets = outs[3 * NP]
+        return (
+            new_w[:NA], new_mu[:NA], new_nu[:NA],
+            new_w[NA:], new_mu[NA:], new_nu[NA:], mets,
+        )
+
+    update.n_passes = P
+    update.time_block = TB
+    return update

@@ -319,3 +319,49 @@ def test_rnn_mappo_train_step_runs_and_critic_matches_xla():
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
         assert np.abs(a - b).max() < 5e-3, p1
+
+
+def test_mappo_phase_kernel_matches_per_pass():
+    """The whole-phase MAPPO kernel (both parts' E x M passes + both
+    clip->Adam chains in ONE Pallas program) produces the same updated
+    params and optimizer state as the per-pass combined kernel + optax
+    (same deterministic trajectory, same window starts)."""
+    from rware_tpu.models.mappo import (
+        build_mappo_train_step,
+        init_mappo_runner,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=2, minibatches=2
+    )
+    runner, actor, critic, tx = init_mappo_runner(
+        env, cfg, jax.random.key(0)
+    )
+    outs = {}
+    for phase in (False, True):
+        ts = jax.jit(
+            build_mappo_train_step(
+                env, actor, critic, tx, cfg, interpret=True,
+                deterministic_collect=True, fused_critic_update=True,
+                fused_critic_phase=phase,
+            )
+        )
+        r1, _ = ts(runner)
+        r2, _ = ts(r1)
+        outs[phase] = r2
+    for (p1, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(outs[False].params)[0],
+        jax.tree_util.tree_flatten_with_path(outs[True].params)[0],
+    ):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-8)
+        assert np.abs(a - b).max() / scale < 2e-3, p1
+    # optimizer counts advanced identically on both parts
+    fa = jax.tree.leaves(outs[False].opt_state)
+    fb = jax.tree.leaves(outs[True].opt_state)
+    for a, b in zip(fa, fb):
+        if np.asarray(a).ndim == 0:
+            assert int(a) == int(b)

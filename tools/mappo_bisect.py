@@ -37,7 +37,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-envs", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--stages", default="ABCDEFGV")
+    ap.add_argument("--stages", default="ABCDEFGHV")
     args = ap.parse_args()
 
     import rware_tpu
@@ -172,6 +172,10 @@ def main():
         fused_actor_phase=True,
     )
     g_full = build_mappo_train_step(env, actor, critic, tx, cfg)
+    h_full = build_mappo_train_step(
+        env, actor, critic, tx, cfg, fused_critic_update=True,
+        fused_critic_phase=True,
+    )
 
     def e_body(i, carry):
         return e_full(carry)[0]
@@ -181,6 +185,9 @@ def main():
 
     def g_body(i, carry):
         return g_full(carry)[0]
+
+    def h_body(i, carry):
+        return h_full(carry)[0]
 
     from rware_tpu.ops.pallas_update import build_fused_critic_values
 
@@ -237,6 +244,10 @@ def main():
               + r.env_states.agent_x.sum().astype(jnp.float32),
               runner),
         "G": ("full combined-kernel", g_body,
+              lambda r: leaf0(r.params)
+              + r.env_states.agent_x.sum().astype(jnp.float32),
+              runner),
+        "H": ("full combined-PHASE", h_body,
               lambda r: leaf0(r.params)
               + r.env_states.agent_x.sum().astype(jnp.float32),
               runner),

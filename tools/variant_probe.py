@@ -55,8 +55,8 @@ def main():
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument(
         "--variant",
-        choices=["mlp", "gru", "gru-msg", "mappo", "image", "seac", "msg",
-                 "all"],
+        choices=["mlp", "gru", "gru-msg", "mappo", "rnn-mappo", "image",
+                 "seac", "msg", "all"],
         default="all",
     )
     p.add_argument(
@@ -131,6 +131,22 @@ def main():
         ts = jax.jit(build_mappo_train_step(env, actor, critic, tx, cfg))
         probe("MAPPO central-critic PPO (tiny-2ag)", ts, runner,
               cfg.n_envs, cfg.rollout_len)
+
+    if "rnn-mappo" in want:
+        from rware_tpu.models.mappo import (
+            build_rnn_mappo_train_step,
+            init_rnn_mappo_runner,
+        )
+
+        env = rware_tpu.make("rware-tiny-2ag-v2")
+        runner, actor, critic, tx = init_rnn_mappo_runner(
+            env, cfg, jax.random.key(0)
+        )
+        ts = jax.jit(
+            build_rnn_mappo_train_step(env, actor, critic, tx, cfg)
+        )
+        probe("recurrent MAPPO, GRU actor + central critic (tiny-2ag)",
+              ts, runner, cfg.n_envs, cfg.rollout_len)
 
     if "image" in want:
         from rware_tpu.models.ippo_pallas import (
