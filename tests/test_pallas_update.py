@@ -526,3 +526,24 @@ def test_fused_critic_values_match_native_forward(mappo_case):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-2 * scale,
     )
+
+
+def test_pick_fold_rb_chunk_is_mosaic_legal():
+    """Agent-folded kernels must pick env-row chunks that are multiples
+    of 8 sublanes (or the whole extent) — the rule the first 16-agent
+    end-to-end training run tripped over on hardware."""
+    from rware_tpu.ops.pallas_update import _pick_fold_rb_chunk
+
+    for mb_rows in (4, 8, 16, 32, 128):
+        for n in (1, 2, 6, 8, 12, 16):
+            try:
+                rb = _pick_fold_rb_chunk(mb_rows, n)
+            except ValueError:
+                continue
+            assert mb_rows % rb == 0
+            assert rb % 8 == 0 or rb == mb_rows, (mb_rows, n, rb)
+    # 16 agents at 32 env rows: the 2x-VMEM fallback fold
+    assert _pick_fold_rb_chunk(32, 16) == 8
+    # 19 agents at 16 env rows: no legal fold -> callers fall back
+    with pytest.raises(ValueError):
+        _pick_fold_rb_chunk(16, 19)
