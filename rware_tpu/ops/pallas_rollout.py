@@ -316,6 +316,17 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
     any_delivered = jnp.zeros((SUB, LANE), dtype=jnp.bool_)
     if R and st.debug_level < 2:
         scell_new = sy * W + sx  # post-move shelf cells
+        # per-goal in-queue membership: a full rebuild costs 2*R*S ops;
+        # when several goals share a step and R is large, build ONCE and
+        # update the <=1 changed slot incrementally per goal (~7*S) —
+        # semantics identical (each goal sees the queue as updated by the
+        # goals before it, the reference's sequential order)
+        incremental = R * 2 * (len(goals) - 1) > 7 * len(goals)
+        in_queue = None
+        if incremental:
+            in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
+            for r_i in range(R):
+                in_queue |= shelf_rows == q[r_i]
         for gx, gy in goals:
             at_goal = scell_new == (gy * W + gx)
             has_shelf = jnp.any(at_goal, axis=0)
@@ -326,10 +337,10 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
             delivered = has_shelf & jnp.any(
                 in_q_slot, axis=0
             )
-            # in-queue mask over shelves
-            in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
-            for r_i in range(R):
-                in_queue |= shelf_rows == q[r_i]
+            if not incremental:
+                in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
+                for r_i in range(R):
+                    in_queue |= shelf_rows == q[r_i]
             any_candidate = jnp.any(~in_queue, axis=(0,))
             if st.scripted:
                 # deterministic: lowest-index non-queued shelf
@@ -357,6 +368,17 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
             # crashes here); keep the delivered shelf requested instead
             repl = jnp.where(any_candidate, repl, sid)
             q = jnp.where(delivered & in_q_slot, repl, q)
+            if incremental:
+                # reflect the slot swap: sid leaves the queue, repl
+                # enters (order matters: repl == sid at the R == S edge
+                # must stay requested)
+                repl_row = repl if repl.ndim == 2 else repl[0]
+                in_queue = in_queue & ~(
+                    delivered[None] & (shelf_rows == sid[None])
+                )
+                in_queue = in_queue | (
+                    delivered[None] & (shelf_rows == repl_row[None])
+                )
 
             # reward by type (INDIVIDUAL/TWO_STAGE credit the agent
             # on the goal; none -> last agent, the reference's

@@ -264,3 +264,57 @@ def test_scripted_dynamics_match_xla_16_agents_contended():
     np.testing.assert_allclose(
         np.asarray(rew), np.asarray(rews).sum(1), atol=1e-6
     )
+
+
+def test_scripted_delivery_incremental_queue_path():
+    """Delivery + queue resample on a config whose R triggers the
+    INCREMENTAL in-queue bitmap (R > 4 with 2 goals): both goals deliver
+    in the same step — goal 2 must see the queue as updated by goal 1
+    (the reference's sequential order), matching the XLA engine exactly."""
+    env = rware_tpu.make("rware-medium-6ag-v2")  # R = 6 -> incremental
+    cfg = env.config
+    (g0x, g0y), (g1x, g1y) = (
+        (int(x), int(y)) for x, y in env.layout.goals[:2]
+    )
+    n = env.n_agents
+    # agents 0 and 1 carry requested shelves 0 and 1 one cell above each
+    # goal; everyone else parked far away
+    pos = [(g0x, g0y - 1, DOWN), (g1x, g1y - 1, DOWN)]
+    pos += [(2 + i, 0, UP) for i in range(n - 2)]
+    single = make_state(
+        cfg, pos, carrying=[0, 1] + [-1] * (n - 2),
+        queue=list(range(cfg.request_queue_size)),
+    )
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (ENV_BLOCK,) + x.shape), single
+    )
+    states = states.replace(
+        key=jax.random.split(jax.random.key(0), ENV_BLOCK)
+    )
+    acts = jnp.zeros((1, ENV_BLOCK, n), dtype=jnp.int32)
+    acts = acts.at[0, :, 0].set(1).at[0, :, 1].set(1)  # both FORWARD
+
+    roll = build_pallas_rollout(cfg, 1, scripted=True, interpret=True)
+    new_state, rew, epis = roll(states, 0, acts)
+    final, (rews, dones) = xla_rollout(env, states, acts)
+    # queue replacement draws differ by design (scripted kernel:
+    # deterministic lowest-index; XLA engine: RNG) — dynamics only
+    for f in DYNAMICS_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(new_state, f)),
+            np.asarray(getattr(final, f)),
+            err_msg=f,
+        )
+    np.testing.assert_allclose(
+        np.asarray(rew), np.asarray(rews).sum(1), atol=1e-6
+    )
+    # both deliveries paid out; sequential goal processing: the first
+    # delivery's slot takes shelf R (lowest non-queued), and the first
+    # DELIVERED shelf — now out of the queue — is the lowest candidate
+    # when the second goal resamples
+    np.testing.assert_allclose(np.asarray(rew[0, :2]), [1.0, 1.0])
+    q = np.asarray(new_state.request_queue)[0].tolist()
+    R = cfg.request_queue_size
+    assert R in q, q
+    assert (0 in q) != (1 in q), q  # exactly one re-entered
+    assert len(set(q)) == len(q)
