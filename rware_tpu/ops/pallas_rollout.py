@@ -763,6 +763,11 @@ def build_pallas_rollout(
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape(b),
+            # big-grid/high-N configs (S~224, N=19) need ~18 MB of scoped
+            # stack for the step temporaries — over the 16 MB default
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 * 1024 * 1024
+            ),
             interpret=interpret,
         )(*inputs)
         outs = list(outs)

@@ -271,7 +271,7 @@ def test_scripted_delivery_incremental_queue_path():
     INCREMENTAL in-queue bitmap (R > 4 with 2 goals): both goals deliver
     in the same step — goal 2 must see the queue as updated by goal 1
     (the reference's sequential order), matching the XLA engine exactly."""
-    env = rware_tpu.make("rware-medium-6ag-v2")  # R = 6 -> incremental
+    env = rware_tpu.make("rware-large-8ag-v2")  # R = 8 -> incremental
     cfg = env.config
     (g0x, g0y), (g1x, g1y) = (
         (int(x), int(y)) for x, y in env.layout.goals[:2]
