@@ -365,3 +365,44 @@ def test_mappo_phase_kernel_matches_per_pass():
     for a, b in zip(fa, fb):
         if np.asarray(a).ndim == 0:
             assert int(a) == int(b)
+
+
+def test_mappo_image_obs_combined_kernel():
+    """IMAGE observations flow through the combined actor+critic kernel
+    unchanged (the critic conditions on the joint flattened image
+    features) — one interpret-mode step, finite losses, both parts move."""
+    from rware_tpu.models.mappo import (
+        build_mappo_train_step,
+        init_mappo_runner,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+    from rware_tpu.types import ObservationType
+
+    env = rware_tpu.make(
+        rware_tpu.WarehouseConfig(
+            observation_type=ObservationType.IMAGE, request_queue_size=2
+        )
+    )
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, actor, critic, tx = init_mappo_runner(
+        env, cfg, jax.random.key(0)
+    )
+    ts = jax.jit(
+        build_mappo_train_step(
+            env, actor, critic, tx, cfg, interpret=True,
+            deterministic_collect=True,
+        )
+    )
+    r1, m = ts(runner)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    for part in ("actor", "critic"):
+        diffs = jax.tree.map(
+            lambda a, b: float(
+                jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()
+            ),
+            runner.params[part], r1.params[part],
+        )
+        assert max(jax.tree.leaves(diffs)) > 0, part
