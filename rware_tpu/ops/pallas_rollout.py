@@ -297,10 +297,10 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
         # toggle-load sees PRE-move shelf cells (stale grid; `scell`
         # was packed before any carried shelf moved)
         under = scell == acell_new[i][None]
-        has_under = jnp.any(under, axis=0)
         shelf_under = jnp.max(
             jnp.where(under, shelf_rows, -1), axis=0
         )
+        has_under = shelf_under >= 0  # max is -1 iff nothing underneath
         pickup = toggling & (carrying[i] < 0) & has_under
         # on_highway = not a rack slot
         on_rack = jnp.any(slot_cell == acell_new[i][None], axis=0)
@@ -324,24 +324,26 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
         incremental = R * 2 * (len(goals) - 1) > 7 * len(goals)
         in_queue = None
         if incremental:
-            in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
-            for r_i in range(R):
+            in_queue = shelf_rows == q[0]
+            for r_i in range(1, R):
                 in_queue |= shelf_rows == q[r_i]
         for gx, gy in goals:
             at_goal = scell_new == (gy * W + gx)
-            has_shelf = jnp.any(at_goal, axis=0)
             sid = jnp.max(
                 jnp.where(at_goal, shelf_rows, -1), axis=0
             )
+            has_shelf = sid >= 0  # max is -1 iff no shelf on the goal
             in_q_slot = q == sid  # (R, E)
             delivered = has_shelf & jnp.any(
                 in_q_slot, axis=0
             )
             if not incremental:
-                in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
-                for r_i in range(R):
+                in_queue = shelf_rows == q[0]
+                for r_i in range(1, R):
                     in_queue |= shelf_rows == q[r_i]
-            any_candidate = jnp.any(~in_queue, axis=(0,))
+            # the queue ALWAYS holds exactly R distinct shelves (resample
+            # replaces one slot with a non-queued shelf), so candidate
+            # existence and count are compile-time constants
             if st.scripted:
                 # deterministic: lowest-index non-queued shelf
                 repl = jnp.min(
@@ -350,12 +352,9 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
                     keepdims=True,
                 )
             else:
-                count = jnp.sum(
-                    (~in_queue).astype(jnp.int32), axis=0
-                )
                 k = (
                     (_u32((SUB, LANE)) & np.uint32(0x7FFFFFFF))
-                    % jnp.maximum(count, 1).astype(jnp.uint32)
+                    % np.uint32(max(S - R, 1))
                 ).astype(jnp.int32)
                 acc = jnp.zeros((SUB, LANE), dtype=jnp.int32)
                 repl = jnp.zeros((SUB, LANE), dtype=jnp.int32)
@@ -364,9 +363,10 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
                     hit = avail & (acc == k)
                     repl = jnp.where(hit, s_i, repl)
                     acc += avail.astype(jnp.int32)
-            # R == S edge: no replacement candidate exists (the reference
-            # crashes here); keep the delivered shelf requested instead
-            repl = jnp.where(any_candidate, repl, sid)
+            if S <= R:
+                # R == S edge: no replacement candidate exists (the
+                # reference crashes here); keep the shelf requested
+                repl = sid
             q = jnp.where(delivered & in_q_slot, repl, q)
             if incremental:
                 # reflect the slot swap: sid leaves the queue, repl
