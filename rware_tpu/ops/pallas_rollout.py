@@ -110,6 +110,28 @@ def _draw_distinct(n_draws, m, shape):
     return chosen
 
 
+def _arith_rack_ch(layout) -> int:
+    """column_height when the layout's highway mask exactly equals the
+    parametric formula (rware/warehouse.py:294-326) — rack membership can
+    then be computed arithmetically in-kernel; -1 otherwise (string
+    layouts keep the slot scan)."""
+    import numpy as _np
+
+    ch = getattr(layout, "column_height", None)
+    if ch is None or ch < 0:
+        return -1
+    H, W = layout.grid_size
+    ys = _np.arange(H)[:, None]
+    xs = _np.arange(W)[None, :]
+    mask = (
+        (xs % 3 == 0)
+        | (ys % (ch + 1) == 0)
+        | (ys == H - 1)
+        | ((ys > H - (ch + 3)) & ((xs == W // 2 - 1) | (xs == W // 2)))
+    ).astype(_np.uint8)
+    return int(ch) if _np.array_equal(mask, layout.highways) else -1
+
+
 def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
     """One warehouse transition on env-tiled vectors (shared by the random,
     scripted and collect kernels).
@@ -303,7 +325,23 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
         has_under = shelf_under >= 0  # max is -1 iff nothing underneath
         pickup = toggling & (carrying[i] < 0) & has_under
         # on_highway = not a rack slot
-        on_rack = jnp.any(slot_cell == acell_new[i][None], axis=0)
+        if st.rack_ch >= 0:
+            # parametric layouts: rack membership is the inverted highway
+            # formula (verified against layout.highways at build time)
+            ch1 = st.rack_ch + 1
+            xi, yi = new_ax[i], new_ay[i]
+            hw = (
+                (xi % 3 == 0)
+                | (yi % ch1 == 0)
+                | (yi == H - 1)
+                | (
+                    (yi > H - (st.rack_ch + 3))
+                    & ((xi == W // 2 - 1) | (xi == W // 2))
+                )
+            )
+            on_rack = ~hw
+        else:
+            on_rack = jnp.any(slot_cell == acell_new[i][None], axis=0)
         drop = toggling & (carrying[i] >= 0) & on_rack
         if st.reward_type == RewardType.TWO_STAGE:
             rewards[i] += jnp.where(drop & hd[i], 0.5, 0.0)
@@ -480,6 +518,10 @@ class _Static:
     # message bits per agent (rware/warehouse.py:152,809-814): pure state
     # pass-through for dynamics — set from action columns, cleared on reset
     m: int = 0
+    # >= 0: the layout's highway mask equals the parametric formula with
+    # this column_height (verified at build time), so rack membership is
+    # ~11 arithmetic ops per agent instead of a 2*S slot scan
+    rack_ch: int = -1
 
 
 def _make_kernel(st: _Static, goals: Tuple[Tuple[int, int], ...]):
@@ -651,6 +693,7 @@ def build_pallas_rollout(
         scripted=scripted,
         debug_level=debug_level,
         m=M,
+        rack_ch=_arith_rack_ch(layout),
     )
     goals = tuple((int(x), int(y)) for x, y in layout.goals)
     kernel = _make_kernel(st, goals)
@@ -1722,6 +1765,7 @@ def build_pallas_collect(
         # queue replacement, fixed respawn) so the kernel stays RNG-free
         scripted=deterministic,
         m=M,
+        rack_ch=_arith_rack_ch(layout),
     )
     goals = tuple((int(x), int(y)) for x, y in layout.goals)
     kernel = _make_collect_kernel(
