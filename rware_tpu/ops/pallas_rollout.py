@@ -394,6 +394,13 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
                     (_u32((SUB, LANE)) & np.uint32(0x7FFFFFFF))
                     % np.uint32(max(S - R, 1))
                 ).astype(jnp.int32)
+                # k-th available shelf via the sequential accumulator
+                # chain: a log-depth shift-doubling prefix count was
+                # tried and measured SLOWER on hardware (medium/large
+                # -19% — the serial chain pipelines across steps; the
+                # doubling's 2*S*log(S) extra ops don't pay for the
+                # depth).  tests/test_pallas keeps the selection-
+                # equivalence proof of the two formulas.
                 acc = jnp.zeros((SUB, LANE), dtype=jnp.int32)
                 repl = jnp.zeros((SUB, LANE), dtype=jnp.int32)
                 for s_i in range(S):

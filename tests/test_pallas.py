@@ -318,3 +318,35 @@ def test_scripted_delivery_incremental_queue_path():
     assert R in q, q
     assert (0 in q) != (1 in q), q  # exactly one re-entered
     assert len(set(q)) == len(q)
+
+
+def test_prefix_doubling_resample_selection_equivalence():
+    """The log-depth prefix-count selection (big-grid stochastic queue
+    resample) picks exactly the k-th available shelf, i.e. the same shelf
+    as the sequential accumulator chain it replaced, for any mask/k."""
+    rng = np.random.default_rng(0)
+    for S in (64, 224, 240):
+        for _ in range(20):
+            n_q = rng.integers(1, min(S - 1, 20))
+            in_queue = np.zeros(S, dtype=bool)
+            in_queue[rng.choice(S, n_q, replace=False)] = True
+            k = int(rng.integers(0, S - n_q))
+            # sequential reference
+            acc = 0
+            repl_seq = 0
+            for s_i in range(S):
+                if not in_queue[s_i]:
+                    if acc == k:
+                        repl_seq = s_i
+                    acc += 1
+            # shift-doubling prefix (the kernel's formula)
+            availi = (~in_queue).astype(np.int32)
+            cs = availi.copy()
+            d = 1
+            while d < S:
+                shifted = np.concatenate([np.zeros(d, np.int32), cs[: S - d]])
+                cs = cs + shifted
+                d *= 2
+            hit = (availi == 1) & ((cs - availi) == k)
+            repl_dbl = int(np.max(np.where(hit, np.arange(S), 0)))
+            assert repl_dbl == repl_seq, (S, k)
