@@ -132,6 +132,21 @@ def _arith_rack_ch(layout) -> int:
     return int(ch) if _np.array_equal(mask, layout.highways) else -1
 
 
+def _on_rack_arith(st, x, y, H, W):
+    """Rack membership by the inverted parametric highway formula (valid
+    when st.rack_ch >= 0 — verified by _arith_rack_ch at build time)."""
+    ch1 = st.rack_ch + 1
+    return ~(
+        (x % 3 == 0)
+        | (y % ch1 == 0)
+        | (y == H - 1)
+        | (
+            (y > H - (st.rack_ch + 3))
+            & ((x == W // 2 - 1) | (x == W // 2))
+        )
+    )
+
+
 def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
     """One warehouse transition on env-tiled vectors (shared by the random,
     scripted and collect kernels).
@@ -326,20 +341,7 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
         pickup = toggling & (carrying[i] < 0) & has_under
         # on_highway = not a rack slot
         if st.rack_ch >= 0:
-            # parametric layouts: rack membership is the inverted highway
-            # formula (verified against layout.highways at build time)
-            ch1 = st.rack_ch + 1
-            xi, yi = new_ax[i], new_ay[i]
-            hw = (
-                (xi % 3 == 0)
-                | (yi % ch1 == 0)
-                | (yi == H - 1)
-                | (
-                    (yi > H - (st.rack_ch + 3))
-                    & ((xi == W // 2 - 1) | (xi == W // 2))
-                )
-            )
-            on_rack = ~hw
+            on_rack = _on_rack_arith(st, new_ax[i], new_ay[i], H, W)
         else:
             on_rack = jnp.any(slot_cell == acell_new[i][None], axis=0)
         drop = toggling & (carrying[i] >= 0) & on_rack
@@ -1052,7 +1054,12 @@ def _build_obs_feats(
         if normalised:
             fx = fx / (W - 1)
             fy = fy / (H - 1)
-        on_rack = jnp.any(slot_cid == (ay[i] * W + ax[i])[None], axis=0)
+        if st.rack_ch >= 0:
+            on_rack = _on_rack_arith(st, ax[i], ay[i], H, W)
+        else:
+            on_rack = jnp.any(
+                slot_cid == (ay[i] * W + ax[i])[None], axis=0
+            )
         self_rows = jnp.stack(
             [
                 fx,
@@ -1223,7 +1230,12 @@ def _build_image_feats(
         block = jnp.stack(layer_rows, axis=0).reshape(-1, SUB, LANE)
         rows = block.astype(jnp.bfloat16)
         if self_feats:
-            on_rack = jnp.any(slot_cid == (ay[i] * W + ax[i])[None], axis=0)
+            if st.rack_ch >= 0:
+                on_rack = _on_rack_arith(st, ax[i], ay[i], H, W)
+            else:
+                on_rack = jnp.any(
+                    slot_cid == (ay[i] * W + ax[i])[None], axis=0
+                )
             extra = jnp.stack(
                 [
                     (ad[i] == 0).astype(jnp.float32),
