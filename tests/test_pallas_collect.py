@@ -598,3 +598,42 @@ def test_chunked_collect_matches_unchunked():
             np.asarray(t1[k], np.float32), np.asarray(t2[k], np.float32),
             err_msg=k,
         )
+
+
+@pytest.mark.parametrize(
+    "make_arg,label",
+    [
+        ("rware-medium-6ag-v2", "parametric-medium"),
+        # string layout: rack membership must take the slot-scan fallback
+        # (rack_ch == -1 — the arithmetic highway formula doesn't apply)
+        (
+            rware_tpu.WarehouseConfig(
+                n_agents=2,
+                request_queue_size=2,
+                layout="..g..\n.x.x.\n.xxx.\n.....",
+            ),
+            "string-layout",
+        ),
+    ],
+    ids=["parametric-medium", "string-layout"],
+)
+def test_in_kernel_obs_bit_exact_more_configs(make_arg, label):
+    """Obs bit-exactness beyond tiny-2ag: a bigger parametric grid (the
+    arithmetic on_rack path) and a string layout (the slot-scan
+    fallback)."""
+    env = rware_tpu.make(make_arg)
+    n = env.n_agents
+    L = env.config.policy_obs_length
+    states, _ = batched_reset(env, jax.random.key(2), ENV_BLOCK)
+    model = ActorCritic(n_actions=5)
+    params = model.init(jax.random.key(1), jnp.zeros((1, n, L)))
+    collect = build_pallas_collect(
+        env.config, 8, tc_len=4, interpret=True, deterministic=True
+    )
+    new_state, traj = collect(states, params, 3)
+    xla_obs = jax.vmap(env._obs_fn)(states)
+    np.testing.assert_array_equal(
+        np.asarray(traj["obs"][0], dtype=np.float32),
+        np.asarray(xla_obs),
+        err_msg=label,
+    )
