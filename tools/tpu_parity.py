@@ -103,13 +103,23 @@ def check_rollout(env_id, B=1024, T=32):
     }
 
 
-def check_collect(B=1024, T=16, msg_bits=0):
+def check_collect(B=1024, T=16, msg_bits=0, image=False):
     import rware_tpu
     from rware_tpu.models import ActorCritic
     from rware_tpu.ops.pallas_rollout import build_pallas_collect
     from rware_tpu.parallel import batched_reset
 
-    env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=msg_bits)
+    if image:
+        from rware_tpu.types import ObservationType
+
+        env = rware_tpu.make(
+            rware_tpu.WarehouseConfig(
+                observation_type=ObservationType.IMAGE,
+                request_queue_size=2,
+            )
+        )
+    else:
+        env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=msg_bits)
     L = env.config.policy_obs_length
     states, _ = batched_reset(env, jax.random.key(0), B)
     model = ActorCritic(n_actions=5, msg_bits=msg_bits)
@@ -120,8 +130,12 @@ def check_collect(B=1024, T=16, msg_bits=0):
     jax.block_until_ready(traj["obs"])
     compile_s = round(time.time() - t0, 1)
 
+    from rware_tpu.models.ippo import policy_obs_fn
+
     mismatches = []
-    xla_obs = np.asarray(jax.jit(jax.vmap(env._obs_fn))(states))
+    # the policy view (flattened for IMAGE configs) — what the kernel's
+    # in-kernel policy consumes and the trajectory stores
+    xla_obs = np.asarray(jax.jit(jax.vmap(policy_obs_fn(env)))(states))
     if not np.array_equal(
         np.asarray(traj["obs"][0], dtype=np.float32), xla_obs
     ):
@@ -417,6 +431,7 @@ def main():
     for name, kw in (
         ("collect-tiny-2ag", {}),
         ("collect-msg-bits-2ag", {"msg_bits": 2}),
+        ("collect-image-2ag", {"image": True}),
     ):
         try:
             results[name] = check_collect(**kw)
