@@ -325,7 +325,11 @@ def _env_step_core(st, goals, shelf_rows, slots_x, slots_y, acts, state):
     rewards = [jnp.zeros((SUB, LANE), dtype=jnp.float32) for _ in range(N)]
     new_carrying, new_hd = [], []
     acell_new = [new_ay[i] * W + new_ax[i] for i in range(N)]
-    slot_cell = slots_y * W + slots_x  # (S, SUB, LANE) rack-slot cells
+    # rack-slot cells only needed by the slot-scan fallback (string
+    # layouts); parametric layouts use _on_rack_arith
+    slot_cell = (
+        None if st.rack_ch >= 0 else slots_y * W + slots_x
+    )  # (S, SUB, LANE)
     if st.debug_level >= 3:
         new_carrying = list(carrying)
         new_hd = list(hd)
