@@ -1010,7 +1010,9 @@ def _build_obs_feats(
     in_queue = jnp.zeros((S, SUB, LANE), dtype=jnp.bool_)
     for r_i in range(R):
         in_queue |= shelf_rows_i == q[r_i]
-    slot_cid = slots_y * W + slots_x  # (S, SUB, LANE)
+    # slot-scan fallback only (string layouts); parametric layouts use
+    # _on_rack_arith
+    slot_cid = None if st.rack_ch >= 0 else slots_y * W + slots_x
 
     feats = []
     for i in range(N):
@@ -1141,7 +1143,7 @@ def _build_image_feats(
         in_queue |= (
             jax.lax.broadcasted_iota(jnp.int32, (S, SUB, LANE), 0) == q[r_i]
         )
-    slot_cid = slots_y * W + slots_x
+    slot_cid = None if st.rack_ch >= 0 else slots_y * W + slots_x
 
     need_acc = ImageLayer.ACCESSIBLE in layers
     # per-output-cell world coords for the ACCESSIBLE in-grid mask
