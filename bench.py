@@ -14,9 +14,11 @@ the fixed per-dispatch tunnel RTT of this backend cancels, matching a
 production loop that runs many steps between host syncs.
 
 Default engine is the fused Pallas rollout kernel (one dispatch per env
-block, all state in VMEM); --xla uses the vmap+scan XLA path instead, and
-the benchmark falls back to it automatically for configs the kernel does
-not support (n_agents > 8).
+block, all state in VMEM; the pointer-doubling resolver covers every
+registered config incl. 19 agents — PERF_TABLE.json); --xla uses the
+vmap+scan XLA path instead, and the benchmark falls back to it
+automatically on CPU and for --obs runs (the rollout kernel is TPU-only
+and does not materialise the per-step obs trajectory).
 """
 import argparse
 import json

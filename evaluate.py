@@ -25,7 +25,14 @@ def parse_args():
         help="override the env's message-channel width (ids cannot "
         "express it); must match the checkpointed policy's message head",
     )
-    p.add_argument("--algo", choices=["ippo", "seac"], default="ippo")
+    p.add_argument(
+        "--algo", choices=["auto", "ippo", "seac", "mappo"], default="auto",
+        help="policy type in the checkpoint; 'auto' infers it from the "
+        "checkpoint structure (an 'actor' key means MAPPO, a leading "
+        "agent axis on every leaf means SEAC) — pass it explicitly for "
+        "ambiguous trees, e.g. a 2-agent SEAC stack whose leaves happen "
+        "to have leading dim 2",
+    )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--episodes", type=int, default=128)
     p.add_argument("--max-steps", type=int, default=500)
@@ -63,13 +70,29 @@ def main():
         ckpt = Checkpointer(args.checkpoint_dir)
         tree = ckpt.restore()
         params = tree["params"]
-        if "actor" in params:
+        if args.algo == "mappo" and "actor" not in params:
+            raise SystemExit(
+                "--algo mappo but the checkpoint has no 'actor' key"
+            )
+        if args.algo in ("auto", "mappo") and "actor" in params:
             # MAPPO checkpoint: decentralized execution — evaluation uses
             # the actor only (the central critic is a training-time object)
             params = params["actor"]
         leaves = jax.tree.leaves(params)
-        # SEAC stores per-agent stacks (leading agent axis on every leaf)
-        per_agent_params = all(l.shape[0] == n for l in leaves) and n > 1
+        if args.algo == "auto":
+            # SEAC stores per-agent stacks (leading agent axis on every
+            # leaf); sniffing is ambiguous by construction when a leaf's
+            # leading dim happens to equal n — --algo seac/ippo overrides
+            per_agent_params = (
+                all(l.shape[0] == n for l in leaves) and n > 1
+            )
+        else:
+            per_agent_params = args.algo == "seac"
+            if per_agent_params and not all(l.shape[0] == n for l in leaves):
+                raise SystemExit(
+                    "--algo seac but the checkpoint leaves have no "
+                    f"leading {n}-agent axis"
+                )
         recurrent = "gru" in params.get("params", {})
         ckpt.close()
     else:

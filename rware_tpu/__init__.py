@@ -49,17 +49,24 @@ from rware_tpu.types import (
 
 __version__ = "0.1.0"
 
-# Drop-in compatibility hook: the reference registers its env-id grid as an
-# import side effect (rware/__init__.py:22-39); this package keeps
-# registration an explicit opt-in (register_all) so both can coexist in one
-# process.  Code that only imports and calls gym.make can set
-# RWARE_TPU_AUTO_REGISTER=1 (=image for the -img/-imgdict variants too) to
-# get the reference's import-time behavior.
-_auto = os.environ.get("RWARE_TPU_AUTO_REGISTER", "")
-if _auto and _auto.lower() not in ("0", "false", ""):
-    from rware_tpu.gym_adapter import register_all as _register_all
+# Drop-in compatibility: the reference registers its default env-id grid as
+# an import side effect (rware/__init__.py:22-39), so users following its
+# README expect `import` -> `gym.make` to just work.  Match that by default;
+# RWARE_TPU_NO_REGISTER=1 (or RWARE_TPU_AUTO_REGISTER=0) opts out, and
+# RWARE_TPU_AUTO_REGISTER=image additionally registers the -img/-imgdict
+# variants (image_registration, rware/__init__.py:42-80).  register_all
+# skips ids another package (e.g. the reference itself) already registered,
+# so both can coexist in one process.
+_auto = os.environ.get("RWARE_TPU_AUTO_REGISTER", "1").lower()
+if os.environ.get("RWARE_TPU_NO_REGISTER", "").lower() in ("1", "true"):
+    _auto = "0"
+if _auto not in ("0", "false", ""):
+    try:
+        from rware_tpu.gym_adapter import register_all as _register_all
 
-    _register_all(image=_auto.lower() == "image")
+        _register_all(image=_auto == "image")
+    except ImportError:  # gymnasium not installed: the JAX API still works
+        pass
 
 __all__ = [
     "Action",

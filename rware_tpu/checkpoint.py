@@ -107,8 +107,30 @@ class Checkpointer:
                 args=ocp.args.StandardRestore(pack_keys(template)),
             )
         else:
-            packed = self._mgr.restore(step)
+            try:
+                packed = self._mgr.restore(step)
+            except ValueError as e:
+                if "not found in jax.local_devices" not in str(e):
+                    raise
+                # cross-platform restore (e.g. a TPU-trained checkpoint
+                # evaluated on CPU): the saved sharding names devices this
+                # process doesn't have — re-read every leaf as host numpy
+                # from the array metadata instead
+                packed = self._restore_as_numpy(step)
         return unpack_keys(packed)
+
+    def _restore_as_numpy(self, step: int) -> Any:
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(self.directory, str(step), "default")
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree
+        )
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+        )
 
     @property
     def latest_step(self) -> Optional[int]:

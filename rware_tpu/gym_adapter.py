@@ -389,9 +389,11 @@ def register_all(force: bool = False, image: bool = False) -> int:
     """Register the reference's default env-id grid with gymnasium
     (mirror of rware/__init__.py:22-39: 4 sizes x 1-19 agents x 3
     difficulties; ``image=True`` adds the -img/-imgdict/-Nd variants of
-    ``image_registration``, rware/__init__.py:42-80).  Explicit opt-in —
-    call it, it is not an import side effect — so this package can coexist
-    with the reference in one process.  Any OTHER valid id from the naming
+    ``image_registration``, rware/__init__.py:42-80).  Runs at
+    ``import rware_tpu`` by default, matching the reference's import-time
+    behavior (RWARE_TPU_NO_REGISTER=1 opts out); already-registered ids
+    are skipped unless ``force``, so this package can coexist with the
+    reference in one process.  Any OTHER valid id from the naming
     grammar (sensor ranges, column heights, RxC grids — the reference's
     ``full_registration`` space) works without registration through
     ``rware_tpu.make_gym``.  Returns the number of ids registered."""

@@ -39,11 +39,16 @@ def _pick_fold_rb_chunk(mb_rows: int, n_fold: int, cap: int = 64) -> int:
     Mosaic requires a block's last two dims be divisible by (8, 128) or
     equal to the array dims, so rb_chunk must be a multiple of 8 (or the
     whole mb_rows).  Among legal divisors of ``mb_rows``, prefer the
-    largest with n_fold * rb_chunk <= 64 (the activation-VMEM sweet
-    spot); fall back to the smallest with n_fold * rb_chunk <= 128
-    (bigger fold, more VMEM — the 12/16-agent configs).  Raises
-    ValueError when no legal chunk exists (callers fall back to
-    per-agent-grid kernels, which never fold)."""
+    largest with n_fold * rb_chunk <= cap (the activation-VMEM sweet
+    spot; default cap=64, n_fold=1 callers pass cap=32); fall back to
+    the smallest with n_fold * rb_chunk <= 2 * cap (bigger fold, up to
+    2x the VMEM pressure).  The fallback is the designed path for the
+    12/16-agent configs; for n_fold=1 callers it only triggers on
+    awkward non-power-of-two minibatch sizes and contradicts their
+    "M <= 4096" VMEM budget, so THAT case warns at trace time instead
+    of silently doubling pressure.  Raises ValueError when no legal
+    chunk exists (callers fall back to per-agent-grid kernels, which
+    never fold)."""
     legal = [
         rb for rb in range(1, mb_rows + 1)
         if mb_rows % rb == 0 and (rb % 8 == 0 or rb == mb_rows)
@@ -53,6 +58,17 @@ def _pick_fold_rb_chunk(mb_rows: int, n_fold: int, cap: int = 64) -> int:
         return max(small)
     big = [rb for rb in legal if n_fold * rb <= 2 * cap]
     if big:
+        if n_fold == 1:
+            import warnings
+
+            warnings.warn(
+                f"env-row chunk for mb_rows={mb_rows} exceeds the VMEM "
+                f"sweet spot (rb_chunk = {min(big)} > cap {cap}, so "
+                f"M = {min(big)} * 128): the kernel's live activations "
+                "grow up to 2x over the documented <= 4096 budget; "
+                "prefer power-of-two env batches / minibatch counts",
+                stacklevel=2,
+            )
         return min(big)
     raise ValueError(
         f"no Mosaic-legal env-row chunk for mb_rows={mb_rows}, "
@@ -70,8 +86,10 @@ class _UpdStatic:
     t: int
     n: int  # agents
     mb_rows: int  # env rows per minibatch
-    rb_chunk: int  # env rows per grid cell (M = rb_chunk * LANE <= ~4k,
-    # keeping the ~6 live (H, M) f32 activations under the 16MB VMEM cap)
+    rb_chunk: int  # env rows per grid cell (M = rb_chunk * LANE <= ~4k
+    # for power-of-two batches, keeping the ~6 live (H, M) f32
+    # activations under the 16MB VMEM cap; _pick_fold_rb_chunk's warned
+    # fallback can reach ~8k for awkward mb_rows divisors)
     clip_eps: float
     vf_coef: float
     ent_coef: float
@@ -322,7 +340,9 @@ def build_fused_ppo_grads(
     MB = msg_bits
     T_full = dataset_len or T
     # chunk the env-rows axis so M = rb_chunk*LANE stays <= 4096 (VMEM
-    # cap), Mosaic-legally (rb_chunk % 8 == 0 or == mb_rows)
+    # cap) for power-of-two batches, Mosaic-legally (rb_chunk % 8 == 0
+    # or == mb_rows); awkward divisors take the helper's warned <= 8192
+    # fallback rather than failing
     rb_chunk = _pick_fold_rb_chunk(mb_rows, 1, cap=32)
     st = _UpdStatic(
         l=L, h1=H1, h2=H2, a=A, t=T, n=N, mb_rows=mb_rows,

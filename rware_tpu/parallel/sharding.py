@@ -52,8 +52,39 @@ def shard_env_batch(tree: Any, mesh: Mesh, axis: str = ENV_AXIS) -> Any:
     sharding = env_sharding(mesh, axis)
     if jax.process_count() == 1:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
-    n_proc = jax.process_count()
-    pid = jax.process_index()
+
+    def local_rows(global_shape):
+        """This process's owned [lo, hi) of the global leading axis,
+        derived from the sharding's device assignment (NOT assumed to be
+        the process_index-th contiguous block: a mesh built from a
+        reordered device list owns a different slice, and the old
+        pid-block assumption would assemble a wrong global batch
+        silently)."""
+        idx_map = sharding.devices_indices_map(tuple(global_shape))
+        rows = sorted(
+            {
+                (
+                    idx_map[d][0].start or 0,
+                    idx_map[d][0].stop
+                    if idx_map[d][0].stop is not None
+                    else global_shape[0],
+                )
+                for d in sharding.addressable_devices
+            }
+        )
+        lo, hi = rows[0][0], rows[-1][1]
+        covered = lo
+        for start, stop in rows:
+            if start > covered:
+                raise ValueError(
+                    "shard_env_batch needs each process to own one "
+                    f"contiguous block of the env axis; got rows {rows} "
+                    "for this process (device-to-process assignment is "
+                    "interleaved) — build the mesh from jax.devices() "
+                    "order or use rware_tpu.distributed.global_env_batch"
+                )
+            covered = max(covered, stop)
+        return lo, hi
 
     def leaf(x):
         # typed PRNG keys can't cross the numpy boundary: ship the raw
@@ -66,9 +97,9 @@ def shard_env_batch(tree: Any, mesh: Mesh, axis: str = ENV_AXIS) -> Any:
                 g, impl=jax.random.key_impl(x)
             )
         x = np.asarray(x)
-        per = x.shape[0] // n_proc
+        lo, hi = local_rows(x.shape)
         return jax.make_array_from_process_local_data(
-            sharding, x[pid * per:(pid + 1) * per], global_shape=x.shape
+            sharding, x[lo:hi], global_shape=x.shape
         )
 
     return jax.tree.map(leaf, tree)

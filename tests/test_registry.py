@@ -71,9 +71,10 @@ def test_make_accepts_config_and_overrides():
     assert env2.config == env.config
 
 
-def test_auto_register_env_var_hook():
-    """RWARE_TPU_AUTO_REGISTER=1 reproduces the reference's import-time
-    registration (rware/__init__.py:22-39) for drop-in gym.make use."""
+def test_register_on_import_default():
+    """`import rware_tpu` registers the default grid as an import side
+    effect, matching the reference (rware/__init__.py:22-39) so its
+    README's import -> gym.make flow works unchanged."""
     import os
     import subprocess
     import sys
@@ -84,10 +85,34 @@ def test_auto_register_env_var_hook():
         "e = gym.make('rware-small-3ag-v2'); e.reset(seed=0);"
         "print('ok', e.unwrapped.n_agents)"
     )
+    env = {**os.environ}
+    env.pop("RWARE_TPU_AUTO_REGISTER", None)
+    env.pop("RWARE_TPU_NO_REGISTER", None)
     out = subprocess.run(
         [sys.executable, "-c", code],
-        env={**os.environ, "RWARE_TPU_AUTO_REGISTER": "1"},
-        capture_output=True, text=True, timeout=600,
+        env=env, capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ok 3" in out.stdout
+
+
+def test_no_register_opt_out():
+    """RWARE_TPU_NO_REGISTER=1 suppresses the import side effect (for
+    coexistence with the reference package or registry hygiene)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import rware_tpu, gymnasium as gym;"
+        "assert 'rware-small-3ag-v2' not in gym.registry;"
+        "print('clean')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env={**os.environ, "RWARE_TPU_NO_REGISTER": "1"},
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "clean" in out.stdout

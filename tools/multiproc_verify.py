@@ -21,6 +21,7 @@ import os
 import re
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -53,16 +54,28 @@ def run_layout(n_procs: int, n_dev: int, port: int):
         cmd += TRAIN_ARGS
         if n_procs > 1:
             cmd.append("--distributed")
+        # each worker writes to its own temp FILE (not an OS pipe):
+        # sequential pipe draining could deadlock the process group if a
+        # later worker filled its pipe buffer while blocked inside a
+        # collective that an earlier (still-draining) worker is part of
+        log = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
         procs.append(
-            subprocess.Popen(
-                cmd, env=env, cwd=REPO,
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                text=True,
+            (
+                subprocess.Popen(
+                    cmd, env=env, cwd=REPO,
+                    stdout=log, stderr=subprocess.STDOUT, text=True,
+                ),
+                log,
             )
         )
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=1200)
+    deadline = time.time() + 1200
+    for p, log in procs:
+        p.wait(timeout=max(1, deadline - time.time()))
+    for p, log in procs:
+        log.seek(0)
+        out = log.read()
+        log.close()
         outs.append(out)
         if p.returncode != 0:
             raise RuntimeError(
