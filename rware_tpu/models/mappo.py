@@ -778,7 +778,15 @@ def build_rnn_mappo_train_step(
 
     Minibatches are env bands (recurrent replay cannot slice time), so
     the critic kernel is built per-band (mb_rows = RB/M) rather than in
-    the zero-copy time-window mode the MLP path uses."""
+    the zero-copy time-window mode the MLP path uses.
+
+    Message bits (reference env feature, rware/warehouse.py:150-152,
+    809-814) are fully supported: the GRU collect kernel samples the
+    Bernoulli message head in-kernel and stores agent-major bit rows,
+    the actor replays the joint move+message loss
+    (rnn_ppo_loss_native's 9-entry batch), and the central critic is
+    msg-agnostic — the joint obs already carries neighbours' message
+    features through policy_obs_length."""
     import dataclasses as _dc
 
     from rware_tpu.models.ippo_pallas import compute_gae_native
@@ -798,11 +806,7 @@ def build_rnn_mappo_train_step(
         build_fused_mappo_grads,
     )
 
-    if env.config.msg_bits:
-        raise NotImplementedError(
-            "recurrent MAPPO with message bits is not wired yet; use "
-            "--algo mappo (MLP) or --net gru (IPPO) for msg configs"
-        )
+    msg = env.config.msg_bits
     hidden = (int(actor.embed), int(actor.hidden))
     hg = int(actor.hidden)
     collect = build_pallas_collect(
@@ -875,8 +879,12 @@ def build_rnn_mappo_train_step(
         return cfg.vf_coef * v_loss, v_loss
 
     # env-row axis per dataset entry: (obs_native, obs_replay, done,
-    # action, logp, value, adv, target, h0n)
-    _RB_AXES = (3, 2, 2, 2, 2, 2, 2, 2, 1)
+    # action, logp, value, adv, target, h0n[, bits]) — message bits
+    # (T, N*M, RB, LANE) agent-major rows switch the actor replay to the
+    # joint move+Bernoulli loss (rnn_ppo_loss_native's 9-entry batch);
+    # the central critic is msg-agnostic (the joint obs already carries
+    # the neighbours' message features via policy_obs_length).
+    _RB_AXES = (3, 2, 2, 2, 2, 2, 2, 2, 1) + ((2,) if msg else ())
 
     def train_step(runner: RNNRunnerState):
         key, k_perm = jax.random.split(runner.key, 2)
@@ -908,7 +916,7 @@ def build_rnn_mappo_train_step(
         dataset = (
             traj["obs"], obs_replay, traj["done"], traj["action"],
             traj["logp"], values, advantages, targets, h0n,
-        )
+        ) + ((traj["bits"],) if msg else ())
         # wrapped env-band minibatches without per-epoch rolls (the
         # recurrent-IPPO self-concat trick)
         doubled = tuple(
@@ -923,15 +931,16 @@ def build_rnn_mappo_train_step(
             def minibatch(carry_es, i):
                 params, opt_state = carry_es
                 start = (i * mb - off) % rb
-                (obs_nat, obs_rep, done_b, act_b, logp_b, val_b, adv_b,
-                 tgt_b, h0_b) = tuple(
+                band = tuple(
                     jax.lax.dynamic_slice_in_dim(x, start, mb, ax)
                     for x, ax in zip(doubled, _RB_AXES)
                 )
+                (obs_nat, obs_rep, done_b, act_b, logp_b, val_b, adv_b,
+                 tgt_b, h0_b) = band[:9]
                 abatch = (
                     obs_rep, done_b, act_b, logp_b, val_b, adv_b, tgt_b,
                     h0_b,
-                )
+                ) + band[9:]
                 (_l, ametrics), ag = jax.value_and_grad(
                     actor_loss, has_aux=True
                 )(params["actor"], abatch)

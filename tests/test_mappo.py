@@ -321,6 +321,59 @@ def test_rnn_mappo_train_step_runs_and_critic_matches_xla():
         assert np.abs(a - b).max() < 5e-3, p1
 
 
+def test_rnn_mappo_msg_bits_joint_policy_and_critic_parity():
+    """Recurrent MAPPO WITH message bits — the last capability-frontier
+    combination: GRU actor + Bernoulli message head (joint move+msg loss
+    via rnn_ppo_loss_native's 9-entry batch) + central critic over the
+    msg-augmented joint obs.  Checks the step runs, the message head
+    takes gradient, and the fused critic kernel matches the XLA critic
+    autodiff fallback on the identical deterministic trajectory."""
+    from rware_tpu.models.mappo import (
+        build_rnn_mappo_train_step,
+        init_rnn_mappo_runner,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=2)
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, actor, critic, tx = init_rnn_mappo_runner(
+        env, cfg, jax.random.key(0)
+    )
+    assert actor.msg_bits == 2
+    outs = {}
+    for fused in (True, False):
+        ts = jax.jit(
+            build_rnn_mappo_train_step(
+                env, actor, critic, tx, cfg, interpret=True,
+                deterministic_collect=True, fused_critic_update=fused,
+            )
+        )
+        r1, m1 = ts(runner)
+        outs[fused] = r1
+        for k, v in m1.items():
+            assert np.isfinite(float(v)), k
+        assert int(r1.update_idx) == 1
+    # the message head moved (bits are part of the joint actor loss)
+    msg_diff = jax.tree.map(
+        lambda a, b: float(
+            jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()
+        ),
+        runner.params["actor"]["params"]["message"],
+        outs[True].params["actor"]["params"]["message"],
+    )
+    assert max(jax.tree.leaves(msg_diff)) > 0
+    # fused critic kernel == XLA critic autodiff on the same trajectory
+    for (p1, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(outs[True].params)[0],
+        jax.tree_util.tree_flatten_with_path(outs[False].params)[0],
+    ):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.abs(a - b).max() < 5e-3, p1
+
+
 def test_mappo_phase_kernel_matches_per_pass():
     """The whole-phase MAPPO kernel (both parts' E x M passes + both
     clip->Adam chains in ONE Pallas program) produces the same updated
