@@ -200,3 +200,131 @@ def test_observation_variant_parity(obs_kind):
                 if not np.allclose(np.asarray(ours[i]), np.asarray(obs_ref[i])):
                     errs.append(f"t={t}: obs {i} mismatch")
     assert not errs, "\n".join(errs[:10])
+
+
+@pytest.mark.parametrize("msg_bits", [0, 2])
+def test_dict_observation_field_parity(msg_bits):
+    """Nested DICT obs lockstep vs the live reference, field by field.
+
+    The flatten(DICT)==FLATTENED invariant (test_gym_adapter.py) is the
+    reference's own guarantee; this test additionally pins the
+    RECONSTRUCTED nested structure (key order, location dtype,
+    per-field values — rware/warehouse.py:460-503,676-719) against the
+    reference's actual DICT output each step.  Known deliberate
+    deviation: the reference emits ``local_message: None`` on every
+    sensor cell when msg_bits == 0 (warehouse.py:700-702), which its own
+    declared space rejects — the adapter omits the key instead; the test
+    asserts the reference value IS None there.
+    """
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import jax
+    import jax.numpy as jnp
+    from rware.warehouse import (
+        ObservationType as RefOT,
+        RewardType as RefRT,
+        Warehouse as RefWarehouse,
+    )
+
+    import rware_tpu
+    from rware_tpu.gym_adapter import GymWarehouse
+    from rware_tpu.types import ObservationType
+    from tests.ref_utils import (
+        compare_to_ref,
+        pinned_reference_tiebreak,
+        state_from_ref,
+        sync_queue_from_ref,
+    )
+
+    ref = RefWarehouse(
+        3, 8, 1, 3, msg_bits, 1, 3, None, 500, RefRT.INDIVIDUAL,
+        observation_type=RefOT.DICT,
+    )
+    cfg = rware_tpu.WarehouseConfig(
+        n_agents=3, msg_bits=msg_bits, request_queue_size=3,
+        observation_type=ObservationType.DICT,
+    )
+    adapter = GymWarehouse(cfg)
+    if msg_bits == 0:
+        # space parity (structural equality of the declared nested spaces)
+        assert adapter.observation_space == ref.observation_space
+
+    ref.reset(seed=7)
+    env = rware_tpu.make(cfg)
+    state = state_from_ref(ref, cfg, jax.random.key(0))
+    rng = np.random.default_rng(7)
+    n = cfg.n_agents
+    errs = []
+    for t in range(40):
+        if msg_bits:
+            acts = np.concatenate(
+                [rng.integers(0, 5, (n, 1)), rng.integers(0, 2, (n, msg_bits))],
+                axis=1,
+            )
+            ref_acts = [list(row) for row in acts]
+        else:
+            acts = rng.integers(0, 5, n)
+            ref_acts = list(acts)
+        with pinned_reference_tiebreak(ref):
+            obs_ref, *_ = ref.step(ref_acts)
+        res = env.step(state, jnp.asarray(acts, dtype=jnp.int32))
+        errs += [f"t={t}: {e}" for e in compare_to_ref(res.state, ref)]
+        state = sync_queue_from_ref(res.state, ref)
+        flat = np.asarray(env.observe(state), dtype=np.float32)
+        for i in range(n):
+            mine = adapter._flat_to_dict(flat[i])
+            r = obs_ref[i]
+            # --- self block: key order, values, location dtype
+            if list(mine["self"].keys()) != list(r["self"].keys()):
+                errs.append(f"t={t} a{i}: self key order")
+            if not np.array_equal(
+                np.asarray(mine["self"]["location"]),
+                np.asarray(r["self"]["location"]),
+            ):
+                errs.append(f"t={t} a{i}: location")
+            if np.asarray(mine["self"]["location"]).dtype != np.asarray(
+                r["self"]["location"]
+            ).dtype:
+                errs.append(f"t={t} a{i}: location dtype")
+            for k in ("carrying_shelf", "on_highway"):
+                if list(mine["self"][k]) != list(r["self"][k]):
+                    errs.append(f"t={t} a{i}: {k}")
+            if int(mine["self"]["direction"]) != int(r["self"]["direction"]):
+                errs.append(f"t={t} a{i}: self direction")
+            # --- sensor cells
+            if len(mine["sensors"]) != len(r["sensors"]):
+                errs.append(f"t={t} a{i}: n sensor cells")
+                continue
+            for c, (mc, rc) in enumerate(zip(mine["sensors"], r["sensors"])):
+                if msg_bits == 0:
+                    if rc.get("local_message") is not None:
+                        errs.append(f"t={t} a{i} c{c}: ref local_message")
+                    rkeys = [k for k in rc if k != "local_message"]
+                else:
+                    rkeys = list(rc.keys())
+                    if list(mc["local_message"]) != list(rc["local_message"]):
+                        errs.append(f"t={t} a{i} c{c}: local_message")
+                if list(mc.keys()) != rkeys:
+                    errs.append(f"t={t} a{i} c{c}: sensor key order")
+                for k in ("has_agent", "has_shelf", "shelf_requested"):
+                    if list(mc[k]) != list(rc[k]):
+                        errs.append(f"t={t} a{i} c{c}: {k}")
+                if int(mc["direction"]) != int(rc["direction"]):
+                    errs.append(f"t={t} a{i} c{c}: sensor direction")
+    assert not errs, "\n".join(errs[:10])
+
+
+@pytest.mark.soak
+@pytest.mark.parametrize(
+    "env_id", ["rware-tiny-4ag-v2", "rware-medium-6ag-hard-v2"]
+)
+def test_long_horizon_soak(env_id):
+    """2,000-step lockstep soak: inactivity resets, queue churn and
+    multi-delivery steps compound over horizons the 40-150-step suites
+    never reach (reference compounding sections:
+    rware/warehouse.py:903-946).  Deselected by default (pyproject
+    addopts); run with ``pytest -m soak``."""
+    errs = run_differential(env_id, n_steps=2000, biased=True)
+    errs = [e for e in errs if not e.startswith("deliveries")]
+    assert not errs, "\n".join(errs[:12])
