@@ -63,6 +63,84 @@ def _size(aval):
         return 1
 
 
+# --------------------------------------------------------------------------
+# Roofline v2: decomposition of the residual between logical elem-ops and
+# the VPU peak (VERDICT r4 #4).  Three effects the v1 count ignored:
+#   1. TILE PADDING — the VPU issues whole (8, 128) tiles; an op whose
+#      output is (5, 8192) or (1, 128) burns full sublanes regardless of
+#      the logical row count.  `vpu_slots` counts PADDED elements.
+#   2. TRANSCENDENTAL COST — exp/log/tanh/div/... are multi-pass on the
+#      VPU (~8 issue slots per element vs 1 for add/cmp/select).
+#   3. DATA MOVEMENT — broadcasts, concats, slices, transposes and iota
+#      are vector writes that occupy issue slots but are not "arithmetic";
+#      counted separately (padded) as `layout_slots`.
+# Scalar-shaped ops run on the scalar core and are tallied as `scalar_ops`
+# (they serialize against vector issue only at dependency points).
+# --------------------------------------------------------------------------
+
+_TRANSCENDENTAL = {
+    "exp", "log", "tanh", "logistic", "rsqrt", "sqrt", "pow",
+    "integer_pow", "div", "rem", "erf_inv",
+}
+_TRANS_WEIGHT = 8.0
+
+_LAYOUT_HINTS = {
+    "broadcast_in_dim", "concatenate", "pad", "rev", "slice",
+    "dynamic_slice", "dynamic_update_slice", "squeeze", "expand_dims",
+    "transpose", "reshape", "copy", "iota", "gather", "scatter",
+    "scatter-add", "select_and_scatter_add",
+}
+
+
+def _padded_size(aval):
+    """Elements the op occupies on the VPU: minor dim padded to 128 lanes,
+    second-minor to 8 sublanes (Mosaic tiling)."""
+    try:
+        shape = tuple(int(d) for d in aval.shape)
+    except Exception:
+        return 1
+    if not shape:
+        return 0  # scalar: runs on the scalar core
+    lanes = -(-shape[-1] // 128) * 128
+    subs = -(-shape[-2] // 8) * 8 if len(shape) >= 2 else 8
+    rest = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    return rest * subs * lanes
+
+
+def _tally_v2(eqn, mult, counts):
+    prim = eqn.primitive.name
+    base = prim.split("[")[0]
+    out_logical = sum(_size(v.aval) for v in eqn.outvars)
+    out_padded = sum(_padded_size(v.aval) for v in eqn.outvars)
+    all_scalar = all(
+        not getattr(v.aval, "shape", ()) for v in eqn.outvars
+    )
+    if base in _ELEMWISE_HINTS or base in _TRANSCENDENTAL:
+        if all_scalar:
+            counts["scalar_ops"] += mult
+            return
+        w = _TRANS_WEIGHT if base in _TRANSCENDENTAL else 1.0
+        counts["vpu_slots"] += mult * w * out_padded
+        counts["pad_waste_slots"] += mult * w * (out_padded - out_logical)
+        if base in _TRANSCENDENTAL:
+            counts["trans_extra_slots"] += mult * (w - 1.0) * out_logical
+    elif base in _LAYOUT_HINTS:
+        if all_scalar:
+            counts["scalar_ops"] += mult
+            return
+        counts["layout_slots"] += mult * out_padded
+    elif base == "reduce_sum" or base.startswith("reduce_"):
+        # reductions read the padded INPUT once
+        in_padded = sum(_padded_size(v.aval) for v in eqn.invars
+                        if hasattr(v, "aval"))
+        counts["vpu_slots"] += mult * in_padded
+        counts["pad_waste_slots"] += mult * max(
+            0,
+            in_padded - sum(_size(v.aval) for v in eqn.invars
+                            if hasattr(v, "aval")),
+        )
+
+
 def count_jaxpr(jaxpr, mult=1.0, while_hint=1, counts=None):
     """Recursively tally VPU element-ops and MXU FLOPs in ``jaxpr``.
 
@@ -131,6 +209,7 @@ def count_jaxpr(jaxpr, mult=1.0, while_hint=1, counts=None):
                 counts["vpu_elems"] += mult * sum(
                     _size(v.aval) for v in eqn.outvars
                 )
+            _tally_v2(eqn, mult, counts)
     return counts
 
 
@@ -364,20 +443,54 @@ def agent_sweep(out_path=None, measured=None):
         states, _ = batched_reset(env, jax.random.key(0), B)
         jaxpr = jax.make_jaxpr(lambda s: roll(s, 7))(states)
         c = count_jaxpr(jaxpr.jaxpr, while_hint=T)
-        per = c["vpu_elems"] / (float(B) * T)
+        per_div = float(B) * T
+        per = c["vpu_elems"] / per_div
         row = {
             "env": env_id,
             "n_agents": env.n_agents,
             "grid": list(env.grid_size),
             "vpu_elems_per_env_step": round(per),
+            # --- v2 decomposition (issue slots; see _tally_v2) ---
+            "vpu_slots_per_env_step": round(c["vpu_slots"] / per_div),
+            "pad_waste_slots": round(c["pad_waste_slots"] / per_div),
+            "transcendental_extra_slots": round(
+                c["trans_extra_slots"] / per_div
+            ),
+            "layout_slots_per_env_step": round(
+                c["layout_slots"] / per_div
+            ),
+            "scalar_ops_per_env_step": round(c["scalar_ops"] / per_div, 2),
         }
         m = (measured or {}).get(env_id)
         if m:
             row["measured_steps_per_s"] = m
             row["vpu_fraction"] = round(per * m / VPU_PEAK, 3)
+            # shares of wall-clock implied by each slot category at the
+            # measured rate; 'accounted' sums them — the v2 deliverable
+            arith = c["vpu_slots"] / per_div * m / VPU_PEAK
+            layout = c["layout_slots"] / per_div * m / VPU_PEAK
+            row["share_arith_slots"] = round(arith, 3)
+            row["share_layout_slots"] = round(layout, 3)
+            row["accounted_fraction"] = round(arith + layout, 3)
         rows.append(row)
         print(row, flush=True)
     if out_path:
         with open(out_path, "w") as f:
-            json.dump({"rollout_len": T, "rows": rows}, f, indent=1)
+            json.dump(
+                {
+                    "rollout_len": T,
+                    "slot_model": (
+                        "issue slots = tile-padded output elements; "
+                        "transcendentals (exp/log/tanh/div/...) weighted "
+                        f"x{_TRANS_WEIGHT:.0f}; layout = broadcasts/concats/"
+                        "slices/iota counted separately; peak "
+                        f"{VPU_PEAK:.1e} slots/s (paper VPU peak). See "
+                        "tools/roofline.py _tally_v2 and the measured "
+                        "issue-ceiling calibration in BASELINE.md."
+                    ),
+                    "rows": rows,
+                },
+                f,
+                indent=1,
+            )
     return rows

@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Measured VPU issue-slot ceiling (roofline-v2 calibration).
+
+The paper VPU peak (~6.0e12 elem-op/s on v5e) assumes every ALU issues
+every cycle.  The env kernels are dependency-CHAINED integer/compare/select
+streams over stacked (8,128) tiles — the achievable ceiling for that op mix
+is what "issue-bound" should be measured against.  This tool measures it
+directly with Pallas micro-kernels:
+
+  * serial-f32 / serial-i32: one block, each op consumes the previous op's
+    result (pure dependency chain — the pessimistic bound),
+  * ilp4-f32 / ilp4-i32: four independent chains (what a well-scheduled
+    kernel with independent tile rows can reach),
+  * envmix-i32: an add/compare/select/bitwise mix shaped like the resolver
+    inner loop, on an 8-row stacked block (the realistic case: ops serial,
+    tiles within an op independent).
+
+Cost is slope-timed (tools/timing.py): K applications of the op body
+inside ONE kernel via fori_loop, (t(K_hi) - t(K_lo)) / (K_hi - K_lo); the
+kernel-launch and dispatch RTT cancel.  Writes VPU_CALIBRATION.json with
+achieved slots/s per variant; tools/roofline.py's `measured_ceiling` mode
+then reports env-kernel utilization against the envmix ceiling.
+
+Usage: timeout 3400 python tools/vpu_calibrate.py --out VPU_CALIBRATION.json
+"""
+import argparse
+import functools
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from rware_tpu.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tools.timing import timed_call
+
+SUB, LANE = 8, 128
+_INTERPRET = False
+
+
+def _build(body, rows, n_ops_per_iter, k, dtype, n_blocks=1):
+    """Kernel applying ``body`` k times to (rows*SUB, LANE) block(s)."""
+
+    def kernel(*refs):
+        ins = refs[:n_blocks]
+        outs = refs[n_blocks:]
+        xs = [r[:] for r in ins]
+
+        def step(i, xs):
+            return body(i, xs)
+
+        xs = jax.lax.fori_loop(0, k, step, tuple(xs))
+        for o, x in zip(outs, xs):
+            o[:] = x
+
+    shape = (rows * SUB, LANE)
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(shape, dtype) for _ in range(n_blocks)
+        ),
+        interpret=_INTERPRET,
+    )
+
+    def run(xs):
+        outs = fn(*xs)
+        outs = outs if isinstance(outs, (tuple, list)) else (outs,)
+        return sum(o.astype(jnp.float32).sum() for o in outs)
+
+    return jax.jit(run), shape
+
+
+def measure(name, body, rows, ops_per_iter, dtype, n_blocks=1,
+            k_lo=256, k_hi=2048, repeats=3):
+    elems = rows * SUB * LANE * n_blocks
+
+    def at(k):
+        fn, shape = _build(body, rows, ops_per_iter, k, dtype, n_blocks)
+        if dtype == jnp.int32:
+            xs = tuple(
+                jnp.arange(np.prod(shape), dtype=dtype).reshape(shape) % 97
+                for _ in range(n_blocks)
+            )
+        else:
+            xs = tuple(
+                jnp.linspace(0.1, 1.1, int(np.prod(shape)), dtype=dtype)
+                .reshape(shape)
+                for _ in range(n_blocks)
+            )
+        return timed_call(fn, xs, repeats=repeats)
+
+    t_lo, t_hi = at(k_lo), at(k_hi)
+    per_iter = (t_hi - t_lo) / (k_hi - k_lo)
+    slots_s = ops_per_iter * elems / per_iter
+    row = {
+        "name": name,
+        "rows": rows,
+        "n_blocks": n_blocks,
+        "ops_per_iter": ops_per_iter,
+        "elems": elems,
+        "per_iter_ns": per_iter * 1e9,
+        "achieved_slots_per_s": slots_s,
+        "fraction_of_paper_peak": slots_s / 6.0e12,
+    }
+    print(
+        f"{name:14s} {per_iter*1e9:8.1f} ns/iter  "
+        f"{slots_s/1e12:6.2f}e12 slots/s "
+        f"({row['fraction_of_paper_peak']*100:4.0f}% of paper peak)",
+        flush=True,
+    )
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "VPU_CALIBRATION.json"))
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU smoke (timings meaningless)")
+    ap.add_argument("--k-hi", type=int, default=2048)
+    args = ap.parse_args()
+    global _INTERPRET
+    if args.interpret:
+        _INTERPRET = True
+        jax.config.update("jax_platforms", "cpu")
+
+    meas = functools.partial(measure, k_hi=args.k_hi)
+    rows_out = []
+
+    # serial f32: x = x * 1.0001 + 0.3 (2 ops, one chain)
+    rows_out.append(meas(
+        "serial-f32",
+        lambda i, xs: (xs[0] * jnp.float32(1.0001) + jnp.float32(0.3),),
+        rows=1, ops_per_iter=2, dtype=jnp.float32,
+    ))
+    # serial i32: x = (x + 7) ^ (x >> 1) (3 ops, one chain)
+    rows_out.append(meas(
+        "serial-i32",
+        lambda i, xs: (
+            ((xs[0] + jnp.int32(7))
+             ^ jax.lax.shift_right_logical(xs[0], jnp.int32(1))),
+        ),
+        rows=1, ops_per_iter=3, dtype=jnp.int32,
+    ))
+    # ilp4 f32: four independent chains
+    rows_out.append(meas(
+        "ilp4-f32",
+        lambda i, xs: tuple(
+            x * jnp.float32(1.0001) + jnp.float32(0.3) for x in xs
+        ),
+        rows=1, ops_per_iter=2, dtype=jnp.float32, n_blocks=4,
+    ))
+    # ilp4 i32
+    rows_out.append(meas(
+        "ilp4-i32",
+        lambda i, xs: tuple(
+            (x + jnp.int32(7)) ^ jax.lax.shift_right_logical(
+                x, jnp.int32(1)
+            )
+            for x in xs
+        ),
+        rows=1, ops_per_iter=3, dtype=jnp.int32, n_blocks=4,
+    ))
+
+    # envmix: resolver-shaped mix on an 8-row stacked block — serial ops,
+    # independent tiles (sum of: add, cmp, select, and, min => 5 slots)
+    def envmix(i, xs):
+        x = xs[0]
+        y = x + jnp.int32(3)
+        c = y > jnp.int32(50)
+        z = jnp.where(c, y, x)
+        w = z & jnp.int32(0xFFFF)
+        return (jnp.minimum(w, y),)
+
+    rows_out.append(meas(
+        "envmix-i32-8row", envmix, rows=8, ops_per_iter=5,
+        dtype=jnp.int32,
+    ))
+    rows_out.append(meas(
+        "envmix-i32-1row", envmix, rows=1, ops_per_iter=5,
+        dtype=jnp.int32,
+    ))
+
+    out = {
+        "tool": "tools/vpu_calibrate.py",
+        "platform": jax.devices()[0].platform,
+        "paper_peak_slots_per_s": 6.0e12,
+        "rows": rows_out,
+        "ceiling_envmix_slots_per_s": next(
+            r["achieved_slots_per_s"] for r in rows_out
+            if r["name"] == "envmix-i32-8row"
+        ),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
