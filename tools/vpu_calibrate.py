@@ -81,7 +81,7 @@ def _build(body, rows, n_ops_per_iter, k, dtype, n_blocks=1):
 
 
 def measure(name, body, rows, ops_per_iter, dtype, n_blocks=1,
-            k_lo=256, k_hi=2048, repeats=3):
+            k_lo=131072, k_hi=1048576, repeats=3):
     elems = rows * SUB * LANE * n_blocks
 
     def at(k):
@@ -127,7 +127,7 @@ def main():
                                                   "VPU_CALIBRATION.json"))
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke (timings meaningless)")
-    ap.add_argument("--k-hi", type=int, default=2048)
+    ap.add_argument("--k-hi", type=int, default=1048576)
     args = ap.parse_args()
     global _INTERPRET
     if args.interpret:
