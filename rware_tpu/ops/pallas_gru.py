@@ -540,6 +540,7 @@ def build_gru_obs_fwd(t: int, n: int, rb: int, hg: int, emb: int,
             h0.astype(jnp.bfloat16),
         )
 
+    fwd.tc, fwd.rbc = tc, rbc  # chunk picks, for roofline accounting
     return fwd
 
 
@@ -815,6 +816,7 @@ def build_gru_obs_bwd(t: int, n: int, rb: int, hg: int, emb: int,
             dwh, dbhn.reshape(bhn.shape), dh0,
         )
 
+    bwd.tc, bwd.rbc = tc, rbc  # chunk picks, for roofline accounting
     return bwd
 
 

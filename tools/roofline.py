@@ -494,3 +494,139 @@ def agent_sweep(out_path=None, measured=None):
                 indent=1,
             )
     return rows
+
+
+def gru_roofline(out_path=None, measured_fwd_ms=None, measured_bwd_ms=None,
+                 n_envs=16384, rollout_len=128, minibatches=4,
+                 env_id="rware-tiny-2ag-v2", calibration=None):
+    """DMA-inclusive composite bound for the GRU sequence kernels
+    (VERDICT r4 #1: the ~70%-of-MXU+VPU claim excluded the ~13 us/cell
+    DMA orchestration the kernel docstring names as the floor).
+
+    Per update pass (one minibatch), the bound sums four serial
+    components at their MEASURED ceilings (tools/vpu_calibrate.py ->
+    VPU_CALIBRATION.json):
+
+      dma    = grid cells x 13 us orchestration (pallas_gru.py:18-22)
+      seq    = sequential hidden-dot FLOPs / gru-dot chained-MXU rate
+      batch  = batched embed+gate FLOPs / big-dot MXU rate
+      vpu    = gate-algebra issue slots (v2 count) / envmix VPU rate
+
+    DMA double-buffers behind compute, so the bound is reported BOTH as
+    sum-of-all (no overlap — conservative ceiling on time) and with DMA
+    excluded (full overlap); the achieved fraction is quoted against the
+    overlap bound (the harder one).
+    """
+    import json
+
+    from rware_tpu.ops.pallas_gru import (
+        build_gru_obs_bwd,
+        build_gru_obs_fwd,
+    )
+    import rware_tpu
+
+    env = rware_tpu.make(env_id)
+    n = env.n_agents
+    lf = env.config.policy_obs_length
+    hg = emb = 128
+    t = rollout_len
+    rb = n_envs // 128 // minibatches
+
+    cal = calibration or {}
+    rate_envmix = cal.get("envmix", 0.0)
+    rate_seq_dot = cal.get("gru_dot", 0.0)
+    rate_big_dot = cal.get("big_dot", rate_seq_dot)
+    dma_per_cell = cal.get("dma_per_cell_s", 13e-6)
+
+    rows_out = []
+    for which, build, measured in (
+        ("fwd", build_gru_obs_fwd, measured_fwd_ms),
+        ("bwd", build_gru_obs_bwd, measured_bwd_ms),
+    ):
+        fn = build(t, n, rb, hg, emb, lf)
+        tc, rbc = fn.tc, fn.rbc
+        cells = (rb // rbc) * (t // tc)
+        rows = n * rbc * LANE
+        trows = tc * rows
+
+        obs = jnp.zeros((t, n, rb, LANE, lf), jnp.bfloat16)
+        done = jnp.zeros((t, 1, rb, LANE), jnp.int32)
+        h0 = jnp.zeros((n, rb, LANE, hg), jnp.bfloat16)
+        weights = (
+            jnp.zeros((lf, emb), jnp.bfloat16),
+            jnp.zeros((emb,), jnp.float32),
+            jnp.zeros((emb, 3 * hg), jnp.bfloat16),
+            jnp.zeros((3 * hg,), jnp.float32),
+            jnp.zeros((hg, 3 * hg), jnp.bfloat16),
+            jnp.zeros((hg,), jnp.float32),
+        )
+        if which == "fwd":
+            jx = jax.make_jaxpr(lambda: fn(*weights, obs, done, h0))()
+        else:
+            hseq = jnp.zeros((t, n, rb, LANE, hg), jnp.bfloat16)
+            jx = jax.make_jaxpr(
+                lambda: fn(*weights, obs, done, h0, hseq, hseq)
+            )()
+        c = count_jaxpr(jx.jaxpr, while_hint=1)
+
+        # sequential hidden dots (per step: (rows,hg)x(hg,3hg); bwd adds
+        # the reverse-chain dot dg3 @ wh^T of the same size)
+        steps = cells * tc
+        seq_flops = steps * 2.0 * rows * hg * 3 * hg
+        if which == "bwd":
+            seq_flops *= 2.0
+        batch_flops = max(c["mxu_flops"] - seq_flops, 0.0)
+        vpu_slots = c["vpu_slots"] + c["layout_slots"]
+
+        t_dma = cells * dma_per_cell
+        t_seq = seq_flops / rate_seq_dot if rate_seq_dot else None
+        t_batch = batch_flops / rate_big_dot if rate_big_dot else None
+        t_vpu = vpu_slots / rate_envmix if rate_envmix else None
+        row = {
+            "kernel": f"gru-obs-{which}",
+            "shapes": {"t": t, "n": n, "rb": rb, "tc": tc, "rbc": rbc},
+            "cells": cells,
+            "seq_steps": steps,
+            "seq_mxu_flops": seq_flops,
+            "batch_mxu_flops": batch_flops,
+            "vpu_slots": vpu_slots,
+            "t_dma_ms": t_dma * 1e3,
+        }
+        if all(x is not None for x in (t_seq, t_batch, t_vpu)):
+            bound_overlap = (t_seq + t_batch + t_vpu) * 1e3
+            bound_sum = bound_overlap + t_dma * 1e3
+            row.update({
+                "t_seq_ms": t_seq * 1e3,
+                "t_batch_ms": t_batch * 1e3,
+                "t_vpu_ms": t_vpu * 1e3,
+                "bound_ms_dma_overlapped": bound_overlap,
+                "bound_ms_no_overlap": bound_sum,
+            })
+            if measured:
+                row["measured_ms"] = measured
+                row["achieved_fraction_vs_overlap_bound"] = round(
+                    bound_overlap / measured, 3
+                )
+                row["achieved_fraction_vs_sum_bound"] = round(
+                    bound_sum / measured, 3
+                )
+        rows_out.append(row)
+        print(row, flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "model": (
+                        "per-pass composite bound at measured ceilings "
+                        "(VPU_CALIBRATION.json); see gru_roofline docstring"
+                    ),
+                    "config": {
+                        "n_envs": n_envs, "rollout_len": rollout_len,
+                        "minibatches": minibatches, "env": env_id,
+                    },
+                    "calibration": cal,
+                    "rows": rows_out,
+                },
+                f, indent=1,
+            )
+    return rows_out

@@ -191,6 +191,55 @@ def main():
         dtype=jnp.int32,
     ))
 
+    # gru-dot: the recurrent update's per-step hidden contraction shape —
+    # a dependency-CHAINED (rows, 128) @ (128, 128) bf16 dot (the real
+    # kernel's (rows,128)@(128,384) has the same M/K and 3x N; FLOP rate
+    # transfers).  Measures the achievable MXU rate under the serial
+    # recurrence, launch-free.
+    def _gru_dot_build(rows, k):
+        def kernel(x_ref, w_ref, o_ref):
+            w = w_ref[:]
+
+            def step(i, x):
+                y = jax.lax.dot_general(
+                    x, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return (y * jnp.float32(1e-3)).astype(jnp.bfloat16)
+
+            o_ref[:] = jax.lax.fori_loop(
+                0, k, step, x_ref[:]
+            ).astype(jnp.float32)
+
+        fn = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            interpret=_INTERPRET,
+        )
+        return jax.jit(lambda x, w: fn(x, w).sum())
+
+    for rows in (1024, 4096, 16384):
+        k_lo, k_hi = (512, 4096) if rows >= 16384 else (4096, 32768)
+        x = jnp.ones((rows, 128), jnp.bfloat16) * 0.01
+        w = jnp.ones((128, 128), jnp.bfloat16) * 0.01
+        t_lo = timed_call(_gru_dot_build(rows, k_lo), x, w)
+        t_hi = timed_call(_gru_dot_build(rows, k_hi), x, w)
+        per = (t_hi - t_lo) / (k_hi - k_lo)
+        flops = 2.0 * rows * 128 * 128
+        row = {
+            "name": f"gru-dot-{rows}", "rows": rows,
+            "per_iter_ns": per * 1e9,
+            "achieved_flops_per_s": flops / per,
+            "fraction_of_mxu_peak": flops / per / 197e12,
+        }
+        print(
+            f"gru-dot-{rows}: {per*1e9:.0f} ns/iter "
+            f"{flops/per/1e12:.1f} TFLOP/s "
+            f"({row['fraction_of_mxu_peak']*100:.0f}% MXU)",
+            flush=True,
+        )
+        rows_out.append(row)
+
     out = {
         "tool": "tools/vpu_calibrate.py",
         "platform": jax.devices()[0].platform,
