@@ -107,6 +107,12 @@ def _padded_size(aval):
     return rest * subs * lanes
 
 
+def _in_padded(eqn):
+    return sum(
+        _padded_size(v.aval) for v in eqn.invars if hasattr(v, "aval")
+    )
+
+
 def _tally_v2(eqn, mult, counts):
     prim = eqn.primitive.name
     base = prim.split("[")[0]
@@ -124,11 +130,17 @@ def _tally_v2(eqn, mult, counts):
         counts["pad_waste_slots"] += mult * w * (out_padded - out_logical)
         if base in _TRANSCENDENTAL:
             counts["trans_extra_slots"] += mult * (w - 1.0) * out_logical
+        counts["vop_instances"] += mult * w
+        counts["vop_tiles"] += mult * w * out_padded / 1024.0
+        counts["ldst_slots"] += mult * (_in_padded(eqn) + out_padded)
     elif base in _LAYOUT_HINTS:
         if all_scalar:
             counts["scalar_ops"] += mult
             return
         counts["layout_slots"] += mult * out_padded
+        counts["vop_instances"] += mult
+        counts["vop_tiles"] += mult * out_padded / 1024.0
+        counts["ldst_slots"] += mult * (_in_padded(eqn) + out_padded)
     elif base == "reduce_sum" or base.startswith("reduce_"):
         # reductions read the padded INPUT once
         in_padded = sum(_padded_size(v.aval) for v in eqn.invars
@@ -139,6 +151,9 @@ def _tally_v2(eqn, mult, counts):
             in_padded - sum(_size(v.aval) for v in eqn.invars
                             if hasattr(v, "aval")),
         )
+        counts["vop_instances"] += mult
+        counts["vop_tiles"] += mult * in_padded / 1024.0
+        counts["ldst_slots"] += mult * in_padded
 
 
 def count_jaxpr(jaxpr, mult=1.0, while_hint=1, counts=None):
@@ -203,6 +218,11 @@ def count_jaxpr(jaxpr, mult=1.0, while_hint=1, counts=None):
             k = int(np.prod([lhs.shape[d] for d in lc])) or 1
             out = _size(eqn.outvars[0].aval)
             counts["mxu_flops"] += mult * 2.0 * out * k
+            # large-K contractions (weight gradients: K = batch*time rows)
+            # stream the MXU far better than K~128 activation dots —
+            # tallied separately so composite bounds can rate them apart
+            if k >= 1024:
+                counts["mxu_flops_k_large"] += mult * 2.0 * out * k
         else:
             base = prim.split("[")[0]
             if base in _ELEMWISE_HINTS:
@@ -431,6 +451,34 @@ def agent_sweep(out_path=None, measured=None):
     from rware_tpu.ops.pallas_rollout import build_pallas_rollout
     from rware_tpu.parallel import batched_reset
 
+    # measured issue ceiling for the env-kernel op mix (serial ops over
+    # stacked int tiles) — see tools/vpu_calibrate.py.  Falls back to the
+    # paper peak when no calibration artifact exists.
+    ceiling = VPU_PEAK
+    issue_a = issue_b = None  # per-op fixed + per-tile issue cost (s)
+    cal_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "VPU_CALIBRATION.json",
+    )
+    if os.path.exists(cal_path):
+        with open(cal_path) as f:
+            cal = json.load(f)
+        ceiling = cal["ceiling_envmix_slots_per_s"]
+        by_name = {r["name"]: r for r in cal["rows"]}
+        r1 = by_name.get("envmix-i32-1row")
+        r8 = by_name.get("envmix-i32-8row")
+        if r1 and r8 and r1["per_iter_ns"] > 0 and r8["per_iter_ns"] > 0:
+            # measured per-OP-INSTANCE cost at 1 tile and 8 tiles per op:
+            # t(tiles) = a + b*tiles.  a is the serial issue/dependency
+            # overhead every vector op pays; b is the per-tile streaming
+            # cost.  Model time = a*instances + b*tiles — the calibrated
+            # issue-rate bound the env kernels should be judged against
+            # (their ops are dependency-chained like the envmix probe).
+            t1 = r1["per_iter_ns"] * 1e-9 / r1["ops_per_iter"]
+            t8 = r8["per_iter_ns"] * 1e-9 / r8["ops_per_iter"]
+            issue_b = max((t8 - t1) / 7.0, 0.0)
+            issue_a = max(t1 - issue_b, 0.0)
+
     T, B = 32, 1024
     rows = []
     for env_id in (
@@ -472,6 +520,37 @@ def agent_sweep(out_path=None, measured=None):
             row["share_arith_slots"] = round(arith, 3)
             row["share_layout_slots"] = round(layout, 3)
             row["accounted_fraction"] = round(arith + layout, 3)
+            # same slot count against the MEASURED issue ceiling for this
+            # op mix (VPU_CALIBRATION.json envmix row): ~1.0 here means
+            # the kernel is issue-bound — every residual percent below
+            # the paper peak is the silicon's, not the program's
+            row["utilization_vs_measured_ceiling"] = round(
+                (c["vpu_slots"] + c["layout_slots"]) / per_div * m
+                / ceiling, 3,
+            )
+            # bracket the residue with operand movement: if EVERY vector
+            # operand were loaded from / stored to VMEM (no register
+            # reuse), the extra issue slots would be `ldst`.  Real
+            # kernels keep hot operands in vector registers, so measured
+            # time must land between `accounted` (all-register) and
+            # `accounted + share_ldst` (all-VMEM).
+            ldst = c["ldst_slots"] / per_div * m / ceiling
+            row["share_ldst_slots_upper"] = round(ldst, 3)
+            row["accounted_incl_ldst_upper"] = round(
+                row["utilization_vs_measured_ceiling"] + ldst, 3
+            )
+            if issue_a is not None:
+                # calibrated issue-model bound: every vector op pays the
+                # measured fixed issue cost a plus b per (8,128) tile
+                inst = c["vop_instances"] / per_div
+                tiles = c["vop_tiles"] / per_div
+                t_model = issue_a * inst + issue_b * tiles
+                row["vop_instances_per_env_step"] = round(inst, 2)
+                row["vop_tiles_per_env_step"] = round(tiles, 2)
+                row["issue_model_steps_per_s"] = round(1.0 / t_model)
+                row["achieved_fraction_of_issue_model"] = round(
+                    t_model * m, 3
+                )
         rows.append(row)
         print(row, flush=True)
     if out_path:
@@ -479,6 +558,7 @@ def agent_sweep(out_path=None, measured=None):
             json.dump(
                 {
                     "rollout_len": T,
+                    "measured_issue_ceiling_slots_per_s": ceiling,
                     "slot_model": (
                         "issue slots = tile-padded output elements; "
                         "transcendentals (exp/log/tanh/div/...) weighted "
@@ -512,10 +592,14 @@ def gru_roofline(out_path=None, measured_fwd_ms=None, measured_bwd_ms=None,
       batch  = batched embed+gate FLOPs / big-dot MXU rate
       vpu    = gate-algebra issue slots (v2 count) / envmix VPU rate
 
-    DMA double-buffers behind compute, so the bound is reported BOTH as
-    sum-of-all (no overlap — conservative ceiling on time) and with DMA
-    excluded (full overlap); the achieved fraction is quoted against the
-    overlap bound (the harder one).
+    seq and batch share the MXU, so mxu = seq + batch is one serial
+    stream; the VPU gate algebra and the DMA engines run on separate
+    units that Mosaic pipelines against it.  Two bounds bracket the
+    truth: FLOOR = max(mxu, vpu, dma) (perfect overlap — time can never
+    be below the busiest unit) and CEILING = mxu + vpu + dma (zero
+    overlap).  The achieved fraction is quoted against the FLOOR (the
+    bound that can never be beaten); measured/floor >= 0.85 means the
+    kernel is within 15% of the perfectly-pipelined composite limit.
     """
     import json
 
@@ -523,6 +607,7 @@ def gru_roofline(out_path=None, measured_fwd_ms=None, measured_bwd_ms=None,
         build_gru_obs_bwd,
         build_gru_obs_fwd,
     )
+    from rware_tpu.ops.pallas_rollout import LANE
     import rware_tpu
 
     env = rware_tpu.make(env_id)
@@ -536,6 +621,7 @@ def gru_roofline(out_path=None, measured_fwd_ms=None, measured_bwd_ms=None,
     rate_envmix = cal.get("envmix", 0.0)
     rate_seq_dot = cal.get("gru_dot", 0.0)
     rate_big_dot = cal.get("big_dot", rate_seq_dot)
+    rate_dw_dot = cal.get("dw_dot", rate_big_dot)
     dma_per_cell = cal.get("dma_per_cell_s", 13e-6)
 
     rows_out = []
@@ -575,12 +661,14 @@ def gru_roofline(out_path=None, measured_fwd_ms=None, measured_bwd_ms=None,
         seq_flops = steps * 2.0 * rows * hg * 3 * hg
         if which == "bwd":
             seq_flops *= 2.0
-        batch_flops = max(c["mxu_flops"] - seq_flops, 0.0)
+        large_flops = c["mxu_flops_k_large"]
+        batch_flops = max(c["mxu_flops"] - seq_flops - large_flops, 0.0)
         vpu_slots = c["vpu_slots"] + c["layout_slots"]
 
         t_dma = cells * dma_per_cell
         t_seq = seq_flops / rate_seq_dot if rate_seq_dot else None
         t_batch = batch_flops / rate_big_dot if rate_big_dot else None
+        t_large = large_flops / rate_dw_dot if rate_dw_dot else 0.0
         t_vpu = vpu_slots / rate_envmix if rate_envmix else None
         row = {
             "kernel": f"gru-obs-{which}",
@@ -589,26 +677,34 @@ def gru_roofline(out_path=None, measured_fwd_ms=None, measured_bwd_ms=None,
             "seq_steps": steps,
             "seq_mxu_flops": seq_flops,
             "batch_mxu_flops": batch_flops,
+            "large_k_mxu_flops": large_flops,
             "vpu_slots": vpu_slots,
             "t_dma_ms": t_dma * 1e3,
         }
         if all(x is not None for x in (t_seq, t_batch, t_vpu)):
-            bound_overlap = (t_seq + t_batch + t_vpu) * 1e3
-            bound_sum = bound_overlap + t_dma * 1e3
+            t_mxu = t_seq + t_batch + t_large
+            floor = max(t_mxu, t_vpu, t_dma) * 1e3
+            ceil_ = (t_mxu + t_vpu + t_dma) * 1e3
             row.update({
                 "t_seq_ms": t_seq * 1e3,
                 "t_batch_ms": t_batch * 1e3,
+                "t_large_k_ms": t_large * 1e3,
+                "t_mxu_ms": t_mxu * 1e3,
                 "t_vpu_ms": t_vpu * 1e3,
-                "bound_ms_dma_overlapped": bound_overlap,
-                "bound_ms_no_overlap": bound_sum,
+                "bound_floor_ms": floor,
+                "bound_ceiling_ms": ceil_,
+                "binding_unit": max(
+                    (("mxu", t_mxu), ("vpu", t_vpu), ("dma", t_dma)),
+                    key=lambda kv: kv[1],
+                )[0],
             })
             if measured:
                 row["measured_ms"] = measured
-                row["achieved_fraction_vs_overlap_bound"] = round(
-                    bound_overlap / measured, 3
+                row["achieved_fraction_vs_floor"] = round(
+                    floor / measured, 3
                 )
-                row["achieved_fraction_vs_sum_bound"] = round(
-                    bound_sum / measured, 3
+                row["achieved_fraction_vs_ceiling"] = round(
+                    ceil_ / measured, 3
                 )
         rows_out.append(row)
         print(row, flush=True)

@@ -81,7 +81,10 @@ def _build(body, rows, n_ops_per_iter, k, dtype, n_blocks=1):
 
 
 def measure(name, body, rows, ops_per_iter, dtype, n_blocks=1,
-            k_lo=131072, k_hi=1048576, repeats=3):
+            k_lo=131072, k_hi=8388608, repeats=5):
+    # k_hi sized so kernel time (~50 ms at a few ns/iter) dominates the
+    # tunnel RTT jitter (~±2 ms on a ~45 ms dispatch) — at the old 1M
+    # trip count the slope carried ±30% run-to-run noise.
     elems = rows * SUB * LANE * n_blocks
 
     def at(k):
@@ -127,14 +130,19 @@ def main():
                                                   "VPU_CALIBRATION.json"))
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke (timings meaningless)")
-    ap.add_argument("--k-hi", type=int, default=1048576)
+    ap.add_argument("--k-hi", type=int, default=8388608)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny trip counts (flow check only)")
     args = ap.parse_args()
     global _INTERPRET
     if args.interpret:
         _INTERPRET = True
         jax.config.update("jax_platforms", "cpu")
 
-    meas = functools.partial(measure, k_hi=args.k_hi)
+    if args.smoke:
+        meas = functools.partial(measure, k_lo=4, k_hi=8, repeats=1)
+    else:
+        meas = functools.partial(measure, k_hi=args.k_hi)
     rows_out = []
 
     # serial f32: x = x * 1.0001 + 0.3 (2 ops, one chain)
@@ -218,8 +226,18 @@ def main():
         )
         return jax.jit(lambda x, w: fn(x, w).sum())
 
-    for rows in (1024, 4096, 16384):
-        k_lo, k_hi = (512, 4096) if rows >= 16384 else (4096, 32768)
+    # rows=4096 is the real kernel's sequential hidden-dot M (n x rbc x
+    # LANE at tiny-2ag minibatch shapes); rows=8192 stands in for the
+    # batched embed/gate dots' M=16384 (a chained 16384-row block OOMs the
+    # 16 MB scoped VMEM; the MXU FLOP rate is flat from 4096 up, so the
+    # 8192 rate transfers).
+    # trip counts sized for >= ~40 ms of kernel time at the expected rate
+    gru_ks = {1024: (16384, 131072), 4096: (4096, 32768),
+              8192: (2048, 16384)}
+    for rows in (1024, 4096, 8192):
+        k_lo, k_hi = gru_ks[rows]
+        if args.smoke:
+            k_lo, k_hi = 2, 4
         x = jnp.ones((rows, 128), jnp.bfloat16) * 0.01
         w = jnp.ones((128, 128), jnp.bfloat16) * 0.01
         t_lo = timed_call(_gru_dot_build(rows, k_lo), x, w)
@@ -240,14 +258,139 @@ def main():
         )
         rows_out.append(row)
 
+    # big-dot-ilp4: FOUR independent dot chains interleaved — the MXU
+    # rate for INDEPENDENT batched dots (the GRU kernels' embed/gate and
+    # weight-gradient contractions, which are data-parallel across cells
+    # and time), as opposed to the latency-bound sequential recurrence
+    # the chained variant above measures.
+    def _ilp_dot_build(rows, k, n_chains=4):
+        def kernel(*refs):
+            xs = [r[:] for r in refs[:n_chains]]
+            w = refs[n_chains][:]
+            outs = refs[n_chains + 1:]
+
+            def step(i, xs):
+                return tuple(
+                    (jax.lax.dot_general(
+                        x, w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * jnp.float32(1e-3)).astype(jnp.bfloat16)
+                    for x in xs
+                )
+
+            xs = jax.lax.fori_loop(0, k, step, tuple(xs))
+            for o, x in zip(outs, xs):
+                o[:] = x.astype(jnp.float32)
+
+        fn = pl.pallas_call(
+            kernel,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+                for _ in range(n_chains)
+            ),
+            interpret=_INTERPRET,
+        )
+        return jax.jit(
+            lambda *a: sum(o.sum() for o in fn(*a))
+        )
+
+    rows = 1024
+    k_lo, k_hi = (2, 4) if args.smoke else (4096, 32768)
+    xs4 = tuple(jnp.ones((rows, 128), jnp.bfloat16) * 0.01
+                for _ in range(4))
+    w = jnp.ones((128, 128), jnp.bfloat16) * 0.01
+    t_lo = timed_call(_ilp_dot_build(rows, k_lo), *xs4, w)
+    t_hi = timed_call(_ilp_dot_build(rows, k_hi), *xs4, w)
+    per = (t_hi - t_lo) / (k_hi - k_lo)
+    flops = 4 * 2.0 * rows * 128 * 128
+    row = {
+        "name": "big-dot-ilp4", "rows": rows, "n_chains": 4,
+        "per_iter_ns": per * 1e9,
+        "achieved_flops_per_s": flops / per,
+        "fraction_of_mxu_peak": flops / per / 197e12,
+    }
+    print(
+        f"big-dot-ilp4: {per*1e9:.0f} ns/iter {flops/per/1e12:.1f} "
+        f"TFLOP/s ({row['fraction_of_mxu_peak']*100:.0f}% MXU)",
+        flush=True,
+    )
+    rows_out.append(row)
+
+    # dw-dot: the backward pass's weight-gradient contraction shape —
+    # (K, 128)^T @ (K, 384) with LARGE K (the kernels accumulate dW over
+    # trows = tc*rows = 16384 activations).  Large-K dots stream far
+    # better than the K=128 activation dots, so they get their own rate.
+    # The chain perturbs lhs by a scalar derived from the previous out
+    # (XLA would hoist a loop-invariant dot); the extra bf16 scale pass
+    # costs ~4% of the dot — a conservative (low) rate estimate.
+    def _dw_dot_build(kdim, k):
+        def kernel(x_ref, y_ref, o_ref):
+            x = x_ref[:]
+            y = y_ref[:]
+
+            def step(i, o):
+                scale = (o[0, 0] * jnp.float32(1e-30)
+                         + jnp.float32(1.0)).astype(jnp.bfloat16)
+                return jax.lax.dot_general(
+                    x * scale, y, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * jnp.float32(1e-3)
+
+            o_ref[:] = jax.lax.fori_loop(
+                0, k, step, jnp.zeros((128, 384), jnp.float32)
+            )
+
+        fn = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((128, 384), jnp.float32),
+            interpret=_INTERPRET,
+        )
+        return jax.jit(lambda x, y: fn(x, y).sum())
+
+    kdim = 8192
+    k_lo, k_hi = (2, 4) if args.smoke else (512, 4096)
+    x = jnp.ones((kdim, 128), jnp.bfloat16) * 0.01
+    y = jnp.ones((kdim, 384), jnp.bfloat16) * 0.01
+    t_lo = timed_call(_dw_dot_build(kdim, k_lo), x, y)
+    t_hi = timed_call(_dw_dot_build(kdim, k_hi), x, y)
+    per = (t_hi - t_lo) / (k_hi - k_lo)
+    flops = 2.0 * kdim * 128 * 384
+    row = {
+        "name": "dw-dot-k8192", "k_dim": kdim,
+        "per_iter_ns": per * 1e9,
+        "achieved_flops_per_s": flops / per,
+        "fraction_of_mxu_peak": flops / per / 197e12,
+    }
+    print(
+        f"dw-dot-k8192: {per*1e9:.0f} ns/iter {flops/per/1e12:.1f} "
+        f"TFLOP/s ({row['fraction_of_mxu_peak']*100:.0f}% MXU)",
+        flush=True,
+    )
+    rows_out.append(row)
+
+    def _rate(name, key):
+        return next(r[key] for r in rows_out if r["name"] == name)
+
     out = {
         "tool": "tools/vpu_calibrate.py",
         "platform": jax.devices()[0].platform,
         "paper_peak_slots_per_s": 6.0e12,
         "rows": rows_out,
-        "ceiling_envmix_slots_per_s": next(
-            r["achieved_slots_per_s"] for r in rows_out
-            if r["name"] == "envmix-i32-8row"
+        "ceiling_envmix_slots_per_s": _rate(
+            "envmix-i32-8row", "achieved_slots_per_s"
+        ),
+        # roofline.gru_roofline calibration keys: the sequential hidden
+        # dot runs at the kernel's real M (4096 rows at tiny-2ag
+        # minibatch shapes); the batched embed/gate dots at M=16384 use
+        # the 8192-row rate (flat beyond 4096 — see loop comment).
+        "rate_gru_dot_flops_per_s": _rate(
+            "gru-dot-4096", "achieved_flops_per_s"
+        ),
+        "rate_big_dot_flops_per_s": _rate(
+            "big-dot-ilp4", "achieved_flops_per_s"
+        ),
+        "rate_dw_dot_flops_per_s": _rate(
+            "dw-dot-k8192", "achieved_flops_per_s"
         ),
     }
     with open(args.out, "w") as f:
