@@ -318,7 +318,7 @@ def main():
 
     # dw-dot: the backward pass's weight-gradient contraction shape —
     # (K, 128)^T @ (K, 384) with LARGE K (the kernels accumulate dW over
-    # trows = tc*rows = 16384 activations).  Large-K dots stream far
+    # trows = tc*rows activations).  Large-K dots stream far
     # better than the K=128 activation dots, so they get their own rate.
     # The chain perturbs lhs by a scalar derived from the previous out
     # (XLA would hoist a loop-invariant dot); the extra bf16 scale pass
@@ -347,8 +347,11 @@ def main():
         )
         return jax.jit(lambda x, y: fn(x, y).sum())
 
-    kdim = 8192
-    k_lo, k_hi = (2, 4) if args.smoke else (512, 4096)
+    # kdim=8192 operands (2+6 MB bf16 plus the scale temp and dot
+    # staging) overflow the 16 MB scoped VMEM; 4096 fits and K is still
+    # large enough to stream (rate flat vs K for K >= ~2048)
+    kdim = 4096
+    k_lo, k_hi = (2, 4) if args.smoke else (1024, 8192)
     x = jnp.ones((kdim, 128), jnp.bfloat16) * 0.01
     y = jnp.ones((kdim, 384), jnp.bfloat16) * 0.01
     t_lo = timed_call(_dw_dot_build(kdim, k_lo), x, y)
@@ -356,13 +359,13 @@ def main():
     per = (t_hi - t_lo) / (k_hi - k_lo)
     flops = 2.0 * kdim * 128 * 384
     row = {
-        "name": "dw-dot-k8192", "k_dim": kdim,
+        "name": "dw-dot-large", "k_dim": kdim,
         "per_iter_ns": per * 1e9,
         "achieved_flops_per_s": flops / per,
         "fraction_of_mxu_peak": flops / per / 197e12,
     }
     print(
-        f"dw-dot-k8192: {per*1e9:.0f} ns/iter {flops/per/1e12:.1f} "
+        f"dw-dot-large: {per*1e9:.0f} ns/iter {flops/per/1e12:.1f} "
         f"TFLOP/s ({row['fraction_of_mxu_peak']*100:.0f}% MXU)",
         flush=True,
     )
@@ -390,7 +393,7 @@ def main():
             "big-dot-ilp4", "achieved_flops_per_s"
         ),
         "rate_dw_dot_flops_per_s": _rate(
-            "dw-dot-k8192", "achieved_flops_per_s"
+            "dw-dot-large", "achieved_flops_per_s"
         ),
     }
     with open(args.out, "w") as f:
