@@ -387,6 +387,69 @@ def check_mappo_combined_update(B=1024, T=16):
     }
 
 
+def check_rnn_mappo_msg_update(B=1024, T=16):
+    """Recurrent MAPPO + msg_bits (the round-5 capability-frontier path):
+    GRU collect with in-kernel Bernoulli message head -> central critic
+    on the msg-augmented joint obs; fused critic kernel == XLA critic
+    autodiff on the identical deterministic trajectory, COMPILED on
+    hardware (the CPU test runs interpret mode only —
+    tests/test_mappo.py:324)."""
+    import rware_tpu
+    from rware_tpu.models import IPPOConfig
+    from rware_tpu.models.mappo import (
+        build_rnn_mappo_train_step,
+        init_rnn_mappo_runner,
+    )
+
+    env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=2)
+    cfg = IPPOConfig(n_envs=B, rollout_len=T, epochs=1, minibatches=2)
+    runner, actor, critic, tx = init_rnn_mappo_runner(
+        env, cfg, jax.random.key(0)
+    )
+    t0 = time.time()
+    outs = {}
+    for fused in (True, False):
+        ts = jax.jit(
+            build_rnn_mappo_train_step(
+                env, actor, critic, tx, cfg,
+                deterministic_collect=True, fused_critic_update=fused,
+            )
+        )
+        r1, _ = ts(runner)
+        outs[fused] = jax.tree_util.tree_flatten_with_path(
+            jax.tree.map(np.asarray, r1.params)
+        )[0]
+    compile_s = round(time.time() - t0, 1)
+    # the message head must take gradient (bits join the actor loss)
+    msg_moved = any(
+        "message" in str(path)
+        and float(np.abs(np.asarray(a, np.float32)).sum()) > 0
+        and not np.array_equal(a, b)
+        for ((path, a), (_, b)) in zip(
+            outs[True],
+            jax.tree_util.tree_flatten_with_path(runner.params)[0],
+        )
+    )
+    mismatches = []
+    worst = 0.0
+    for (path, a), (_, b) in zip(outs[True], outs[False]):
+        err = float(np.abs(
+            a.astype(np.float32) - b.astype(np.float32)
+        ).max())
+        worst = max(worst, err)
+        if err > 5e-3:
+            mismatches.append({"field": str(path), "abs_err": err})
+    return {
+        "ok": msg_moved and not mismatches,
+        "msg_head_moved": msg_moved,
+        "mismatches": mismatches,
+        "worst_param_abs_diff": round(worst, 6),
+        "B": B,
+        "T": T,
+        "compile_s": compile_s,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="TPUPARITY.json")
@@ -426,6 +489,16 @@ def main():
         }
     print(
         "mappo-combined-update", results["mappo-combined-update"],
+        flush=True,
+    )
+    try:
+        results["rnn-mappo-msg-update"] = check_rnn_mappo_msg_update()
+    except Exception as e:  # noqa: BLE001
+        results["rnn-mappo-msg-update"] = {
+            "ok": False, "error": repr(e)[:500]
+        }
+    print(
+        "rnn-mappo-msg-update", results["rnn-mappo-msg-update"],
         flush=True,
     )
     for name, kw in (
