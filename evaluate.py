@@ -113,7 +113,14 @@ def main():
         """Returns (action, new_carry); carry is None for feedforward."""
         if args.random:
             return env_random_actions(key), carry
-        if recurrent:
+        if recurrent and per_agent_params:
+            # recurrent SEAC: stacked per-agent GRUs, each on its own
+            # obs stream with its own hidden slice
+            carry, (logits, _) = jax.vmap(
+                lambda p, c, o: model.apply(p, c, o),
+                in_axes=(0, 1, 1), out_axes=1,
+            )(params, carry, obs)
+        elif recurrent:
             carry, (logits, _) = model.apply(params, carry, obs)
         elif per_agent_params:
             logits, _ = jax.vmap(

@@ -726,3 +726,345 @@ def build_seac_ppo_train_step(
         )
 
     return train_step
+
+
+# ---------------------------------------------------------------------------
+# Recurrent SEAC-PPO: per-agent GRU actors with shared experience.
+#
+# The SEAC paper (Christianos et al., NeurIPS 2020) is feedforward A2C;
+# RWARE's strong baselines are recurrent, so this completes the algorithm x
+# network matrix (IPPO/MAPPO both ship GRU variants).  The recurrent cross
+# terms are well-defined from the stored rollout: evaluating pi_i on agent
+# j's experience replays agent i's GRU over agent j's OBSERVATION SEQUENCE
+# (episode-boundary carry resets included, exactly as in collection).  The
+# (N_i, N_j) grid of replays is one lax.scan over time of a doubly-vmapped
+# GRU cell — N^2 batched MXU matmuls per step, the TPU-friendly layout.
+#
+# Initial hidden for cross streams: the diagonal (own stream) uses the
+# carry stored at rollout start, so the first epoch's own-ratio is exactly
+# 1 (PPO clipping semantics); off-diagonal pairs start from zeros — agent
+# i never observed stream j, and hidden states are not comparable across
+# parameter sets.  Within the T=128 window, in-episode resets re-anchor
+# the carry, and the importance weight w_ij (stop-gradient through the
+# behaviour logp) already absorbs the residual policy mismatch.
+# ---------------------------------------------------------------------------
+
+
+class SEACGRURunner(struct.PyTreeNode):
+    params: Any  # stacked per-agent GRU params, leading axis N
+    opt_state: Any
+    env_states: Any  # (B, ...)
+    obs: jax.Array  # (B, N, L)
+    carry: jax.Array  # (B, N, H) each agent's own hidden
+    key: jax.Array
+    update_idx: jax.Array
+
+
+def init_seac_gru(
+    env: Warehouse,
+    cfg: "SEACPPOConfig",
+    key: jax.Array,
+    model=None,
+):
+    """Stacked per-agent RecurrentActorCritic params + zero carries."""
+    from rware_tpu.models.networks import RecurrentActorCritic
+
+    if model is None:
+        model = RecurrentActorCritic(
+            n_actions=env.n_actions, msg_bits=env.config.msg_bits
+        )
+    n = env.n_agents
+    obs_dim = env.config.policy_obs_length
+    k_par, k_env, k_run = jax.random.split(key, 3)
+    params = jax.vmap(
+        lambda k: model.init(
+            k, model.initialize_carry((1,)), jnp.zeros((1, obs_dim))
+        )
+    )(jax.random.split(k_par, n))
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr, eps=1e-5),
+    )
+    env_states = jax.vmap(env._reset_fn)(
+        jax.random.split(k_env, cfg.n_envs)
+    )
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    obs = jax.vmap(policy_obs_fn(env))(env_states)
+    runner = SEACGRURunner(
+        params=params,
+        opt_state=tx.init(params),
+        env_states=env_states,
+        obs=obs,
+        carry=model.initialize_carry((cfg.n_envs, n)),
+        key=k_run,
+        update_idx=jnp.zeros((), jnp.int32),
+    )
+    return runner, model, tx
+
+
+def _gru_cross_replay(model, params, obs, done, h0_diag,
+                      values_only=False):
+    """Replay every agent's GRU over every agent's observation stream.
+
+    params stacked (N_i, ...), obs (T, B, N_j, L), done (T, B),
+    h0_diag (B, N_j, H) = each agent's OWN initial hidden (used on the
+    diagonal; off-diagonal pairs start from zeros).
+
+    Returns (heads, values, last_carry): heads (T, B, N_i, N_j, A)
+    (+ msg head for msg configs; None when values_only), values
+    (T, B, N_i, N_j) f32, last_carry (B, N_i, N_j, H).
+    """
+    n = obs.shape[2]
+    eye_mask = jnp.eye(n, dtype=bool)[None, :, :, None]  # (1, Ni, Nj, 1)
+    h0 = jnp.where(
+        eye_mask, h0_diag[:, None, :, :], jnp.zeros_like(h0_diag[:, None])
+    )  # (B, N_i, N_j, H)
+
+    def cell(carry, xs):
+        o_t, d_t = xs  # (B, N_j, L), (B,)
+        new_carry, (heads, value) = jax.vmap(
+            lambda p, c: model.apply(p, c, o_t), in_axes=(0, 1),
+            out_axes=1,
+        )(params, carry)
+        new_carry = jnp.where(
+            d_t[:, None, None, None], jnp.zeros_like(new_carry), new_carry
+        )
+        out = (None, value) if values_only else (heads, value)
+        return new_carry, out
+
+    last_carry, (heads, values) = jax.lax.scan(cell, h0, (obs, done))
+    return heads, values, last_carry
+
+
+def build_seac_gru_train_step(
+    env: Warehouse,
+    model,
+    tx: optax.GradientTransformation,
+    cfg: "SEACPPOConfig",
+) -> Callable[[SEACGRURunner], Tuple[SEACGRURunner, dict]]:
+    """One jitted recurrent shared-experience PPO update: XLA T-scan
+    collect with per-agent GRUs (own streams) -> cross recurrent replay
+    for old values -> cross GAE -> E x M ENV-BAND minibatch updates
+    (recurrent replay cannot slice time), each replaying the (N_i, N_j)
+    GRU grid through jax.value_and_grad.  Message bits ride the same
+    joint (move, bits) machinery as the MLP variant.  Collection is XLA
+    (per-agent GRU weights in-kernel would need a new collect-kernel
+    mode; the update's N^2 replays dominate cost regardless)."""
+    step_fn = jax.vmap(env._step_fn)
+    reset_fn = env._reset_fn
+    from rware_tpu.models.ippo import policy_obs_fn
+    from rware_tpu.models.networks import (
+        bernoulli_logp,
+        sample_action,
+        sample_action_msg,
+    )
+
+    obs_fn = policy_obs_fn(env)
+    n = env.n_agents
+    eye = jnp.eye(n)
+    msg_mode = getattr(model, "msg_bits", 0) > 0
+    if cfg.n_envs % cfg.minibatches:
+        raise ValueError(
+            f"minibatches={cfg.minibatches} must divide "
+            f"n_envs={cfg.n_envs} (env-band minibatches)"
+        )
+
+    def apply_own(params, carry, obs):
+        # params (N,...) x carry (B, N, H) x obs (B, N, L)
+        return jax.vmap(
+            lambda p, c, o: model.apply(p, c, o), in_axes=(0, 1, 1),
+            out_axes=1,
+        )(params, carry, obs)
+
+    def collect(carry_state, key):
+        params, env_states, obs, carry = carry_state
+        k_act, _ = jax.random.split(key)
+        new_carry, (heads, _value) = apply_own(params, carry, obs)
+        if msg_mode:
+            action, logp = sample_action_msg(k_act, *heads)
+        else:
+            action, logp = sample_action(k_act, heads)
+        res = step_fn(env_states, action)
+        from rware_tpu.parallel.rollout import autoreset_select
+
+        next_states = jax.vmap(
+            lambda s, d: autoreset_select(reset_fn, s, d)
+        )(res.state, res.done)
+        next_obs = jax.vmap(obs_fn)(next_states)
+        next_carry = jnp.where(
+            res.done[:, None, None], jnp.zeros_like(new_carry), new_carry
+        )
+        return (params, next_states, next_obs, next_carry), SEACTransition(
+            obs, action, logp, res.rewards, res.done
+        )
+
+    def cross_logp_ent(heads_cross, action):
+        """Joint log pi_i(a_j|o_j) over the (T, M, N_i, N_j) grid."""
+        if msg_mode:
+            logits_cross, msg_cross = heads_cross
+            move = action[..., 0]
+            bits = action[..., 1:]
+        else:
+            logits_cross = heads_cross
+            move = action
+        lsm = jax.nn.log_softmax(logits_cross)
+        logp = jnp.take_along_axis(
+            lsm, move[..., None, :, None], axis=-1
+        ).squeeze(-1)
+        ent_map = -(jnp.exp(lsm) * lsm).sum(-1)
+        if msg_mode:
+            logp = logp + bernoulli_logp(
+                msg_cross, bits[..., None, :, :]
+            ).sum(-1)
+            p_msg = jax.nn.sigmoid(msg_cross)
+            ent_map = ent_map - (
+                p_msg * jax.nn.log_sigmoid(msg_cross)
+                + (1.0 - p_msg) * jax.nn.log_sigmoid(-msg_cross)
+            ).sum(-1)
+        return logp, ent_map
+
+    def minibatch_loss(params, batch):
+        (obs, done, action, behav_logp, old_value, adv, target,
+         h0_diag) = batch
+        heads_cross, values_cross, _ = _gru_cross_replay(
+            model, params, obs, done, h0_diag
+        )
+        logp_cross, ent_map = cross_logp_ent(heads_cross, action)
+
+        ratio = jnp.exp(logp_cross - behav_logp[:, :, None, :])
+        adv_norm = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv_norm
+        pg2 = jnp.clip(
+            ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps
+        ) * adv_norm
+        surr = -jnp.minimum(pg1, pg2)  # (T, M, N_i, N_j)
+
+        weight = eye + cfg.seac_lambda * (1.0 - eye)
+        pg_loss = (surr * weight).sum(-1).mean()
+
+        v_clipped = old_value + jnp.clip(
+            values_cross - old_value, -cfg.clip_eps, cfg.clip_eps
+        )
+        v_err = jnp.maximum(
+            (values_cross - target) ** 2, (v_clipped - target) ** 2
+        )
+        v_loss = 0.5 * (v_err * weight).sum(-1).mean()
+
+        entropy = jnp.diagonal(ent_map, axis1=2, axis2=3).mean()
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        own_ratio = jnp.diagonal(ratio, axis1=2, axis2=3)
+        return total, {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "approx_kl": ((own_ratio - 1) - jnp.log(own_ratio)).mean(),
+        }
+
+    def train_step(runner: SEACGRURunner) -> Tuple[SEACGRURunner, dict]:
+        key, k_roll, k_perm = jax.random.split(runner.key, 3)
+        params = runner.params
+        h0_diag = runner.carry
+        roll_keys = jax.random.split(k_roll, cfg.rollout_len)
+        (params, env_states, obs, carry), traj = jax.lax.scan(
+            collect,
+            (params, runner.env_states, runner.obs, runner.carry),
+            roll_keys,
+        )
+
+        # old-policy cross values (recurrent replay) + bootstrap
+        _, values_cross, last_c = _gru_cross_replay(
+            model, params, traj.obs, traj.done, h0_diag, values_only=True
+        )  # (T, B, N_i, N_j)
+        _, (_, last_values_cross) = jax.vmap(
+            lambda p, c: model.apply(p, c, obs), in_axes=(0, 1),
+            out_axes=1,
+        )(params, last_c)  # (B, N_i, N_j)
+
+        not_done = 1.0 - traj.done.astype(jnp.float32)  # (T, B)
+
+        def gae_body(carry_g, xs):
+            g, next_v = carry_g
+            v, r, nd = xs
+            delta = (
+                r[:, None, :] + cfg.gamma * next_v * nd[:, None, None] - v
+            )
+            g = delta + cfg.gamma * cfg.gae_lambda * nd[:, None, None] * g
+            return (g, v), g
+
+        (_, _), adv_cross = jax.lax.scan(
+            gae_body,
+            (jnp.zeros_like(last_values_cross), last_values_cross),
+            (values_cross, traj.reward, not_done),
+            reverse=True,
+        )
+        target_cross = adv_cross + values_cross
+
+        # env-axis dataset: T-major leaves sliced on axis 1, h0 on axis 0
+        dataset = (
+            traj.obs, traj.done, traj.action, traj.logp,
+            values_cross, adv_cross, target_cross,
+        )
+        mb = cfg.n_envs // cfg.minibatches
+
+        def sgd_step(params, opt_state, batch):
+            (loss, metrics), grads = jax.value_and_grad(
+                minibatch_loss, has_aux=True
+            )(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (
+                optax.apply_updates(params, updates), opt_state, metrics
+            )
+
+        def epoch(carry_e, k):
+            params, opt_state = carry_e
+            off = jax.random.randint(k, (), 0, cfg.n_envs)
+            rolled = jax.tree.map(
+                lambda x: jnp.roll(x, off, axis=1), dataset
+            )
+            rolled_h0 = jnp.roll(h0_diag, off, axis=0)
+
+            def minibatch(carry_m, i):
+                params, opt_state = carry_m
+                band = tuple(
+                    jax.lax.dynamic_slice_in_dim(x, i * mb, mb, 1)
+                    for x in rolled
+                ) + (
+                    jax.lax.dynamic_slice_in_dim(
+                        rolled_h0, i * mb, mb, 0
+                    ),
+                )
+                params, opt_state, metrics = sgd_step(
+                    params, opt_state, band
+                )
+                return (params, opt_state), metrics
+
+            return jax.lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(cfg.minibatches),
+            )
+
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch,
+            (params, runner.opt_state),
+            jax.random.split(k_perm, cfg.epochs),
+        )
+        out_metrics = {
+            "reward_per_env": traj.reward.sum() / cfg.n_envs,
+            "episodes_done": traj.done.sum(),
+            **jax.tree.map(lambda x: x.mean(), metrics),
+        }
+        return (
+            SEACGRURunner(
+                params=params,
+                opt_state=opt_state,
+                env_states=env_states,
+                obs=obs,
+                carry=carry,
+                key=key,
+                update_idx=runner.update_idx + 1,
+            ),
+            out_metrics,
+        )
+
+    return train_step

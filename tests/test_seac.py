@@ -241,3 +241,129 @@ def test_seac_ppo_fused_update_train_step_runs():
         jax.tree.leaves(runner.params), jax.tree.leaves(new_runner.params)
     ):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+
+
+# --- Recurrent SEAC-PPO (per-agent GRUs + shared experience) -----------------
+
+
+def test_seac_gru_train_step_runs_and_learns_shape():
+    from rware_tpu.models.seac import (
+        SEACPPOConfig,
+        build_seac_gru_train_step,
+        init_seac_gru,
+    )
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = SEACPPOConfig(n_envs=16, rollout_len=8, epochs=2, minibatches=2)
+    runner, model, tx = init_seac_gru(env, cfg, jax.random.key(0))
+    # stacked per-agent params
+    for leaf in jax.tree.leaves(runner.params):
+        assert leaf.shape[0] == env.n_agents
+    assert runner.carry.shape == (16, env.n_agents, model.hidden)
+    ts = jax.jit(build_seac_gru_train_step(env, model, tx, cfg))
+    r1, m1 = ts(runner)
+    r2, m2 = ts(r1)
+    assert int(r2.update_idx) == 2
+    for k, v in m2.items():
+        assert np.isfinite(float(v)), k
+    # every agent's params moved
+    for a, b in zip(
+        jax.tree.leaves(runner.params), jax.tree.leaves(r2.params)
+    ):
+        d = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))
+        assert d.max() > 0
+        if d.ndim > 1:  # each agent's slice took its own step
+            assert all(
+                d[i].max() > 0 for i in range(env.n_agents)
+            )
+
+
+def test_seac_gru_first_epoch_own_ratio_is_one():
+    """The own-stream replay starts from the STORED initial carry, so the
+    first minibatch's own-policy ratio is exactly 1 and approx_kl ~ 0
+    (PPO clipping semantics; off-diagonal streams start from zeros and
+    only enter via the importance weight)."""
+    from rware_tpu.models.seac import (
+        SEACPPOConfig,
+        build_seac_gru_train_step,
+        init_seac_gru,
+    )
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    # one epoch x one minibatch: the single pass sees untouched params
+    cfg = SEACPPOConfig(n_envs=8, rollout_len=6, epochs=1, minibatches=1)
+    runner, model, tx = init_seac_gru(env, cfg, jax.random.key(1))
+    ts = jax.jit(build_seac_gru_train_step(env, model, tx, cfg))
+    _, metrics = ts(runner)
+    assert abs(float(metrics["approx_kl"])) < 1e-5
+
+
+def test_seac_gru_cross_replay_diagonal_matches_own():
+    """_gru_cross_replay's diagonal (agent i on its own stream, stored
+    h0) must reproduce the collect-time own forward exactly."""
+    from rware_tpu.models.networks import RecurrentActorCritic
+    from rware_tpu.models.seac import _gru_cross_replay
+
+    model = RecurrentActorCritic(n_actions=5)
+    n, b, t, lf = 3, 4, 5, 71
+    key = jax.random.key(3)
+    params = jax.vmap(
+        lambda k: model.init(
+            k, model.initialize_carry((1,)), jnp.zeros((1, lf))
+        )
+    )(jax.random.split(key, n))
+    obs = jax.random.normal(jax.random.key(4), (t, b, n, lf))
+    done = jnp.zeros((t, b), bool).at[2, 1].set(True)
+    h0 = jax.random.normal(
+        jax.random.key(5), (b, n, model.hidden)
+    ).astype(jnp.bfloat16)
+
+    heads, values, _ = _gru_cross_replay(model, params, obs, done, h0)
+
+    # own forward: agent i on its own stream from its own h0
+    def own_scan(c, xs):
+        o, d = xs
+        new_c, (hd, v) = jax.vmap(
+            lambda p, ci, oi: model.apply(p, ci, oi),
+            in_axes=(0, 1, 1), out_axes=1,
+        )(params, c, o)
+        new_c = jnp.where(d[:, None, None], jnp.zeros_like(new_c), new_c)
+        return new_c, (hd, v)
+
+    _, (own_heads, own_values) = jax.lax.scan(own_scan, h0, (obs, done))
+    for i in range(n):
+        np.testing.assert_allclose(
+            np.asarray(values[:, :, i, i]), np.asarray(own_values[:, :, i]),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(heads[:, :, i, i]), np.asarray(own_heads[:, :, i]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_seac_gru_msg_bits_train_step_runs():
+    from rware_tpu.models.seac import (
+        SEACPPOConfig,
+        build_seac_gru_train_step,
+        init_seac_gru,
+    )
+
+    env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=2)
+    cfg = SEACPPOConfig(n_envs=8, rollout_len=6, epochs=1, minibatches=2)
+    runner, model, tx = init_seac_gru(env, cfg, jax.random.key(6))
+    assert model.msg_bits == 2
+    ts = jax.jit(build_seac_gru_train_step(env, model, tx, cfg))
+    r1, metrics = ts(runner)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # the message head took gradient on every agent
+    d = jax.tree.map(
+        lambda a, b: np.abs(
+            np.asarray(a, np.float32) - np.asarray(b, np.float32)
+        ),
+        runner.params["params"]["message"],
+        r1.params["params"]["message"],
+    )
+    kern = d["kernel"]  # (N, H, Mb)
+    assert all(kern[i].max() > 0 for i in range(env.n_agents))

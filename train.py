@@ -29,7 +29,8 @@ def parse_args():
     )
     p.add_argument(
         "--net", choices=["mlp", "gru"], default="mlp",
-        help="policy network (gru = recurrent actor; ippo and mappo)",
+        help="policy network (gru = recurrent actor; ippo, mappo and "
+        "seac-ppo)",
     )
     p.add_argument(
         "--minibatch-mode", choices=["shuffle", "block"], default="shuffle",
@@ -209,6 +210,25 @@ def main():
                 env, actor, critic, tx, cfg, collect_mode=collect_mode,
                 mesh=mesh_mappo,
             ),
+            donate_argnums=0,
+        )
+        env_steps_per_update = cfg.n_envs * cfg.rollout_len
+    elif args.algo == "seac-ppo" and args.net == "gru":
+        from rware_tpu.models.seac import (
+            SEACPPOConfig,
+            build_seac_gru_train_step,
+            init_seac_gru,
+        )
+
+        cfg = SEACPPOConfig(
+            n_envs=args.n_envs,
+            rollout_len=args.rollout_len or 128,
+            lr=args.lr,
+            ent_coef=args.ent_coef,
+        )
+        runner, model, tx = init_seac_gru(env, cfg, key)
+        train_step = jax.jit(
+            build_seac_gru_train_step(env, model, tx, cfg),
             donate_argnums=0,
         )
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
