@@ -842,15 +842,22 @@ def build_seac_gru_train_step(
     model,
     tx: optax.GradientTransformation,
     cfg: "SEACPPOConfig",
+    collect_mode: str = "xla",
+    interpret: bool = False,
+    deterministic_collect: bool = False,
 ) -> Callable[[SEACGRURunner], Tuple[SEACGRURunner, dict]]:
-    """One jitted recurrent shared-experience PPO update: XLA T-scan
-    collect with per-agent GRUs (own streams) -> cross recurrent replay
-    for old values -> cross GAE -> E x M ENV-BAND minibatch updates
-    (recurrent replay cannot slice time), each replaying the (N_i, N_j)
-    GRU grid through jax.value_and_grad.  Message bits ride the same
-    joint (move, bits) machinery as the MLP variant.  Collection is XLA
-    (per-agent GRU weights in-kernel would need a new collect-kernel
-    mode; the update's N^2 replays dominate cost regardless)."""
+    """One jitted recurrent shared-experience PPO update: per-agent GRU
+    collect (own streams) -> cross recurrent replay for old values ->
+    cross GAE -> E x M ENV-BAND minibatch updates (recurrent replay
+    cannot slice time), each replaying the (N_i, N_j) GRU grid through
+    jax.value_and_grad.  Message bits ride the same joint (move, bits)
+    machinery as the MLP variant.
+
+    ``collect_mode="pallas"`` runs the rollout through the fused collect
+    kernel with PER-AGENT GRUs in-kernel (ops/pallas_rollout
+    build_pallas_collect(policy="gru_per_agent") — each agent's carry in
+    VMEM scratch, episode-boundary resets in-kernel); "xla" keeps the
+    T-scan fallback."""
     step_fn = jax.vmap(env._step_fn)
     reset_fn = env._reset_fn
     from rware_tpu.models.ippo import policy_obs_fn
@@ -869,6 +876,26 @@ def build_seac_gru_train_step(
             f"minibatches={cfg.minibatches} must divide "
             f"n_envs={cfg.n_envs} (env-band minibatches)"
         )
+
+    pallas_collect = None
+    if collect_mode == "pallas":
+        from rware_tpu.models.ippo_pallas import _pick_tc_len
+        from rware_tpu.ops.pallas_rollout import (
+            ENV_BLOCK,
+            build_pallas_collect,
+        )
+
+        pallas_collect = build_pallas_collect(
+            env.config,
+            cfg.rollout_len,
+            tc_len=_pick_tc_len(cfg.rollout_len),
+            interpret=interpret,
+            deterministic=deterministic_collect,
+            policy="gru_per_agent",
+            hidden=(int(model.embed), int(model.hidden)),
+        )
+        n_tc = max(1, cfg.rollout_len // _pick_tc_len(cfg.rollout_len))
+        streams_per_update = (cfg.n_envs // ENV_BLOCK) * n_tc
 
     def apply_own(params, carry, obs):
         # params (N,...) x carry (B, N, H) x obs (B, N, L)
@@ -965,12 +992,31 @@ def build_seac_gru_train_step(
         key, k_roll, k_perm = jax.random.split(runner.key, 3)
         params = runner.params
         h0_diag = runner.carry
-        roll_keys = jax.random.split(k_roll, cfg.rollout_len)
-        (params, env_states, obs, carry), traj = jax.lax.scan(
-            collect,
-            (params, runner.env_states, runner.obs, runner.carry),
-            roll_keys,
-        )
+        if pallas_collect is not None:
+            seed = runner.update_idx * jnp.int32(streams_per_update)
+            env_states, carry, ktraj = pallas_collect(
+                runner.env_states, params, seed, h0=runner.carry
+            )
+            obs = jax.vmap(obs_fn)(env_states)
+            action = ktraj["action"]
+            if msg_mode:
+                action = jnp.concatenate(
+                    [action[..., None], ktraj["bits"]], axis=-1
+                )
+            traj = SEACTransition(
+                obs=ktraj["obs"].astype(jnp.float32),
+                action=action,
+                logp=ktraj["logp"],
+                reward=ktraj["reward"],
+                done=ktraj["done"].astype(jnp.bool_),
+            )
+        else:
+            roll_keys = jax.random.split(k_roll, cfg.rollout_len)
+            (params, env_states, obs, carry), traj = jax.lax.scan(
+                collect,
+                (params, runner.env_states, runner.obs, runner.carry),
+                roll_keys,
+            )
 
         # old-policy cross values (recurrent replay) + bootstrap
         _, values_cross, last_c = _gru_cross_replay(

@@ -1373,6 +1373,76 @@ def _policy_forward_per_agent(params, feats_list):
     )
 
 
+def _gru_forward_per_agent(params, feats_list, h):
+    """Per-agent-parameter recurrent actor-critic (recurrent SEAC).
+
+    _gru_forward with every weight carrying a leading agent axis (the
+    stacked per-agent pytree of models.seac.init_seac_gru): agent i's
+    features and carry slice go through agent i's GRU — N small matmuls
+    of M = SUB*LANE columns.  ``feats_list``: N-list of (L, SUB, LANE)
+    bf16; ``h``: (Hg, N, SUB, LANE) carry.  Returns (logits (A, M'),
+    value (1, M'), msg_logits (Mb, M') | None, new_h (Hg, M')) with
+    M' = N*SUB*LANE agent-major — the same contract as _gru_forward.
+    """
+    msg_head = None
+    if len(params) == 18:
+        params, msg_head = params[:16], params[16:]
+    (we, be, wir, bir, wiz, biz, win, bin_,
+     whr, whz, whn, bhn, wp, bp, wv, bv) = params
+    n = len(feats_list)
+    hg = h.shape[0]
+    dn = (((0,), (0,)), ((), ()))
+    one = jnp.bfloat16(1.0)
+    logits_parts, value_parts, msg_parts, h_parts = [], [], [], []
+    for i in range(n):
+        L = feats_list[i].shape[0]
+        feats = feats_list[i].reshape(L, SUB * LANE)
+        hb = h[:, i].reshape(hg, SUB * LANE).astype(jnp.bfloat16)
+
+        def dot(w, x):
+            return jax.lax.dot_general(
+                w, x, dn, preferred_element_type=jnp.float32
+            )
+
+        e = jnp.tanh(
+            (dot(we[i], feats) + be[i].reshape(-1, 1)).astype(jnp.bfloat16)
+        )
+        # sigmoid stays f32 (Mosaic bf16-vector mis-lowering; see
+        # _gru_forward)
+        r = jax.nn.sigmoid(
+            dot(wir[i], e) + dot(whr[i], hb) + bir[i].reshape(-1, 1)
+        ).astype(jnp.bfloat16)
+        z = jax.nn.sigmoid(
+            dot(wiz[i], e) + dot(whz[i], hb) + biz[i].reshape(-1, 1)
+        ).astype(jnp.bfloat16)
+        nn_ = jnp.tanh(
+            (dot(win[i], e) + bin_[i].reshape(-1, 1)).astype(jnp.bfloat16)
+            + r * (dot(whn[i], hb) + bhn[i].reshape(-1, 1)).astype(
+                jnp.bfloat16
+            )
+        )
+        new_h = (one - z) * nn_ + z * hb  # (Hg, SUB*LANE) bf16
+        hf = new_h.astype(jnp.float32)
+        logits_parts.append(
+            dot(wp[i].astype(jnp.float32), hf) + bp[i].reshape(-1, 1)
+        )
+        value_parts.append(
+            dot(wv[i].astype(jnp.float32), hf) + bv[i].reshape(-1, 1)
+        )
+        if msg_head is not None:
+            wm, bm = msg_head
+            msg_parts.append(
+                dot(wm[i].astype(jnp.float32), hf) + bm[i].reshape(-1, 1)
+            )
+        h_parts.append(new_h)
+    return (
+        jnp.concatenate(logits_parts, axis=1),
+        jnp.concatenate(value_parts, axis=1),
+        jnp.concatenate(msg_parts, axis=1) if msg_head is not None else None,
+        jnp.concatenate(h_parts, axis=1),
+    )
+
+
 def _gru_forward(params, feats, h):
     """Recurrent actor-critic forward on env-tiled features.
 
@@ -1511,7 +1581,7 @@ def _make_collect_kernel(
     the XLA engine (reference rware/warehouse.py:809-814).
     """
     N, S, R, M = st.n, st.s, st.r, st.m
-    n_policy_params = (16 if policy == "gru" else 8) + (2 if M else 0)
+    n_policy_params = (16 if policy in ("gru", "gru_per_agent") else 8) + (2 if M else 0)
 
     def build_rows(acts_state, slots_x, slots_y, msg=None):
         if obs_mode in ("image", "image_dict"):
@@ -1535,7 +1605,7 @@ def _make_collect_kernel(
         (sx_ref, sy_ref, q_ref, inact_ref, steps_ref,
          slotx_ref, sloty_ref) = refs[:7]
         refs = refs[7:]
-        h0_ref = refs.pop(0) if policy == "gru" else None
+        h0_ref = refs.pop(0) if policy in ("gru", "gru_per_agent") else None
         (obs_out, act_out) = refs[:2]
         refs = refs[2:]
         bits_out = refs.pop(0) if M else None
@@ -1545,9 +1615,9 @@ def _make_collect_kernel(
         omsg = refs.pop(0) if M else None
         (osx, osy, oq, oinact, osteps) = refs[:5]
         refs = refs[5:]
-        oh = refs.pop(0) if policy == "gru" else None
+        oh = refs.pop(0) if policy in ("gru", "gru_per_agent") else None
         st_scratch = refs.pop(0)
-        h_scratch = refs.pop(0) if policy == "gru" else None
+        h_scratch = refs.pop(0) if policy in ("gru", "gru_per_agent") else None
 
         tc = pl.program_id(1)
         n_tc = pl.num_programs(1)
@@ -1584,7 +1654,7 @@ def _make_collect_kernel(
             st_scratch[offs["q"] : offs["q"] + max(R, 1)] = q_ref[:]
             st_scratch[offs["inact"]] = inact_ref[0]
             st_scratch[offs["steps"]] = steps_ref[0]
-            if policy == "gru":
+            if policy in ("gru", "gru_per_agent"):
                 h_scratch[:] = h0_ref[:]
 
         def load(name, rows):
@@ -1603,12 +1673,12 @@ def _make_collect_kernel(
             st_scratch[offs["inact"]],
             st_scratch[offs["steps"]],
         )
-        if policy == "gru":
+        if policy in ("gru", "gru_per_agent"):
             hg = h_scratch.shape[0]
             init = init + (h_scratch[:],)
 
         def one_step(tt, carry):
-            if policy == "gru":
+            if policy in ("gru", "gru_per_agent"):
                 (ax, ay, ad, carrying, hd_i, msg, sx, sy, q, inact, steps,
                  h_t) = carry
             else:
@@ -1626,6 +1696,10 @@ def _make_collect_kernel(
             if policy == "gru":
                 logits, value, msg_logits, new_h = _gru_forward(
                     params, feats, h_t.reshape(hg, N * SUB * LANE)
+                )
+            elif policy == "gru_per_agent":
+                logits, value, msg_logits, new_h = _gru_forward_per_agent(
+                    params, feats_list, h_t
                 )
             elif policy == "mlp_per_agent":
                 logits, value, msg_logits = _policy_forward_per_agent(
@@ -1665,7 +1739,7 @@ def _make_collect_kernel(
                 [h.astype(jnp.int32) for h in nhd],
                 msg, sx, sy, q, inact, steps,
             )
-            if policy == "gru":
+            if policy in ("gru", "gru_per_agent"):
                 # reset hidden at episode boundaries (ippo_rnn:101-104)
                 h_next = jnp.where(
                     done[None, None, :, :],
@@ -1676,7 +1750,7 @@ def _make_collect_kernel(
             return out
 
         final = jax.lax.fori_loop(0, tc_len, one_step, init, unroll=False)
-        if policy == "gru":
+        if policy in ("gru", "gru_per_agent"):
             (ax, ay, ad, carrying, hd, msg, sx, sy, q, inact, steps,
              h_final) = final
             h_scratch[:] = h_final
@@ -1715,7 +1789,7 @@ def _make_collect_kernel(
             oq[:] = q
             oinact[:] = inact[None]
             osteps[:] = steps[None]
-            if policy == "gru":
+            if policy in ("gru", "gru_per_agent"):
                 oh[:] = h_scratch[:]
 
     return kernel
@@ -1839,6 +1913,19 @@ def build_pallas_collect(
             pblock((1, Hg)),                    # hn bias
             pblock((Hg, 5)), pblock((1, 5)), pblock((Hg, 1)), pblock((1, 1)),
         ]
+    elif policy == "gru_per_agent":
+        E, Hg = H1, H2
+        in_specs += [
+            pblock((N, L, E)), pblock((N, E)),
+            pblock((N, E, Hg)), pblock((N, Hg)),   # ir
+            pblock((N, E, Hg)), pblock((N, Hg)),   # iz
+            pblock((N, E, Hg)), pblock((N, Hg)),   # in
+            pblock((N, Hg, Hg)), pblock((N, Hg, Hg)),
+            pblock((N, Hg, Hg)),                   # hr/hz/hn
+            pblock((N, Hg)),                       # hn bias
+            pblock((N, Hg, 5)), pblock((N, 5)),
+            pblock((N, Hg, 1)), pblock((N, 1)),
+        ]
     elif policy == "mlp_per_agent":
         in_specs += [
             pblock((N, L, H1)), pblock((N, H1)),
@@ -1854,13 +1941,13 @@ def build_pallas_collect(
     if M:
         # message head: (hidden, M) kernel + bias, stacked for per-agent
         hh = H2
-        if policy == "mlp_per_agent":
+        if policy in ("mlp_per_agent", "gru_per_agent"):
             in_specs += [pblock((N, hh, M)), pblock((N, M))]
         else:
             in_specs += [pblock((hh, M)), pblock((1, M))]
     in_specs += [sblock(d) for d in state_dims.values()]
     in_specs += [sblock(S), sblock(S)]
-    if policy == "gru":
+    if policy in ("gru", "gru_per_agent"):
         in_specs.append(hblock())
 
     def tblock(rows):
@@ -1885,7 +1972,7 @@ def build_pallas_collect(
         tblock(1),  # done
     ]
     out_specs += [sblock(d) for d in state_dims.values()]
-    if policy == "gru":
+    if policy in ("gru", "gru_per_agent"):
         out_specs.append(hblock())
 
     def out_shape(b):
@@ -1908,7 +1995,7 @@ def build_pallas_collect(
             jax.ShapeDtypeStruct((d, rows, LANE), jnp.int32)
             for d in state_dims.values()
         ]
-        if policy == "gru":
+        if policy in ("gru", "gru_per_agent"):
             shapes.append(
                 jax.ShapeDtypeStruct((H2, N, rows, LANE), jnp.bfloat16)
             )
@@ -1926,6 +2013,34 @@ def build_pallas_collect(
                 p["dense_0"]["bias"].astype(jnp.float32),
                 p["dense_1"]["kernel"].astype(jnp.bfloat16),
                 p["dense_1"]["bias"].astype(jnp.float32),
+                p["policy"]["kernel"].astype(jnp.float32),
+                p["policy"]["bias"].astype(jnp.float32),
+                p["value"]["kernel"].astype(jnp.float32),
+                p["value"]["bias"].astype(jnp.float32),
+            ]
+            if M:
+                out += [
+                    p["message"]["kernel"].astype(jnp.float32),
+                    p["message"]["bias"].astype(jnp.float32),
+                ]
+            return out
+        if policy == "gru_per_agent":
+            # stacked per-agent GRU leaves (leading N axis;
+            # models.seac.init_seac_gru)
+            g = p["gru"]
+            out = [
+                p["embed"]["kernel"].astype(jnp.bfloat16),
+                p["embed"]["bias"].astype(jnp.float32),
+                g["ir"]["kernel"].astype(jnp.bfloat16),
+                g["ir"]["bias"].astype(jnp.float32),
+                g["iz"]["kernel"].astype(jnp.bfloat16),
+                g["iz"]["bias"].astype(jnp.float32),
+                g["in"]["kernel"].astype(jnp.bfloat16),
+                g["in"]["bias"].astype(jnp.float32),
+                g["hr"]["kernel"].astype(jnp.bfloat16),
+                g["hz"]["kernel"].astype(jnp.bfloat16),
+                g["hn"]["kernel"].astype(jnp.bfloat16),
+                g["hn"]["bias"].astype(jnp.float32),
                 p["policy"]["kernel"].astype(jnp.float32),
                 p["policy"]["bias"].astype(jnp.float32),
                 p["value"]["kernel"].astype(jnp.float32),
@@ -2009,7 +2124,7 @@ def build_pallas_collect(
                 (S, b // LANE, LANE),
             ),
         ]
-        if policy == "gru":
+        if policy in ("gru", "gru_per_agent"):
             if h0 is None:
                 raise ValueError("gru collect needs the (B, N, Hg) carry")
             # (B, N, Hg) -> (Hg, N, RB, LANE)
@@ -2020,7 +2135,7 @@ def build_pallas_collect(
             )
 
         scratch_shapes = [pltpu.VMEM((scratch_rows, SUB, LANE), jnp.int32)]
-        if policy == "gru":
+        if policy in ("gru", "gru_per_agent"):
             scratch_shapes.append(
                 pltpu.VMEM((H2, N, SUB, LANE), jnp.bfloat16)
             )
@@ -2047,7 +2162,7 @@ def build_pallas_collect(
         msg = outs.pop(0) if M else None
         (sx, sy, q, inact, steps) = outs[:5]
         outs = outs[5:]
-        new_h = outs.pop(0) if policy == "gru" else None
+        new_h = outs.pop(0) if policy in ("gru", "gru_per_agent") else None
 
         def to_state(x):
             return jnp.swapaxes(x.reshape(x.shape[0], b), 0, 1)
@@ -2103,7 +2218,7 @@ def build_pallas_collect(
                 else {}
             ),
         )
-        if policy == "gru":
+        if policy in ("gru", "gru_per_agent"):
             # (Hg, N, RB, LANE) -> (B, N, Hg)
             h_out = jnp.transpose(new_h.reshape(H2, N, b), (2, 1, 0))
             return new_state, h_out, traj
@@ -2147,7 +2262,7 @@ def build_pallas_collect(
             y = jnp.moveaxis(x, 0, 1)
             return y.reshape((y.shape[0], b) + y.shape[3:])
 
-        if policy == "gru":
+        if policy in ("gru", "gru_per_agent"):
             if h0 is None:
                 raise ValueError("gru collect needs the (B, N, Hg) carry")
             ns, nh, traj = jax.lax.map(

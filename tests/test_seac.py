@@ -367,3 +367,132 @@ def test_seac_gru_msg_bits_train_step_runs():
     )
     kern = d["kernel"]  # (N, H, Mb)
     assert all(kern[i].max() > 0 for i in range(env.n_agents))
+
+
+def test_gru_per_agent_kernel_collect_matches_apply_own():
+    """build_pallas_collect(policy='gru_per_agent') runs each agent's OWN
+    GRU in-kernel: a full deterministic T-step rollout must match the XLA
+    per-agent scan step-for-step (argmax actions modulo rare bf16
+    near-ties, values and the returned carry numerically)."""
+    import jax.numpy as jnp
+
+    from rware_tpu.models.seac import SEACPPOConfig, init_seac_gru
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK, build_pallas_collect
+    from rware_tpu.parallel import batched_reset
+    from rware_tpu.parallel.rollout import autoreset_select
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = SEACPPOConfig(n_envs=ENV_BLOCK)
+    runner, model, tx = init_seac_gru(env, cfg, jax.random.key(0))
+    states, _ = batched_reset(env, jax.random.key(2), ENV_BLOCK)
+    t = 8
+
+    collect = build_pallas_collect(
+        env.config, t, tc_len=4, interpret=True, deterministic=True,
+        policy="gru_per_agent", hidden=(model.embed, model.hidden),
+    )
+    h0 = model.initialize_carry((ENV_BLOCK, env.n_agents))
+    _, new_h, traj = collect(states, runner.params, 0, h0=h0)
+
+    # XLA reference: per-agent GRU scan with argmax actions
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    obs_fn = jax.vmap(policy_obs_fn(env))
+    step_fn = jax.vmap(env._step_fn)
+
+    def body(carry, _):
+        st, obs, h = carry
+        nh, (logits, value) = jax.vmap(
+            lambda p, c, o: model.apply(p, c, o), in_axes=(0, 1, 1),
+            out_axes=1,
+        )(runner.params, h, obs)
+        action = jnp.argmax(logits, -1).astype(jnp.int32)
+        res = step_fn(st, action)
+        nst = jax.vmap(
+            lambda s, d: autoreset_select(env._reset_fn, s, d)
+        )(res.state, res.done)
+        nh = jnp.where(res.done[:, None, None], jnp.zeros_like(nh), nh)
+        return (nst, obs_fn(nst), nh), (action, value)
+
+    (_, _, h_ref), (acts, vals) = jax.lax.scan(
+        body, (states, obs_fn(states), h0), None, length=t
+    )
+    acts_k = np.asarray(traj["action"])
+    mismatch = (acts_k != np.asarray(acts)).mean()
+    assert mismatch < 0.01, mismatch
+    # values: compare on envs whose t=0 actions agree (a bf16 near-tie
+    # flip desynchronizes that env's later stream)
+    agree0 = (acts_k[0] == np.asarray(acts[0])).all(axis=-1)
+    assert agree0.mean() > 0.98, agree0.mean()
+    np.testing.assert_allclose(
+        np.asarray(traj["value"][0])[agree0],
+        np.asarray(vals[0])[agree0], atol=3e-2,
+    )
+    agree_all = (acts_k == np.asarray(acts)).all(axis=(0, 2))
+    if agree_all.any():
+        np.testing.assert_allclose(
+            np.asarray(new_h, np.float32)[agree_all],
+            np.asarray(h_ref, np.float32)[agree_all],
+            atol=3e-2,
+        )
+    # the two agents' recurrent policies genuinely differ
+    a = acts_k[0]
+    assert (a[:, 0] != a[:, 1]).mean() > 0.05
+
+
+def test_seac_gru_pallas_collect_train_step_runs():
+    """Full recurrent SEAC through the per-agent GRU collect kernel
+    (interpret mode): finite metrics, params move, carry threads."""
+    from rware_tpu.models.seac import (
+        SEACPPOConfig,
+        build_seac_gru_train_step,
+        init_seac_gru,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = SEACPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, model, tx = init_seac_gru(env, cfg, jax.random.key(0))
+    ts = jax.jit(
+        build_seac_gru_train_step(
+            env, model, tx, cfg, collect_mode="pallas", interpret=True,
+            deterministic_collect=True,
+        )
+    )
+    r1, metrics = ts(runner)
+    assert int(r1.update_idx) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    for a, b in zip(
+        jax.tree.leaves(runner.params), jax.tree.leaves(r1.params)
+    ):
+        assert np.abs(
+            np.asarray(a, np.float32) - np.asarray(b, np.float32)
+        ).max() > 0
+    assert r1.carry.shape == runner.carry.shape
+
+
+def test_seac_gru_msg_pallas_collect_train_step_runs():
+    from rware_tpu.models.seac import (
+        SEACPPOConfig,
+        build_seac_gru_train_step,
+        init_seac_gru,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+
+    env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=2)
+    cfg = SEACPPOConfig(
+        n_envs=ENV_BLOCK, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, model, tx = init_seac_gru(env, cfg, jax.random.key(1))
+    ts = jax.jit(
+        build_seac_gru_train_step(
+            env, model, tx, cfg, collect_mode="pallas", interpret=True,
+            deterministic_collect=True,
+        )
+    )
+    r1, metrics = ts(runner)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k

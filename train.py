@@ -227,8 +227,16 @@ def main():
             ent_coef=args.ent_coef,
         )
         runner, model, tx = init_seac_gru(env, cfg, key)
+        collect_mode = (
+            "pallas"
+            if args.collect == "pallas"
+            and jax.devices()[0].platform != "cpu"
+            else "xla"
+        )
         train_step = jax.jit(
-            build_seac_gru_train_step(env, model, tx, cfg),
+            build_seac_gru_train_step(
+                env, model, tx, cfg, collect_mode=collect_mode
+            ),
             donate_argnums=0,
         )
         env_steps_per_update = cfg.n_envs * cfg.rollout_len
