@@ -197,6 +197,77 @@ def check_collect(B=1024, T=16, msg_bits=0, image=False):
     }
 
 
+def check_gru_per_agent_collect(B=1024, T=16):
+    """Per-agent GRU collect mode (recurrent SEAC, round 5) COMPILED on
+    hardware: deterministic actions/values at t=0 vs the per-agent XLA
+    forward, and the recorded action stream replayed through the XLA
+    engine must land on the same final state."""
+    import rware_tpu
+    from rware_tpu.models.seac import SEACPPOConfig, init_seac_gru
+    from rware_tpu.ops.pallas_rollout import build_pallas_collect
+    from rware_tpu.parallel import batched_reset
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = SEACPPOConfig(n_envs=B)
+    runner, model, tx = init_seac_gru(env, cfg, jax.random.key(0))
+    states, _ = batched_reset(env, jax.random.key(2), B)
+    collect = build_pallas_collect(
+        env.config, T, tc_len=8, deterministic=True,
+        policy="gru_per_agent", hidden=(int(model.embed), int(model.hidden)),
+    )
+    h0 = model.initialize_carry((B, env.n_agents))
+    t0 = time.time()
+    new_state, new_h, traj = collect(states, runner.params, 0, h0=h0)
+    jax.block_until_ready(traj["obs"])
+    compile_s = round(time.time() - t0, 1)
+
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    mismatches = []
+    obs = jax.jit(jax.vmap(policy_obs_fn(env)))(states)
+    _, (logits, value) = jax.vmap(
+        lambda p, c, o: model.apply(p, c, o), in_axes=(0, 1, 1),
+        out_axes=1,
+    )(runner.params, h0, jnp.asarray(obs))
+    lg = np.sort(np.asarray(logits), axis=-1)
+    margin = lg[..., -1] - lg[..., -2]
+    move_diff = np.asarray(traj["action"][0]) != np.asarray(
+        jnp.argmax(logits, -1)
+    )
+    n_bad = int((move_diff & (margin > 1e-2)).sum())
+    if n_bad:
+        mismatches.append({"field": "action_t0", "n_diff": n_bad})
+    if not np.allclose(
+        np.asarray(traj["value"][0]), np.asarray(value), atol=3e-2
+    ):
+        mismatches.append({"field": "value_t0", "n_diff": -1})
+
+    def replay(state, acts):
+        def body(s, a):
+            r = env._step_fn(s, a)
+            return r.state, r.rewards
+
+        return jax.lax.scan(body, state, acts)
+
+    final, _ = jax.jit(
+        jax.vmap(replay, in_axes=(0, 1), out_axes=(0, 1))
+    )(states, jnp.asarray(traj["action"]))
+    for f in ("agent_x", "agent_y", "shelf_x"):
+        a = np.asarray(getattr(new_state, f))
+        b = np.asarray(getattr(final, f))
+        if not np.array_equal(a, b):
+            mismatches.append(
+                {"field": f"collect_{f}", "n_diff": int((a != b).sum())}
+            )
+    return {
+        "ok": not mismatches,
+        "mismatches": mismatches,
+        "B": B,
+        "T": T,
+        "compile_s": compile_s,
+    }
+
+
 def check_gru_obs_update(B=1024, T=16):
     """Obs-fused GRU sequence kernels (ops/pallas_gru.build_gru_obs_*)
     vs the XLA scan path of _gru_native_replay, ON HARDWARE: same
@@ -511,6 +582,16 @@ def main():
         except Exception as e:  # noqa: BLE001
             results[name] = {"ok": False, "error": repr(e)[:500]}
         print(name, results[name], flush=True)
+    try:
+        results["collect-gru-per-agent"] = check_gru_per_agent_collect()
+    except Exception as e:  # noqa: BLE001
+        results["collect-gru-per-agent"] = {
+            "ok": False, "error": repr(e)[:500]
+        }
+    print(
+        "collect-gru-per-agent", results["collect-gru-per-agent"],
+        flush=True,
+    )
 
     results["all_ok"] = all(
         v.get("ok", True) for v in results.values() if isinstance(v, dict)
