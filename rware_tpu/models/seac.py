@@ -804,7 +804,7 @@ def init_seac_gru(
 
 
 def _gru_cross_replay(model, params, obs, done, h0_diag,
-                      values_only=False):
+                      values_only=False, remat=False):
     """Replay every agent's GRU over every agent's observation stream.
 
     params stacked (N_i, ...), obs (T, B, N_j, L), done (T, B),
@@ -833,6 +833,12 @@ def _gru_cross_replay(model, params, obs, done, h0_diag,
         out = (None, value) if values_only else (heads, value)
         return new_carry, out
 
+    if remat:
+        # store only the per-step carries; recompute gate activations in
+        # the backward sweep — residual memory falls from O(T N^2 mb 4H)
+        # to O(T N^2 mb H), the difference between medium-6ag (N^2 = 36
+        # streams) fitting HBM at B=4096 and OOMing (measured 19.1 GB)
+        cell = jax.checkpoint(cell)
     last_carry, (heads, values) = jax.lax.scan(cell, h0, (obs, done))
     return heads, values, last_carry
 
@@ -845,6 +851,7 @@ def build_seac_gru_train_step(
     collect_mode: str = "xla",
     interpret: bool = False,
     deterministic_collect: bool = False,
+    remat: Optional[bool] = None,
 ) -> Callable[[SEACGRURunner], Tuple[SEACGRURunner, dict]]:
     """One jitted recurrent shared-experience PPO update: per-agent GRU
     collect (own streams) -> cross recurrent replay for old values ->
@@ -876,6 +883,15 @@ def build_seac_gru_train_step(
             f"minibatches={cfg.minibatches} must divide "
             f"n_envs={cfg.n_envs} (env-band minibatches)"
         )
+    if remat is None:
+        # auto: the minibatch replay's autodiff residuals scale with
+        # T x (n_envs/minibatches) x N^2 x 4H bf16 x ~4 tensors; remat
+        # past ~2^31 elements (tiny-2ag at B=4096 fits without)
+        resid = (
+            4.0 * cfg.rollout_len * (cfg.n_envs // cfg.minibatches)
+            * n * n * 4 * 128
+        )
+        remat = resid > 2**31
 
     pallas_collect = None
     if collect_mode == "pallas":
@@ -955,7 +971,7 @@ def build_seac_gru_train_step(
         (obs, done, action, behav_logp, old_value, adv, target,
          h0_diag) = batch
         heads_cross, values_cross, _ = _gru_cross_replay(
-            model, params, obs, done, h0_diag
+            model, params, obs, done, h0_diag, remat=remat
         )
         logp_cross, ent_map = cross_logp_ent(heads_cross, action)
 

@@ -496,3 +496,32 @@ def test_seac_gru_msg_pallas_collect_train_step_runs():
     r1, metrics = ts(runner)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_seac_gru_remat_matches_no_remat():
+    """jax.checkpoint on the cross-replay cell must not change the
+    update: params after one train step identical (it only trades
+    memory for recompute)."""
+    from rware_tpu.models.seac import (
+        SEACPPOConfig,
+        build_seac_gru_train_step,
+        init_seac_gru,
+    )
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    cfg = SEACPPOConfig(n_envs=8, rollout_len=6, epochs=1, minibatches=2)
+    runner, model, tx = init_seac_gru(env, cfg, jax.random.key(7))
+    outs = {}
+    for remat in (False, True):
+        ts = jax.jit(
+            build_seac_gru_train_step(env, model, tx, cfg, remat=remat)
+        )
+        r1, _ = ts(runner)
+        outs[remat] = r1.params
+    for a, b in zip(
+        jax.tree.leaves(outs[False]), jax.tree.leaves(outs[True])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-6,
+        )
