@@ -459,3 +459,57 @@ def test_mappo_image_obs_combined_kernel():
             runner.params[part], r1.params[part],
         )
         assert max(jax.tree.leaves(diffs)) > 0, part
+
+
+def test_sharded_rnn_mappo_msg_train_step_matches_metrics():
+    """shard_map'd recurrent MAPPO WITH message bits over the 8-device
+    CPU mesh (the round-5 capability-frontier learner): runs, finite,
+    rollout statistics equal the single-device step (same seed streams),
+    and the GRU carry shards along the env axis."""
+    from rware_tpu.models.mappo import (
+        build_rnn_mappo_train_step,
+        init_rnn_mappo_runner,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+    from rware_tpu.parallel import make_mesh, replicate, shard_env_batch
+
+    env = rware_tpu.make("rware-tiny-2ag-v2", msg_bits=2)
+    n_dev = len(jax.devices())
+    cfg = IPPOConfig(
+        n_envs=ENV_BLOCK * n_dev, rollout_len=8, epochs=1, minibatches=2
+    )
+    runner, actor, critic, tx = init_rnn_mappo_runner(
+        env, cfg, jax.random.key(0)
+    )
+    ts_single = jax.jit(
+        build_rnn_mappo_train_step(
+            env, actor, critic, tx, cfg, interpret=True,
+            deterministic_collect=True,
+        )
+    )
+    r1, m1 = ts_single(runner)
+
+    mesh = make_mesh()
+    sharded = runner.replace(
+        env_states=shard_env_batch(runner.env_states, mesh),
+        obs=shard_env_batch(runner.obs, mesh),
+        carry=shard_env_batch(runner.carry, mesh),
+        params=replicate(runner.params, mesh),
+        opt_state=replicate(runner.opt_state, mesh),
+    )
+    ts_mesh = jax.jit(
+        build_rnn_mappo_train_step(
+            env, actor, critic, tx, cfg, interpret=True,
+            deterministic_collect=True, mesh=mesh,
+        )
+    )
+    r2, m2 = ts_mesh(sharded)
+    for k, v in m2.items():
+        assert np.isfinite(float(v)), k
+    assert float(m1["episodes_done"]) == float(m2["episodes_done"])
+    np.testing.assert_allclose(
+        float(m1["reward_per_env"]), float(m2["reward_per_env"]), rtol=1e-5
+    )
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(r2.params)
+    )
