@@ -852,6 +852,8 @@ def build_seac_gru_train_step(
     interpret: bool = False,
     deterministic_collect: bool = False,
     remat: Optional[bool] = None,
+    mesh=None,
+    mesh_axis: str = "env",
 ) -> Callable[[SEACGRURunner], Tuple[SEACGRURunner, dict]]:
     """One jitted recurrent shared-experience PPO update: per-agent GRU
     collect (own streams) -> cross recurrent replay for old values ->
@@ -864,7 +866,12 @@ def build_seac_gru_train_step(
     kernel with PER-AGENT GRUs in-kernel (ops/pallas_rollout
     build_pallas_collect(policy="gru_per_agent") — each agent's carry in
     VMEM scratch, episode-boundary resets in-kernel); "xla" keeps the
-    T-scan fallback."""
+    T-scan fallback.
+
+    With ``mesh`` the step shard_maps over the env axis (data parallel:
+    env_states/obs/carry sharded, params replicated, per-minibatch
+    gradient pmean) — the same wrapper every other learner uses
+    (parallel.sharding.shard_map_train_step)."""
     step_fn = jax.vmap(env._step_fn)
     reset_fn = env._reset_fn
     from rware_tpu.models.ippo import policy_obs_fn
@@ -883,12 +890,20 @@ def build_seac_gru_train_step(
             f"minibatches={cfg.minibatches} must divide "
             f"n_envs={cfg.n_envs} (env-band minibatches)"
         )
+    n_shards = int(mesh.shape[mesh_axis]) if mesh is not None else 1
+    axis_name = mesh_axis if mesh is not None else None
+    if cfg.n_envs % (cfg.minibatches * n_shards):
+        raise ValueError(
+            f"n_envs={cfg.n_envs} must divide over "
+            f"{cfg.minibatches} minibatches x {n_shards} shards"
+        )
+    n_local = cfg.n_envs // n_shards
     if remat is None:
         # auto: the minibatch replay's autodiff residuals scale with
-        # T x (n_envs/minibatches) x N^2 x 4H bf16 x ~4 tensors; remat
-        # past ~2^31 elements (tiny-2ag at B=4096 fits without)
+        # T x (local envs/minibatches) x N^2 x 4H bf16 x ~4 tensors;
+        # remat past ~2^31 elements (tiny-2ag at B=4096 fits without)
         resid = (
-            4.0 * cfg.rollout_len * (cfg.n_envs // cfg.minibatches)
+            4.0 * cfg.rollout_len * (n_local // cfg.minibatches)
             * n * n * 4 * 128
         )
         remat = resid > 2**31
@@ -912,6 +927,7 @@ def build_seac_gru_train_step(
         )
         n_tc = max(1, cfg.rollout_len // _pick_tc_len(cfg.rollout_len))
         streams_per_update = (cfg.n_envs // ENV_BLOCK) * n_tc
+        streams_per_shard = (n_local // ENV_BLOCK) * n_tc
 
     def apply_own(params, carry, obs):
         # params (N,...) x carry (B, N, H) x obs (B, N, L)
@@ -1010,6 +1026,10 @@ def build_seac_gru_train_step(
         h0_diag = runner.carry
         if pallas_collect is not None:
             seed = runner.update_idx * jnp.int32(streams_per_update)
+            if axis_name is not None:
+                seed = seed + jax.lax.axis_index(axis_name) * jnp.int32(
+                    streams_per_shard
+                )
             env_states, carry, ktraj = pallas_collect(
                 runner.env_states, params, seed, h0=runner.carry
             )
@@ -1027,6 +1047,10 @@ def build_seac_gru_train_step(
                 done=ktraj["done"].astype(jnp.bool_),
             )
         else:
+            if axis_name is not None:
+                k_roll = jax.random.fold_in(
+                    k_roll, jax.lax.axis_index(axis_name)
+                )
             roll_keys = jax.random.split(k_roll, cfg.rollout_len)
             (params, env_states, obs, carry), traj = jax.lax.scan(
                 collect,
@@ -1067,12 +1091,15 @@ def build_seac_gru_train_step(
             traj.obs, traj.done, traj.action, traj.logp,
             values_cross, adv_cross, target_cross,
         )
-        mb = cfg.n_envs // cfg.minibatches
+        mb = n_local // cfg.minibatches
 
         def sgd_step(params, opt_state, batch):
             (loss, metrics), grads = jax.value_and_grad(
                 minibatch_loss, has_aux=True
             )(params, batch)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                metrics = jax.lax.pmean(metrics, axis_name)
             updates, opt_state = tx.update(grads, opt_state, params)
             return (
                 optax.apply_updates(params, updates), opt_state, metrics
@@ -1080,7 +1107,7 @@ def build_seac_gru_train_step(
 
         def epoch(carry_e, k):
             params, opt_state = carry_e
-            off = jax.random.randint(k, (), 0, cfg.n_envs)
+            off = jax.random.randint(k, (), 0, n_local)
             rolled = jax.tree.map(
                 lambda x: jnp.roll(x, off, axis=1), dataset
             )
@@ -1111,9 +1138,14 @@ def build_seac_gru_train_step(
             (params, runner.opt_state),
             jax.random.split(k_perm, cfg.epochs),
         )
+        reward_sum = traj.reward.sum()
+        episodes = traj.done.sum()
+        if axis_name is not None:
+            reward_sum = jax.lax.psum(reward_sum, axis_name)
+            episodes = jax.lax.psum(episodes, axis_name)
         out_metrics = {
-            "reward_per_env": traj.reward.sum() / cfg.n_envs,
-            "episodes_done": traj.done.sum(),
+            "reward_per_env": reward_sum / cfg.n_envs,
+            "episodes_done": episodes,
             **jax.tree.map(lambda x: x.mean(), metrics),
         }
         return (
@@ -1129,4 +1161,13 @@ def build_seac_gru_train_step(
             out_metrics,
         )
 
-    return train_step
+    if mesh is None:
+        return train_step
+    from rware_tpu.parallel import shard_map_train_step
+
+    return shard_map_train_step(
+        train_step, mesh,
+        SEACGRURunner(params=None, opt_state=None, env_states=None,
+                      obs=None, carry=None, key=None, update_idx=None),
+        env_fields=("env_states", "obs", "carry"), axis=mesh_axis,
+    )

@@ -525,3 +525,56 @@ def test_seac_gru_remat_matches_no_remat():
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=2e-5, atol=2e-6,
         )
+
+
+def test_sharded_seac_gru_train_step_matches_metrics():
+    """shard_map'd recurrent SEAC over the 8-device CPU mesh: runs,
+    finite, rollout statistics equal the single-device step (same
+    deterministic collect), carry shards along the env axis — every
+    learner in the suite is mesh-capable."""
+    from rware_tpu.models.seac import (
+        SEACPPOConfig,
+        build_seac_gru_train_step,
+        init_seac_gru,
+    )
+    from rware_tpu.ops.pallas_rollout import ENV_BLOCK
+    from rware_tpu.parallel import make_mesh, replicate, shard_env_batch
+
+    env = rware_tpu.make("rware-tiny-2ag-v2")
+    n_dev = len(jax.devices())
+    cfg = SEACPPOConfig(
+        n_envs=ENV_BLOCK * n_dev, rollout_len=8, epochs=1, minibatches=1
+    )
+    runner, model, tx = init_seac_gru(env, cfg, jax.random.key(0))
+    ts_single = jax.jit(
+        build_seac_gru_train_step(
+            env, model, tx, cfg, collect_mode="pallas", interpret=True,
+            deterministic_collect=True,
+        )
+    )
+    r1, m1 = ts_single(runner)
+
+    mesh = make_mesh()
+    sharded = runner.replace(
+        env_states=shard_env_batch(runner.env_states, mesh),
+        obs=shard_env_batch(runner.obs, mesh),
+        carry=shard_env_batch(runner.carry, mesh),
+        params=replicate(runner.params, mesh),
+        opt_state=replicate(runner.opt_state, mesh),
+    )
+    ts_mesh = jax.jit(
+        build_seac_gru_train_step(
+            env, model, tx, cfg, collect_mode="pallas", interpret=True,
+            deterministic_collect=True, mesh=mesh,
+        )
+    )
+    r2, m2 = ts_mesh(sharded)
+    for k, v in m2.items():
+        assert np.isfinite(float(v)), k
+    assert float(m1["episodes_done"]) == float(m2["episodes_done"])
+    np.testing.assert_allclose(
+        float(m1["reward_per_env"]), float(m2["reward_per_env"]), rtol=1e-5
+    )
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(r2.params)
+    )

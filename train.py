@@ -233,9 +233,13 @@ def main():
             and jax.devices()[0].platform != "cpu"
             else "xla"
         )
+        mesh_sg = None
+        if args.mesh and len(jax.devices()) > 1:
+            mesh_sg = make_mesh()
         train_step = jax.jit(
             build_seac_gru_train_step(
-                env, model, tx, cfg, collect_mode=collect_mode
+                env, model, tx, cfg, collect_mode=collect_mode,
+                mesh=mesh_sg,
             ),
             donate_argnums=0,
         )
