@@ -39,6 +39,16 @@ def make_vec(env_id_or_config, num_envs=8, **overrides):
     return _make_vec(env_id_or_config, num_envs, **overrides)
 
 
+def register_all(force=False, image=False):
+    """Register the reference env-id grid with gymnasium (lazy import);
+    ``image=True`` adds the -img/-imgdict/-Nd variants.  Runs once at
+    import by default — call explicitly only after RWARE_TPU_NO_REGISTER=1
+    or to add the image variants (see gym_adapter.register_all)."""
+    from rware_tpu.gym_adapter import register_all as _register_all
+
+    return _register_all(force=force, image=image)
+
+
 from rware_tpu.types import (
     Action,
     Direction,
@@ -82,5 +92,6 @@ __all__ = [
     "make_gym",
     "make_vec",
     "parse_env_id",
+    "register_all",
     "__version__",
 ]
