@@ -103,6 +103,16 @@ def test_register_all_registers_grid():
     assert register_all() == 0
 
 
+def test_register_all_top_level_export():
+    # README documents rware_tpu.register_all(image=True) for the -img grid
+    import rware_tpu
+
+    rware_tpu.register_all(image=True)
+    env = gym.make("rware-img-tiny-2ag-v2", disable_env_checker=True)
+    obs, info = env.reset(seed=0)
+    assert obs[0].shape[0] == 5  # image layers, directional window
+
+
 # --- wrappers (reference: rware/utils/wrappers.py, tests/test_wrappers.py) ---
 
 
