@@ -113,6 +113,11 @@ def main():
         """Returns (action, new_carry); carry is None for feedforward."""
         if args.random:
             return env_random_actions(key), carry
+        if obs.ndim > 3:
+            # IMAGE observations arrive as (B, n, layers, H, W) windows; the
+            # policies consume them flattened per agent (as in training —
+            # models/ippo_pallas.py feeds the kernel-flattened window rows)
+            obs = obs.reshape(obs.shape[:2] + (-1,))
         if recurrent and per_agent_params:
             # recurrent SEAC: stacked per-agent GRUs, each on its own
             # obs stream with its own hidden slice
@@ -209,6 +214,9 @@ def main():
         state = jax.tree.map(lambda x: x[0], states)
         key = jax.random.key(args.seed + 2)
         single_obs = env._obs_fn(state)
+        rcarry = (
+            model.initialize_carry((1, n)) if recurrent else jnp.zeros((1,))
+        )
         for t in range(60):
             frame = viewer.frame(state)
             try:
@@ -222,8 +230,8 @@ def main():
                     os.path.join(args.render_frames, f"frame_{t:03d}.npy"), frame
                 )
             key, k = jax.random.split(key)
-            actions = policy(k, single_obs[None], params)[0]
-            res = env.step(state, actions)
+            actions, rcarry = policy(k, single_obs[None], params, rcarry)
+            res = env.step(state, actions[0])
             state = res.state
             single_obs = env._obs_fn(state)
         print(f"wrote 60 frames to {args.render_frames}")
