@@ -25,14 +25,17 @@ def _run(args):
     return res.stdout
 
 
-def test_evaluate_random_baseline():
+def test_evaluate_random_baseline(tmp_path):
+    frames = str(tmp_path / "frames")
     out = _run(
         [
             "evaluate.py", "--env", "rware-tiny-2ag-v2", "--random",
             "--episodes", "4", "--max-steps", "8", "--platform", "cpu",
+            "--render-frames", frames,
         ]
     )
     assert "mean_return=" in out
+    assert len(os.listdir(frames)) == 60
 
 
 def test_evaluate_image_checkpoint(tmp_path):
