@@ -268,6 +268,85 @@ def check_gru_per_agent_collect(B=1024, T=16):
     }
 
 
+def check_gru_image_collect(B=1024, T=16):
+    """Shared-GRU collect on an IMAGE-observation config COMPILED on
+    hardware (the combination behind the img+GRU learning run): t=0
+    deterministic actions/values vs the RecurrentActorCritic XLA forward
+    on the flattened window view, and the recorded action stream replayed
+    through the XLA engine must land on the same final state."""
+    import rware_tpu
+    from rware_tpu.models import RecurrentActorCritic
+    from rware_tpu.ops.pallas_rollout import build_pallas_collect
+    from rware_tpu.parallel import batched_reset
+    from rware_tpu.types import ObservationType
+
+    env = rware_tpu.make(
+        rware_tpu.WarehouseConfig(
+            observation_type=ObservationType.IMAGE, request_queue_size=2
+        )
+    )
+    L = env.config.policy_obs_length
+    n = env.n_agents
+    states, _ = batched_reset(env, jax.random.key(0), B)
+    model = RecurrentActorCritic(n_actions=5)
+    h0 = model.initialize_carry((B, n))
+    params = model.init(
+        jax.random.key(1), model.initialize_carry((1, n)),
+        jnp.zeros((1, n, L)),
+    )
+    collect = build_pallas_collect(
+        env.config, T, tc_len=8, deterministic=True, policy="gru",
+        hidden=(int(model.embed), int(model.hidden)),
+    )
+    t0 = time.time()
+    new_state, new_h, traj = collect(states, params, 0, h0=h0)
+    jax.block_until_ready(traj["obs"])
+    compile_s = round(time.time() - t0, 1)
+
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    mismatches = []
+    obs = jax.jit(jax.vmap(policy_obs_fn(env)))(states)
+    _, (logits, value) = model.apply(params, h0, jnp.asarray(obs))
+    lg = np.sort(np.asarray(logits), axis=-1)
+    margin = lg[..., -1] - lg[..., -2]
+    move_diff = np.asarray(traj["action"][0]) != np.asarray(
+        jnp.argmax(logits, -1)
+    )
+    n_bad = int((move_diff & (margin > 1e-2)).sum())
+    if n_bad:
+        mismatches.append({"field": "action_t0", "n_diff": n_bad})
+    if not np.allclose(
+        np.asarray(traj["value"][0]), np.asarray(value), atol=3e-2
+    ):
+        mismatches.append({"field": "value_t0", "n_diff": -1})
+
+    def replay(state, acts):
+        def body(s, a):
+            r = env._step_fn(s, a)
+            return r.state, r.rewards
+
+        return jax.lax.scan(body, state, acts)
+
+    final, _ = jax.jit(
+        jax.vmap(replay, in_axes=(0, 1), out_axes=(0, 1))
+    )(states, jnp.asarray(traj["action"]))
+    for f in ("agent_x", "agent_y", "shelf_x"):
+        a = np.asarray(getattr(new_state, f))
+        b = np.asarray(getattr(final, f))
+        if not np.array_equal(a, b):
+            mismatches.append(
+                {"field": f"collect_{f}", "n_diff": int((a != b).sum())}
+            )
+    return {
+        "ok": not mismatches,
+        "mismatches": mismatches,
+        "B": B,
+        "T": T,
+        "compile_s": compile_s,
+    }
+
+
 def check_gru_obs_update(B=1024, T=16):
     """Obs-fused GRU sequence kernels (ops/pallas_gru.build_gru_obs_*)
     vs the XLA scan path of _gru_native_replay, ON HARDWARE: same
@@ -582,6 +661,11 @@ def main():
         except Exception as e:  # noqa: BLE001
             results[name] = {"ok": False, "error": repr(e)[:500]}
         print(name, results[name], flush=True)
+    try:
+        results["collect-gru-image"] = check_gru_image_collect()
+    except Exception as e:  # noqa: BLE001
+        results["collect-gru-image"] = {"ok": False, "error": repr(e)[:500]}
+    print("collect-gru-image", results["collect-gru-image"], flush=True)
     try:
         results["collect-gru-per-agent"] = check_gru_per_agent_collect()
     except Exception as e:  # noqa: BLE001
