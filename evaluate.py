@@ -113,11 +113,6 @@ def main():
         """Returns (action, new_carry); carry is None for feedforward."""
         if args.random:
             return env_random_actions(key), carry
-        if obs.ndim > 3:
-            # IMAGE observations arrive as (B, n, layers, H, W) windows; the
-            # policies consume them flattened per agent (as in training —
-            # models/ippo_pallas.py feeds the kernel-flattened window rows)
-            obs = obs.reshape(obs.shape[:2] + (-1,))
         if recurrent and per_agent_params:
             # recurrent SEAC: stacked per-agent GRUs, each on its own
             # obs stream with its own hidden slice
@@ -156,9 +151,15 @@ def main():
     def env_random_actions(key):
         return jax.vmap(env.sample_actions)(jax.random.split(key, B))
 
+    # the policies consume the flattened policy view for every obs family
+    # (FLATTENED passthrough, IMAGE/IMAGE_DICT window flatten, DICT
+    # flatten) — the same view training uses (models/ippo.policy_obs_fn)
+    from rware_tpu.models.ippo import policy_obs_fn
+
+    policy_view = policy_obs_fn(env)
     keys = jax.random.split(jax.random.key(args.seed), B)
     states = jax.vmap(env._reset_fn)(keys)
-    obs = jax.vmap(env._obs_fn)(states)
+    obs = jax.vmap(policy_view)(states)
 
     carry0 = (
         model.initialize_carry((B, n)) if recurrent else jnp.zeros((B,))
@@ -173,7 +174,7 @@ def main():
             returns = returns + res.rewards.sum(-1) * alive
             lengths = lengths + alive
             alive = alive * (1.0 - res.done.astype(jnp.float32))
-            next_obs = jax.vmap(env._obs_fn)(res.state)
+            next_obs = jax.vmap(policy_view)(res.state)
             if recurrent:
                 rnn_carry = jnp.where(
                     res.done[:, None, None],
@@ -213,7 +214,7 @@ def main():
         viewer = Viewer(env.config)
         state = jax.tree.map(lambda x: x[0], states)
         key = jax.random.key(args.seed + 2)
-        single_obs = env._obs_fn(state)
+        single_obs = policy_view(state)
         rcarry = (
             model.initialize_carry((1, n)) if recurrent else jnp.zeros((1,))
         )
@@ -233,7 +234,7 @@ def main():
             actions, rcarry = policy(k, single_obs[None], params, rcarry)
             res = env.step(state, actions[0])
             state = res.state
-            single_obs = env._obs_fn(state)
+            single_obs = policy_view(state)
         print(f"wrote 60 frames to {args.render_frames}")
 
 

@@ -38,18 +38,24 @@ def test_evaluate_random_baseline(tmp_path):
     assert len(os.listdir(frames)) == 60
 
 
-def test_evaluate_image_checkpoint(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "env_id", ["rware-img-tiny-2ag-v2", "rware-imgdict-tiny-2ag-v2"]
+)
+def test_evaluate_image_checkpoint(tmp_path, env_id):
     ckpt = str(tmp_path / "ckpt")
     _run(
         [
-            "train.py", "--env", "rware-img-tiny-2ag-v2", "--updates", "2",
+            "train.py", "--env", env_id, "--updates", "2",
             "--n-envs", "16", "--rollout-len", "8", "--platform", "cpu",
             "--checkpoint-dir", ckpt,
         ]
     )
     out = _run(
         [
-            "evaluate.py", "--env", "rware-img-tiny-2ag-v2",
+            "evaluate.py", "--env", env_id,
             "--checkpoint-dir", ckpt, "--episodes", "4",
             "--max-steps", "8", "--platform", "cpu",
         ]
