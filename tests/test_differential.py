@@ -114,7 +114,9 @@ def test_forced_delivery_parity_all_reward_types():
         assert not errs, f"{rt_ref}: " + "\n".join(errs[:10])
 
 
-@pytest.mark.parametrize("obs_kind", ["image", "image_dict", "msg", "sensor2"])
+@pytest.mark.parametrize(
+    "obs_kind", ["image", "image_nd", "image_dict", "msg", "sensor2"]
+)
 def test_observation_variant_parity(obs_kind):
     import sys
 
@@ -142,6 +144,19 @@ def test_observation_variant_parity(obs_kind):
             observation_type=RefOT.IMAGE,
         )
         cfg = rware_tpu.WarehouseConfig(observation_type=ObservationType.IMAGE)
+        msg_bits = 0
+    elif obs_kind == "image_nd":
+        # the -Nd id family: un-rotated (world-frame) image windows
+        # (reference warehouse.py:167,227-229)
+        ref = RefWarehouse(
+            3, 8, 1, 2, 0, 1, 2, None, 500, RefRT.INDIVIDUAL,
+            observation_type=RefOT.IMAGE,
+            image_observation_directional=False,
+        )
+        cfg = rware_tpu.WarehouseConfig(
+            observation_type=ObservationType.IMAGE,
+            image_observation_directional=False,
+        )
         msg_bits = 0
     elif obs_kind == "image_dict":
         ref = RefWarehouse(
