@@ -25,6 +25,8 @@ pytestmark = pytest.mark.skipif(
         ("rware-small-4ag-v2", 80),
         ("rware-medium-6ag-hard-v2", 50),
         ("rware-large-8ag-easy-v2", 40),
+        # non-default rack column height (grammar's -Hh token)
+        ("rware-tiny-3h-4ag-v2", 80),
         # high agent density exercises resolver contention ties
         ("rware-tiny-6ag-v2", 120),
         ("rware-tiny-10ag-v2", 80),
